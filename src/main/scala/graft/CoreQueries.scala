@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFunctions._
+
+/** Core relational operator queries on the driver corpus, each mapped to a
+  * SURVEY.md §2 inventory item (query name prefix = inventory id). Role
+  * mapping per FIXTURES.md: purchases→lineitem/orders, supplier_case→
+  * supplier+nation, weather timeseries→events, KNN→synthetic geo points.
+  *
+  * Every query:
+  *  - is a pure DataFrame expression (Catalyst plans it; filters/prunes
+  *    push into the parquet scan);
+  *  - does money math in DECIMAL (exact, order-independent) and casts the
+  *    final measure to DOUBLE, so the DuckDB oracle hash-matches;
+  *  - ends in a deterministic ORDER BY over a unique key set.
+  */
+object CoreQueries {
+
+  /** A1/P11/P12/P16 — per-order amount totals: the reference's
+    * PURCHASE_ORDER_TOTALS view (BlueForty.py:119-126):
+    * GROUP BY po key, ROUND(SUM(COALESCE(qty,0)*COALESCE(price,0)),2). */
+  def a1PoTotals(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.groupBy("l_orderkey")
+      .agg(
+        round(sum(zeroIfNull(asMoney(col("l_quantity"))) *
+          zeroIfNull(asMoney(col("l_extendedprice")))), 2)
+          .cast("double").as("total_amount"),
+        count(lit(1)).as("line_count"))
+      .orderBy("l_orderkey")
+  }
+
+  /** J1/A2/P2/P16/C1 — reconciliation: aggregate the detail side in a
+    * CTE, inner USING-join to the header, extend the star projection
+    * with a variance measure (BlueForty.py:203-233). The aggregate is
+    * computed *before* the join (pre-aggregation, reference's own
+    * physical choice) so the join input is one row per key. */
+  def j1Reconciliation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val liTotals = li.groupBy("l_orderkey")
+      .agg(sum(zeroIfNull(asMoney(col("l_extendedprice")))).as("_li_total"))
+    ord.join(liTotals, ord("o_orderkey") === liTotals("l_orderkey"), "inner")
+      .select(
+        ord("o_orderkey"),
+        ord("o_custkey"),
+        ord("o_orderdate").cast("date").as("o_orderdate"),
+        ord("o_totalprice"),
+        round(col("_li_total"), 2).cast("double").as("lineitem_total"),
+        round(asMoney(ord("o_totalprice")) - col("_li_total"), 2)
+          .cast("double").as("variance"))
+      .orderBy("o_orderkey")
+  }
+
+  /** W1/C2 — top-1-per-key via ROW_NUMBER() OVER (PARTITION BY … ORDER
+    * BY …) then rn=1 (the nearest-station pattern, BlueForty.py:445-447).
+    * Tie-broken on the unique line number so the winner is deterministic
+    * across engines. */
+  def w1Top1PerKey(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy("l_orderkey")
+  }
+
+  /** A3 — SELECT DISTINCT (BlueForty.py:427-433). */
+  def a3Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** J4/J5/P4 — constant-predicate filter then a 3-way join whose second
+    * hop is a compound 2-key equi join on (id, date-part) — the weather
+    * enrichment shape (BlueForty.py:452-475), C.ZIP = B.zip AND
+    * C.DATE = A.ORDERDATE. The corpus' event and order epochs don't
+    * overlap, so the date key is the day-of-month extracted from each
+    * side's date — same compound-equi physical shape. */
+  def j5ThreeWayTwoKey(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type") === lit("purchase"))
+      .select(col("event_id"), col("user_id"),
+        dayofmonth(col("ts").cast("date")).as("event_day"), col("value"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayofmonth(col("o_orderdate").cast("date")).as("o_day"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    ev.join(ord,
+        ev("user_id") === ord("o_custkey") &&
+          ev("event_day") === ord("o_day"), "inner")
+      .join(cust, ord("o_custkey") === cust("c_custkey"), "inner")
+      .select(col("event_id"), col("o_orderkey"), col("c_name"),
+        col("c_mktsegment"), col("value"))
+      .orderBy("event_id", "o_orderkey")
+  }
+
+  /** P11/P13/P14/P3/P9/P10 — zip-style normalization: strip non-digits,
+    * keep last 5, LPAD to 5, coalesce a fallback source, drop null/empty
+    * (the SUPPLIER_ZIP5 view, BlueForty.py:364-388). */
+  def p14ZipNormalize(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val primary = nullifEmpty(regexp_replace(col("s_name"), "[^0-9]", ""))
+    val fallback = trim(col("s_nationkey").cast("string"))
+    val z = lpad(right(coalesce(primary, fallback), lit(5)), 5, "0")
+    sup.select(col("s_suppkey"), z.as("zip5"))
+      .filter(col("zip5").isNotNull && col("zip5") =!= "")
+      .orderBy("s_suppkey")
+  }
+
+  /** P5-P10/P15 — the TRY_* cast family: null-on-failure numeric, date
+    * (explicit + format-free), strict cast, NULLIF/TRIM, int→bool flag
+    * (BlueForty.py:88-107). Inputs are strings derived from the corpus
+    * so both engines parse identical text. */
+  def p5TryCasts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val asStr = ev.select(
+      col("event_id"),
+      col("value").cast("decimal(18,2)").cast("string").as("num_str"),
+      col("ts").cast("date").cast("string").as("date_str"),
+      col("event_type"),
+      concat(lit("  "), col("event_type"), lit("  ")).as("padded"),
+      (col("event_id") % 2).cast("string").as("flag_str"))
+    asStr.select(
+      col("event_id"),
+      tryToNumeric(col("num_str"), 18, 2).cast("double").as("num_val"),
+      tryToDate(col("date_str")).as("date_val"),
+      tryToDate(col("date_str"), "yyyy-MM-dd").as("date_val_fmt"),
+      tryCast(col("event_type"), "int").as("bad_int"),
+      nullifEmpty(trim(col("padded"))).as("trimmed"),
+      intFlag(col("flag_str")).as("flag"))
+      .orderBy("event_id")
+  }
+
+  /** J3/P17/W1/A3/C1 — the KNN chain (BlueForty.py:425-448): DISTINCT
+    * small side → cross join against the station table → distance →
+    * ROW_NUMBER per key → keep rn=1. Coordinates are derived
+    * deterministically from integer keys; ranking uses exact decimal
+    * squared distance (see ColumnFunctions.sqDist) so the argmin is
+    * reproducible bit-for-bit. Catalyst picks BroadcastNestedLoopJoin
+    * for the small distinct side — the same physical shape Snowflake
+    * chose for ~8 zips × stations. */
+  def j3KnnNearest(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") * 7) % 120 - 60).cast("decimal(10,4)").as("s_lat"),
+        ((col("s_suppkey") * 13) % 340 - 170).cast("decimal(10,4)").as("s_lon"))
+      .distinct()
+    val st = Tables.nation(s, d)
+      .select(col("n_nationkey").as("station_id"),
+        ((col("n_nationkey") * 11) % 120 - 60).cast("decimal(10,4)").as("t_lat"),
+        ((col("n_nationkey") * 17) % 340 - 170).cast("decimal(10,4)").as("t_lon"))
+    val crossed = sup.crossJoin(st)
+      .withColumn("d2",
+        sqDist(col("s_lat"), col("s_lon"), col("t_lat"), col("t_lon")))
+    val w = Window.partitionBy("s_suppkey")
+      .orderBy(col("d2").asc, col("station_id").asc)
+    crossed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("s_suppkey"), col("station_id"),
+        col("d2").cast("double").as("dist_sq"))
+      .orderBy("s_suppkey")
+  }
+
+  /** P17 — haversine great-circle distance values themselves
+    * (BlueForty.py:438-439), rounded to 0.1 km so sub-ulp libm
+    * differences between engines cannot surface. */
+  def p17Haversine(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") * 7) % 120 - 60).cast("double").as("s_lat"),
+        ((col("s_suppkey") * 13) % 340 - 170).cast("double").as("s_lon"))
+    val st = Tables.nation(s, d)
+      .select(col("n_nationkey").as("station_id"),
+        ((col("n_nationkey") * 11) % 120 - 60).cast("double").as("t_lat"),
+        ((col("n_nationkey") * 17) % 340 - 170).cast("double").as("t_lon"))
+    sup.crossJoin(st)
+      .select(col("s_suppkey"), col("station_id"),
+        round(haversineKm(col("s_lat"), col("s_lon"),
+          col("t_lat"), col("t_lon")), 1).as("dist_km"))
+      .orderBy("s_suppkey", "station_id")
+  }
+
+  /** J2 — cross-type single-key equi join (VARCHAR ⋈ inferred numeric,
+    * BlueForty.py:431-432): the string side is cast at the boundary. */
+  def j2CrossTypeJoin(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("string").as("nation_code"),
+        col("n_name"))
+    val cust = Tables.customer(s, d)
+    cust.join(nat, cust("c_nationkey").cast("string") === nat("nation_code"),
+        "inner")
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+      .orderBy("c_custkey")
+  }
+}
