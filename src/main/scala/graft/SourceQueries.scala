@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{CsvIngest, SchemaInference, XmlShred}
+
+import java.nio.file.Files
+
+/** Source/sink operator queries (SURVEY.md §2a): each runs a real
+  * ingest path end-to-end — write a derived file/table, read it back
+  * through the graft source implementation, and produce a result the
+  * DuckDB oracle can recompute straight from the original parquet. A
+  * hash match therefore proves the full write→stage→read→type chain is
+  * lossless, not just the final SELECT.
+  */
+object SourceQueries {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** S1/S4/P1 — option-rich CSV write+read roundtrip with positional
+    * `$i` projection and TRY casts (the COPY INTO shape,
+    * BlueForty.py:78-116), aggregated TPC-H-Q1-style so the oracle can
+    * recompute from parquet. */
+  def s1CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import CsvIngest._
+    val dir = tmpDir("graft_csv_rt")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate").cast("date").as("l_shipdate"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val raw = readPositional(s, dir + "/*.csv")
+    raw.select(
+        pos(1).try_cast("bigint").as("l_orderkey"),
+        pos(3).as("l_returnflag"),
+        pos(4).as("l_linestatus"),
+        pos(5).try_cast("decimal(18,4)").as("qty"),
+        pos(6).try_cast("decimal(18,4)").as("price"),
+        try_to_date(pos(7)).as("ship_date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("qty")), 2).cast("double").as("sum_qty"),
+        round(sum(col("price")), 2).cast("double").as("sum_price"),
+        count(col("ship_date")).as("n_dates"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** S6/S7/S13/P19 — XML shredding at corpus scale: synthesize one XML
+    * document per order-group (deterministic fragment order via
+    * sort_array), shred through the scala-xml generator with posexplode
+    * ordinals, TRY-cast fields, skip keyless elements — then hash-match
+    * the recovered rows against SQL straight over `orders`. Mirrors
+    * BlueForty.py:179-201 semantics (incl. empty-tag→NULL and the
+    * 0-based FLATTEN index). */
+  def s7XmlShred(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val keyPart = concat(
+      lit("<SupplierTransactionID>"), col("o_orderkey"),
+      lit("</SupplierTransactionID>"))
+    val frag = concat(
+      lit("<Transaction>"),
+      when(col("o_orderkey") % 97 === 0, lit("")).otherwise(keyPart),
+      lit("<SupplierID>"), col("o_custkey"), lit("</SupplierID>"),
+      lit("<SupplierInvoiceNumber>"),
+      when(col("o_orderkey") % 3 === 0, lit(""))
+        .otherwise(concat(lit("INV-"), col("o_orderkey"))),
+      lit("</SupplierInvoiceNumber>"),
+      lit("<TransactionDate>"), col("o_orderdate").cast("date"),
+      lit("</TransactionDate>"),
+      lit("<TransactionAmount>"), col("o_totalprice").cast("decimal(18,2)"),
+      lit("</TransactionAmount>"),
+      lit("<IsFinalized>"), (col("o_orderkey") % 2).cast("string"),
+      lit("</IsFinalized>"),
+      lit("</Transaction>"))
+    val docs = ord
+      .select((col("o_orderkey") % 200).as("g"),
+        struct(col("o_orderkey"), frag.as("frag")).as("kf"))
+      .groupBy("g")
+      .agg(concat(lit("<SupplierTransactions>"),
+        concat_ws("", transform(sort_array(collect_list(col("kf"))),
+          x => x.getField("frag"))),
+        lit("</SupplierTransactions>")).as("DOC"))
+    import graft.functions.ColumnFunctions._
+    XmlShred.explodeDocs(docs, "DOC")
+      .filter(XmlShred.xmlGet("SupplierTransactionID").isNotNull)
+      .select(
+        XmlShred.xmlGet("SupplierTransactionID").try_cast("bigint").as("transaction_id"),
+        XmlShred.xmlGet("SupplierID").try_cast("bigint").as("supplier_id"),
+        nullifEmpty(XmlShred.xmlGet("SupplierInvoiceNumber")).as("invoice_number"),
+        tryToDate(XmlShred.xmlGet("TransactionDate")).as("transaction_date"),
+        XmlShred.xmlGet("TransactionAmount").try_cast("decimal(18,2)")
+          .cast("double").as("amount"),
+        intFlag(XmlShred.xmlGet("IsFinalized")).as("is_finalized"),
+        col("XML_INDEX").cast("bigint").as("xml_index"))
+      .orderBy("transaction_id")
+  }
+
+  /** S9 — sampled schema inference (BlueForty.py:239-297): write a CSV
+    * whose columns exercise every precedence rule (int, float, string,
+    * 3-format dates, int/float mix, all-null-like), infer, and return
+    * the (column, type) table the oracle states literally. */
+  def s9SchemaInference(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmpDir("graft_infer")
+    Tables.supplier(s, d)
+      .select(
+        col("s_suppkey").cast("string").as("id_col"),
+        col("s_acctbal").cast("decimal(12,2)").cast("string").as("num_col"),
+        col("s_name").as("name_col"),
+        date_format(date_add(lit("1995-01-01").cast("date"),
+          (col("s_suppkey") % 1000).cast("int")),
+          "yyyy-MM-dd").as("date_col"),
+        when(col("s_suppkey") % 3 === 0,
+          date_format(date_add(lit("1995-01-01").cast("date"),
+            (col("s_suppkey") % 1000).cast("int")), "M/d/yyyy"))
+          .when(col("s_suppkey") % 3 === 1,
+            date_format(date_add(lit("1995-01-01").cast("date"),
+              (col("s_suppkey") % 1000).cast("int")), "yyyy/M/d"))
+          .otherwise(
+            date_format(date_add(lit("1995-01-01").cast("date"),
+              (col("s_suppkey") % 1000).cast("int")), "yyyy-MM-dd"))
+          .as("date_mixed_fmt"),
+        when(col("s_suppkey") % 2 === 0, col("s_suppkey").cast("string"))
+          .otherwise(col("s_acctbal").cast("decimal(12,2)").cast("string"))
+          .as("mixed_col"),
+        when(col("s_suppkey") % 4 === 0, lit("NULL"))
+          .when(col("s_suppkey") % 4 === 1, lit("\\N"))
+          .when(col("s_suppkey") % 4 === 2, lit("None"))
+          .otherwise(lit("")).as("null_col"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = SchemaInference.inferSchema(s, dir + "/*.csv")
+    schema.fields.toSeq
+      .map(f => (f.name, f.dataType.typeName))
+      .toDF("column_name", "inferred_type")
+      .orderBy("column_name")
+  }
+
+  /** S11/S12/S13/S14 — CTAS, append-INSERT, view registration, SQL
+    * entry point: materialize a filtered slice, append a second, read
+    * back through a registered temp view with spark.sql. */
+  def s11CtasInsertView(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_ctas")
+    val ord = Tables.orders(s, d)
+    ord.filter(col("o_orderstatus") === "F")
+      .write.mode("overwrite").parquet(dir)           // CTAS
+    ord.filter(col("o_orderstatus") === "O")
+      .write.mode("append").parquet(dir)              // INSERT INTO … SELECT
+    s.read.parquet(dir).createOrReplaceTempView("graft_ctas_orders") // VIEW
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM graft_ctas_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+}

@@ -28,6 +28,10 @@ object SparkEntry {
     "j3_knn_nearest"    -> (CoreQueries.j3KnnNearest _),
     "p17_haversine"     -> (CoreQueries.p17Haversine _),
     "j2_crosstype_join" -> (CoreQueries.j2CrossTypeJoin _),
+    "s1_csv_roundtrip"  -> (SourceQueries.s1CsvRoundtrip _),
+    "s7_xml_shred"      -> (SourceQueries.s7XmlShred _),
+    "s9_schema_inference" -> (SourceQueries.s9SchemaInference _),
+    "s11_ctas_insert_view" -> (SourceQueries.s11CtasInsertView _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,5 +133,42 @@ object SparkEntry {
         |JOIN (SELECT CAST(n_nationkey AS VARCHAR) AS nation_code, n_name FROM nation) n
         |  ON CAST(c.c_nationkey AS VARCHAR) = n.nation_code
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "s1_csv_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_price,
+        | COUNT(l_shipdate) AS n_dates
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s7_xml_shred" ->
+      """SELECT transaction_id, supplier_id, invoice_number, transaction_date,
+        |       amount, is_finalized, xml_index
+        |FROM (
+        |  SELECT o_orderkey AS transaction_id, o_custkey AS supplier_id,
+        |   CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |        ELSE 'INV-' || CAST(o_orderkey AS VARCHAR) END AS invoice_number,
+        |   CAST(o_orderdate AS DATE) AS transaction_date,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+        |   (o_orderkey % 2 = 1) AS is_finalized,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % 200
+        |        ORDER BY o_orderkey) - 1 AS BIGINT) AS xml_index
+        |  FROM orders) t
+        |WHERE transaction_id % 97 <> 0
+        |ORDER BY transaction_id""".stripMargin,
+
+    "s9_schema_inference" ->
+      """SELECT * FROM (VALUES
+        | ('date_col','date'), ('date_mixed_fmt','date'), ('id_col','long'),
+        | ('mixed_col','double'), ('name_col','string'), ('null_col','string'),
+        | ('num_col','double')) AS t(column_name, inferred_type)
+        |ORDER BY column_name""".stripMargin,
+
+    "s11_ctas_insert_view" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('F','O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
