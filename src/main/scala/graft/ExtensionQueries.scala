@@ -1,0 +1,317 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventWindows
+
+/** LLM-training-data pipeline extension queries (BASELINE.json
+  * north-star: dedup, similarity search, multimodal columns, text
+  * analysis) over the `documents` / `embeddings` / `events` corpus
+  * tables. Naming: x* dedup/similarity, t* text analysis, m*
+  * multimodal, st* streaming-shared transforms.
+  *
+  * Cross-engine parity rules used throughout: vector math goes through
+  * exact DECIMAL(9,6) quantization (order-independent sums, identical
+  * in any engine), single double divisions are rounded to 6 dp, and
+  * every query ends in a deterministic ORDER BY.
+  */
+object ExtensionQueries {
+
+  /** Exact-decimal per-dimension table: (vec_id, i, v) with v =
+    * DECIMAL(9,6) quantized — the relational dot-product layout. */
+  private def expandDecimal(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("x").cast("double").cast("decimal(9,6)").as("v"))
+
+  // ------------------------------------------------------------ dedup
+
+  /** Exact dedup (hash aggregation, keep-min-id) over a corpus with
+    * synthesized duplicate rows. */
+  def x1DedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dup = docs.union(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.exactKeepFirst(dup, "text", "doc_id")
+      .select(col("doc_id_kept"), col("n_copies"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id_kept")
+  }
+
+  /** Exact word-3-gram Jaccard near-dup pairs (shingle posting join). */
+  def x2NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("ida", "idb")
+
+  /** MinHash(128)+LSH(32 bands × 4 rows) with exact verification. The
+    * oracle is the exact-Jaccard pair set: precision is exact (each
+    * candidate is re-verified), and at threshold 0.8 banding recall is
+    * 1-(1-0.8^4)^32 ≈ 1-5e-8, so the LSH path must reproduce the exact
+    * result. */
+  def x3MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .orderBy("ida", "idb")
+
+  /** SimHash(64) near-dups via 16-bit pigeonhole banding. xxhash64 has
+    * no DuckDB equivalent → rows-only check; parity with exact Jaccard
+    * is asserted in DedupSpec instead. */
+  def x4Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("ida", "idb")
+
+  // ------------------------------------------- similarity search
+
+  /** Brute-force cosine top-10 for 8 query vectors against the whole
+    * corpus, through the exact-decimal relational dot product. */
+  def x5AnnCosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = expandDecimal(Tables.embeddings(s, d))
+    annTopK(e, e.filter(col("vec_id") < 8), k = 10)
+  }
+
+  private def annTopK(e: DataFrame, seedRows: DataFrame, k: Int): DataFrame = {
+    val seeds = seedRows.select(col("vec_id").as("qa"), col("i").as("si"),
+      col("v").as("sv"))
+    val dots = broadcast(seeds)
+      .join(e, col("si") === col("i") && col("vec_id") =!= col("qa"))
+      .groupBy(col("qa"), col("vec_id").as("vb"))
+      .agg(sum(col("sv") * col("v")).as("dot"))
+    val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+    val scored = dots
+      .join(norms.toDF("na_id", "na"), col("qa") === col("na_id"))
+      .join(norms.toDF("nb_id", "nb"), col("vb") === col("nb_id"))
+      .select(col("qa").as("query_id"), col("vb").as("neighbor_id"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Embedding near-dup pairs: originals (vec_id<200) ∪ perturbed
+    * copies, all pairs with cosine ≥ 0.99 — exact decimal math. */
+  def x6EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+    val all = base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .union(copies)
+    val e = expandDecimal(all)
+    val a = e.toDF("ida", "ia", "va")
+    val b = e.toDF("idb", "ib", "vb")
+    val dots = a.join(b, col("ia") === col("ib") && col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(sum(col("va") * col("vb")).as("dot"))
+    val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+    dots
+      .join(norms.toDF("na_id", "na"), col("ida") === col("na_id"))
+      .join(norms.toDF("nb_id", "nb"), col("idb") === col("nb_id"))
+      .select(col("ida"), col("idb"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy("ida", "idb")
+  }
+
+  // ------------------------------------------------- text analysis
+
+  def t1TextStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        length(t).cast("bigint").as("n_chars_measured"),
+        TextAnalysis.wordCount(t).as("n_words"),
+        TextAnalysis.tokenCountBpeIsh(t).as("n_tokens"),
+        TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  def t2LangId(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.langId(t).as("lang_detected"),
+        TextAnalysis.langScore(t, "en").as("en_score"),
+        col("lang").as("lang_declared"))
+      .orderBy("doc_id")
+  }
+
+  def t3Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------- multimodal
+
+  /** Binary-payload plumbing: byte length, content hash, frame-sample
+    * count — the codec-independent part a real image/audio pipeline
+    * shares (decode itself is stubbed, see Multimodal). */
+  def m1MultimodalStub(s: SparkSession, d: String): DataFrame = {
+    val m = Multimodal.asMedia(Tables.documents(s, d), "text", "image/fake")
+    m.select(
+        col("doc_id"),
+        length(col("content")).cast("bigint").as("n_bytes"),
+        sha2(col("content"), 256).as("sha256_hex"),
+        size(Multimodal.sampleFrames(col("content"), 64, 16)).cast("bigint")
+          .as("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------- streaming
+
+  /** Tumbling-window stats — the transform shared verbatim with the
+    * Structured Streaming path (see EventWindows + StreamingSpec). */
+  def st1EventWindow(s: SparkSession, d: String): DataFrame =
+    EventWindows.tumblingStats(Tables.events(s, d))
+      .select(col("window_start").cast("string").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  // ======================================================== oracles
+
+  private val jaccardPairsSql =
+    """WITH words AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM documents)
+      |), sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2
+      |), sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT ida, idb, jaccard FROM (
+      |  SELECT ida, idb, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) AS jaccard
+      |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+      |             JOIN sizes sb ON sb.doc_id=idb) t
+      |WHERE jaccard >= %THRESH%
+      |ORDER BY ida, idb""".stripMargin
+
+  private val langScoreSql = {
+    def hits(w: String) =
+      s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
+    def score(ws: Seq[String]) = ws.map(hits).mkString("(", " + ", ")")
+    val en = score(Seq("the", "a", "of", "and"))
+    val fr = score(Seq("le", "la", "et", "les"))
+    val de = score(Seq("der", "die", "und", "das"))
+    val es = score(Seq("el", "los", "y", "una"))
+    s"SELECT doc_id, lang, text, $en AS s_en, $fr AS s_fr, $de AS s_de, $es AS s_es FROM documents"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id_kept, COUNT(*) AS n_copies,
+        |       md5(text) AS text_md5
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents) t
+        |GROUP BY text ORDER BY doc_id_kept""".stripMargin,
+
+    "x2_dedup_ngram_jaccard" -> jaccardPairsSql.replace("%THRESH%", "0.5"),
+
+    "x3_dedup_minhash_lsh" -> jaccardPairsSql.replace("%THRESH%", "0.8"),
+
+    "x5_ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) v FROM
+        |  (SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding,1) i
+        |   FROM embeddings)),
+        |seeds AS (SELECT * FROM e WHERE vec_id < 8),
+        |dots AS (SELECT s.vec_id qa, e.vec_id vb, SUM(s.v*e.v) dot
+        |  FROM seeds s JOIN e ON e.i = s.i AND e.vec_id <> s.vec_id GROUP BY 1,2),
+        |norms AS (SELECT vec_id, SUM(v*v) n2 FROM e GROUP BY 1),
+        |scored AS (SELECT qa AS query_id, vb AS neighbor_id,
+        |  ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id=qa JOIN norms nb ON nb.vec_id=vb)
+        |SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) rn FROM scored) t
+        |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "x6_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x + 0.001)
+        |  FROM embeddings WHERE vec_id < 200),
+        |e AS (SELECT vec_id, i, CAST(x AS DECIMAL(9,6)) v FROM
+        |  (SELECT vec_id, unnest(emb) x, generate_subscripts(emb,1) i FROM base)),
+        |dots AS (SELECT a.vec_id ida, b.vec_id idb, SUM(a.v*b.v) dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1,2),
+        |norms AS (SELECT vec_id, SUM(v*v) n2 FROM e GROUP BY 1)
+        |SELECT ida, idb, cos FROM (
+        |  SELECT ida, idb,
+        |    ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id=ida JOIN norms nb ON nb.vec_id=idb) t
+        |WHERE cos >= 0.99 ORDER BY ida, idb""".stripMargin,
+
+    "t1_text_stats" ->
+      s"""SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_measured,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        | CAST(len(regexp_extract_all(text,'${TextAnalysis.BpeIshPattern}')) AS BIGINT) AS n_tokens,
+        | ROUND(LEAST(len(string_split(text,' '))/100.0, 1.0) * 0.6 +
+        |   LEAST(((length(' '||text||' ')-length(replace(' '||text||' ',' the ','')))/5
+        |        + (length(' '||text||' ')-length(replace(' '||text||' ',' a ','')))/3
+        |        + (length(' '||text||' ')-length(replace(' '||text||' ',' of ','')))/4
+        |        + (length(' '||text||' ')-length(replace(' '||text||' ',' and ','')))/5)
+        |      / (len(string_split(text,' ')) + 1.0), 1.0) * 0.4, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_langid" ->
+      s"""WITH s AS ($langScoreSql)
+        |SELECT doc_id,
+        | CASE WHEN s_en > 0 AND s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en'
+        |      WHEN s_fr > 0 AND s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr'
+        |      WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
+        |      WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
+        |      ELSE 'und' END AS lang_detected,
+        | s_en AS en_score, lang AS lang_declared
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t3_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m1_multimodal_stub" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256_hex,
+        | CAST(GREATEST(CAST(FLOOR((octet_length(encode(text))-16)/64.0) AS BIGINT), 0) + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "st1_event_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_dedup_exact"         -> (x1DedupExact _),
+    "x2_dedup_ngram_jaccard" -> (x2NgramJaccard _),
+    "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
+    "x4_dedup_simhash"       -> (x4Simhash _),
+    "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),
+    "x6_embedding_neardup"   -> (x6EmbeddingNearDup _),
+    "t1_text_stats"          -> (t1TextStats _),
+    "t2_langid"              -> (t2LangId _),
+    "t3_fingerprint"         -> (t3Fingerprint _),
+    "m1_multimodal_stub"     -> (m1MultimodalStub _),
+    "st1_event_window"       -> (st1EventWindow _),
+  )
+}

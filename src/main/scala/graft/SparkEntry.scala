@@ -32,7 +32,7 @@ object SparkEntry {
     "s7_xml_shred"      -> (SourceQueries.s7XmlShred _),
     "s9_schema_inference" -> (SourceQueries.s9SchemaInference _),
     "s11_ctas_insert_view" -> (SourceQueries.s11CtasInsertView _),
-  )
+  ) ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -170,5 +170,5 @@ object SparkEntry {
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus IN ('F','O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-  )
+  ) ++ ExtensionQueries.oracles
 }

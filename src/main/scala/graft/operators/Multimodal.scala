@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as
+  * opaque `binary` columns with a typed metadata struct, plus
+  * feature-extraction / frame-sampling operators whose Spark-side
+  * shape (schema, partitioning, batch iteration) is real while the
+  * actual codec call is STUBBED — the image/audio libraries are not in
+  * this container, so decode is a clearly-marked deterministic fake.
+  *
+  * Scale notes: payloads stay as parquet binary (no base64 inflation);
+  * per-item work is map-only; [[decodeBatch]] shows the
+  * mapPartitions batch pattern (the Scala analog of mapInPandas) so a
+  * real codec would amortize model/codec init per partition, not per
+  * row.
+  */
+object Multimodal {
+
+  val MetadataSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Wrap a string column as a binary payload + metadata struct — the
+    * ingestion boundary where real pipelines read image bytes. */
+  def asMedia(df: DataFrame, payloadCol: String, mediaType: String): DataFrame =
+    df.withColumn("content", col(payloadCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit(mediaType).as("media_type"),
+        pmod(xxhash64(col(payloadCol)), lit(1920)).cast("int").as("width"),
+        pmod(xxhash64(lit(1), col(payloadCol)), lit(1080)).cast("int").as("height"),
+        (length(col(payloadCol)) * 40L).cast("bigint").as("duration_ms")))
+
+  /** STUB decode — deterministic fake features in place of a codec.
+    * A real deployment replaces the body with e.g. a JNI/FFI image
+    * decode; the signature (binary → fixed-width float vector) and the
+    * column-level contract are what the engine guarantees. */
+  def decodeFeaturesStub(content: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(i, content), lit(1000)).cast("double") / lit(1000.0)))
+
+  /** Frame sampling: every `stride` bytes, cut a `frameLen`-byte slice —
+    * the video-keyframe access pattern over an opaque payload. */
+  def sampleFrames(content: Column, stride: Int, frameLen: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest(floor((length(content) - lit(frameLen)).cast("double") / lit(stride))
+          .cast("int"), lit(0))),
+      i => substring(content, (i * stride + 1).cast("int"), lit(frameLen)))
+
+  /** Batch decode via mapPartitions — the Scala analog of a Pandas UDF
+    * over mapInPandas: codec/model state would be initialized once per
+    * partition (`???` marks where the real library call goes; the
+    * deterministic fallback keeps the plumbing testable). */
+  def decodeBatch(df: DataFrame, contentCol: String, useRealCodec: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(df.schema.fields :+
+      StructField("decoded_len", LongType))
+    val rdd = df.rdd.mapPartitions { rows =>
+      // per-partition init happens here (codec handle, model weights…)
+      if (useRealCodec) ??? // real image/audio decoder: not in container
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentCol)
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) 0L else bytes.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

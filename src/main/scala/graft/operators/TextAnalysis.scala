@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (BASELINE.json north-star extensions): tokenization, shingling,
+  * quality stats, n-gram-heuristic language ID, fingerprinting. All are
+  * pure Column expressions over built-ins — codegen'd, shuffle-free,
+  * and therefore linear-scan scalable: at 100 TB these run as map-only
+  * stages fused into the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (split on single space, the corpus' delimiter). */
+  def words(text: Column): Column = split(text, " ")
+
+  def wordCount(text: Column): Column = size(words(text)).cast("bigint")
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks — a cheap proxy for subword tokenizer load
+    * factors. ASCII classes only so regex dialects agree. */
+  val BpeIshPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def tokenCountBpeIsh(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeIshPattern), lit(0))).cast("bigint")
+
+  /** Distinct word n-gram shingles (dedup/similarity input). Documents
+    * shorter than n words yield an empty set. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Count non-overlapping occurrences of ` word ` in the padded text —
+    * the classic length-delta trick, identical across engines. */
+  def paddedHits(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val pat = s" $word "
+    (length(padded) - length(call_function("replace", padded, lit(pat)))) /
+      lit(pat.length)
+  }
+
+  /** Stopword-profile language scores. Heuristic n-gram language ID:
+    * score each language by its stopword hit count, pick the argmax
+    * with a fixed precedence tie-break. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "y", "una"))
+
+  def langScore(text: Column, lang: String): Column =
+    LangProfiles.toMap.apply(lang)
+      .map(w => paddedHits(text, w)).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (l, _) => l -> langScore(text, l) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc > 0 && sc === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: length factor + stopword density, the
+    * shape of heuristic doc-quality filters. Deterministic double math
+    * (single divisions), rounded for cross-engine stability. */
+  def qualityScore(text: Column): Column = {
+    val n = wordCount(text)
+    val lengthFactor = least(n.cast("double") / lit(100.0), lit(1.0))
+    val stopDensity =
+      least(langScore(text, "en").cast("double") / (n.cast("double") + lit(1.0)),
+        lit(1.0))
+    round(lengthFactor * lit(0.6) + stopDensity * lit(0.4), 6)
+  }
+
+  /** Normalized-text MD5 fingerprint (stable content address). */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit content hash for cheap exact-dup bucketing at scale (not
+    * portable across engines — use fingerprintMd5 for differential
+    * comparisons). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different words about spark query engines at scale"),
+    (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exactKeepFirst keeps min id and counts copies") {
+    val out = Dedup.exactKeepFirst(docs, "text", "doc_id")
+      .orderBy("doc_id_kept").collect()
+    assert(out.length === 4)
+    assert(out(0).getAs[Long]("doc_id_kept") === 1L)
+    assert(out(0).getAs[Long]("n_copies") === 2L)
+  }
+
+  test("ngramJaccardPairs finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs(0)._3 === 1.0) // identical text
+    assert(pairs(1)._3 > 0.5 && pairs(1)._3 < 1.0)
+    // tiny doc (<3 words) produces no shingles and no pairs: verified by absence
+  }
+
+  test("minhashLshPairs reproduces the exact jaccard pair set at its design threshold") {
+    // long docs, one-word edit → jaccard ≈ 0.85: inside LSH's (32×4) recall zone
+    val words = (0 until 40).map(i => s"w$i")
+    val longDocs = Seq(
+      (10L, words.mkString(" ")),
+      (11L, words.mkString(" ")),                                   // exact dup
+      (12L, words.updated(20, "CHANGED").mkString(" ")),            // near dup
+      (13L, (40 until 80).map(i => s"w$i").mkString(" "))           // unrelated
+    ).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(longDocs, "doc_id", "text", 3, 0.8)
+      .select("ida", "idb", "jaccard").orderBy("ida", "idb").collect().toSeq
+    val lsh = Dedup.minhashLshPairs(longDocs, "doc_id", "text", 3, 128, 32, 0.8)
+      .select("ida", "idb", "jaccard").orderBy("ida", "idb").collect().toSeq
+    assert(exact.length === 3) // (10,11) 1.0, (10,12) ~0.85, (11,12) ~0.85
+    assert(lsh === exact)
+    // below the design threshold LSH still never reports false positives
+    val lshLow = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactLow = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshLow.subsetOf(exactLow))
+  }
+
+  test("simhash: identical text → distance 0; banding finds all close pairs") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) <= 16) // near dup is close-ish
+    // pigeonhole completeness: every pair with hamming <= 3 is reported
+    val reported = Dedup.simhashNearDups(docs, "doc_id", "text", 3)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = sh.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b && ham(sh(a), sh(b)) <= 3
+    } yield (a, b)).toSet
+    assert(reported === want)
+  }
+}

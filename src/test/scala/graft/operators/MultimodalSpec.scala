@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.asMedia(
+    Seq((1L, "a" * 100), (2L, "xy"), (3L, "b" * 200))
+      .toDF("id", "payload"), "payload", "image/fake")
+
+  test("asMedia: binary content + typed metadata struct") {
+    val r = media.filter(col("id") === 1).head()
+    assert(r.getAs[Array[Byte]]("content").length === 100)
+    val meta = r.getAs[org.apache.spark.sql.Row]("media_meta")
+    assert(meta.getAs[String]("media_type") === "image/fake")
+    assert(meta.getAs[Int]("width") >= 0 && meta.getAs[Int]("width") < 1920)
+    assert(meta.getAs[Long]("duration_ms") === 4000L)
+  }
+
+  test("decodeFeaturesStub: fixed-width deterministic features") {
+    val f = media.select(
+      Multimodal.decodeFeaturesStub(col("content"), 8).as("f"))
+      .collect().map(_.getSeq[Double](0))
+    assert(f.forall(_.length === 8))
+    assert(f.forall(_.forall(v => v >= 0.0 && v < 1.0)))
+    // deterministic: same payload → same features
+    val again = media.select(
+      Multimodal.decodeFeaturesStub(col("content"), 8).as("f"))
+      .collect().map(_.getSeq[Double](0))
+    assert(f.toSeq === again.toSeq)
+  }
+
+  test("sampleFrames: stride slicing incl. short payloads") {
+    val frames = media.select(col("id"),
+        Multimodal.sampleFrames(col("content"), 64, 16).as("fr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1)).toMap
+    assert(frames(1L).length === 2)  // 100 bytes → offsets 0, 64
+    assert(frames(1L).head.length === 16)
+    assert(frames(2L).length === 1)  // shorter than a frame → 1 truncated
+    assert(frames(3L).length === 3)  // 200 bytes → 0, 64, 128
+  }
+
+  test("decodeBatch: mapPartitions plumbing appends decoded_len") {
+    val out = Multimodal.decodeBatch(media, "content")
+    assert(out.schema.fieldNames.contains("decoded_len"))
+    val lens = out.select("id", "decoded_len").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens === Map(1L -> 100L, 2L -> 2L, 3L -> 200L))
+  }
+}
