@@ -18,13 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) in double. */
+  /** dot(a,b) in double (higher-order-function formulation — portable
+    * but interpreted; prefer [[cosine]] for the hot path). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over `array<float>` via the native codegen'd
+    * [[graft.plans.CosineSimilarity]] expression (fused loop inside
+    * whole-stage codegen; the HOF variant below runs interpreted). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.CosineSimilarity(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
+  /** Interpreted HOF cosine — reference implementation for testing. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact brute-force cosine top-k: every query row against the whole
     * corpus. Queries are broadcast (small side); ranking tie-breaks on

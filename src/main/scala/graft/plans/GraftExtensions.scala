@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions installer: registers graft's native
+  * expressions as SQL functions, so `spark.sql("... cosine_sim(a,b)")`
+  * works in any session built with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (the (c)-tier extension mechanism; used by Verify/Bench/tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.graft.CosineSimilarity(children(0), children(1))))
+  }
+}
