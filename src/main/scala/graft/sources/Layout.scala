@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities — the storage-side levers that decide
+  * whether a 100 TB job shuffles or scans at all:
+  *
+  *  - [[writeBucketed]]: hash-bucket + sort a table by its join key so
+  *    later equi-joins/aggregations on that key are exchange-free
+  *    (co-located join: each task joins bucket i ⋈ bucket i directly).
+  *  - [[writeMonthPartitioned]]: the Spark-native version of the
+  *    reference's `yyyy/mm/` stage layout (BlueForty.py:64-71) —
+  *    partition values live in directory names, so a date-bounded query
+  *    prunes whole months at file-listing time (PartitionFilters in the
+  *    scan, no data read).
+  */
+object Layout {
+
+  /** Persist as a bucketed+sorted catalog table. `buckets` should be
+    * sized so each bucket is a few hundred MB at target scale. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Write partitioned by (yyyy, mm) derived from a date column. */
+  def writeMonthPartitioned(df: DataFrame, dateCol: String,
+      path: String): Unit =
+    df.withColumn("yyyy", year(col(dateCol).cast("date")))
+      .withColumn("mm", month(col(dateCol).cast("date")))
+      .write.mode("overwrite").partitionBy("yyyy", "mm").parquet(path)
+
+  /** Read back a month-partitioned dataset; filters on yyyy/mm prune
+    * directories before any file is opened. */
+  def readMonthPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
