@@ -29,15 +29,61 @@ object XmlShred {
   /** doc string → array of (child-element-name → concatenated text) for
     * each repeated element under the root, in document order. Missing
     * children are simply absent (getItem → NULL, matching XMLGET's NULL
-    * for a missing tag). */
-  private val shredToMaps = udf { (doc: String) =>
-    if (doc == null) Array.empty[Map[String, String]]
-    else {
-      val root = scala.xml.XML.loadString(doc)
-      root.child.collect { case e: scala.xml.Elem =>
-        e.child.collect { case c: scala.xml.Elem => c.label -> c.text }.toMap
-      }.toArray
+    * for a missing tag).
+    *
+    * Parsed with StAX (streaming pull parser): one pass, no DOM
+    * materialization — a DOM parse (scala.xml) allocates a node tree
+    * per document, which dominates shred time and bounds document size
+    * by heap; streaming keeps memory O(record) so multi-GB documents
+    * shred fine. Field text concatenates all descendant text in
+    * document order (XMLGET ':"$"' semantics for simple elements). */
+  private val xmlFactory = new ThreadLocal[javax.xml.stream.XMLInputFactory] {
+    override def initialValue(): javax.xml.stream.XMLInputFactory = {
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      f.setProperty(javax.xml.stream.XMLInputFactory.IS_COALESCING, true)
+      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      f
     }
+  }
+
+  private[sources] def shredDoc(doc: String): Array[Map[String, String]] = {
+    import javax.xml.stream.XMLStreamConstants._
+    val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val r = xmlFactory.get().createXMLStreamReader(new java.io.StringReader(doc))
+    try {
+      var depth = 0
+      var record: scala.collection.mutable.Map[String, String] = null
+      var fieldName: String = null
+      var fieldText: java.lang.StringBuilder = null
+      while (r.hasNext) {
+        r.next() match {
+          case START_ELEMENT =>
+            depth += 1
+            if (depth == 2) record = scala.collection.mutable.Map.empty
+            else if (depth == 3) {
+              fieldName = r.getLocalName
+              fieldText = new java.lang.StringBuilder
+            }
+          case CHARACTERS | CDATA =>
+            if (depth >= 3 && fieldText != null) fieldText.append(r.getText)
+          case END_ELEMENT =>
+            if (depth == 3 && record != null) {
+              record.put(fieldName, fieldText.toString)
+              fieldName = null; fieldText = null
+            } else if (depth == 2 && record != null) {
+              out += record.toMap
+              record = null
+            }
+            depth -= 1
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    out.toArray
+  }
+
+  private val shredToMaps = udf { (doc: String) =>
+    if (doc == null) Array.empty[Map[String, String]] else shredDoc(doc)
   }
 
   /** Explode a raw-doc DataFrame: one output row per repeated root-child
