@@ -151,6 +151,19 @@ object ExtensionQueries {
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
       .orderBy("doc_id")
 
+  /** JSON metadata extraction from the events props column — schemaful
+    * (from_json struct) and path-based (get_json_object) access, then a
+    * grouped rollup. The JSON parse is codegen'd and map-only. */
+  def t4JsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k2"))
+      .filter(col("k") === col("k2")) // both access paths agree
+      .groupBy((col("k") % 10).as("k_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket", "event_type")
+
   // ---------------------------------------------------- multimodal
 
   /** Binary-payload plumbing: byte length, content hash, frame-sample
@@ -294,6 +307,16 @@ object ExtensionQueries {
         | CAST(GREATEST(CAST(FLOOR((octet_length(encode(text))-16)/64.0) AS BIGINT), 0) + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t4_json_props" ->
+      """SELECT k_bucket, event_type, COUNT(*) AS n,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k FROM (
+        | SELECT event_type,
+        |   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |   CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        | FROM events) t
+        |GROUP BY k_bucket, event_type
+        |ORDER BY k_bucket, event_type""".stripMargin,
+
     "st1_event_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
         | event_type, COUNT(*) AS n,
@@ -311,6 +334,7 @@ object ExtensionQueries {
     "t1_text_stats"          -> (t1TextStats _),
     "t2_langid"              -> (t2LangId _),
     "t3_fingerprint"         -> (t3Fingerprint _),
+    "t4_json_props"          -> (t4JsonProps _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "st1_event_window"       -> (st1EventWindow _),
   )

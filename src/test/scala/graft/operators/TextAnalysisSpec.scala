@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import TextAnalysis._
+  import spark.implicits._
+
+  test("wordShingles: distinct n-grams, short docs empty") {
+    val out = Seq("a b c d", "a b c a b c", "x y").toDF("t")
+      .select(wordShingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(out(0).toSet === Set("a b c", "b c d"))
+    assert(out(1).toSet === Set("a b c", "b c a", "c a b")) // distinct
+    assert(out(2).isEmpty)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val out = Seq("the quick-brown fox 42 !").toDF("t")
+      .select(wordCount(col("t")), tokenCountBpeIsh(col("t"))).head()
+    assert(out.getLong(0) === 5)     // whitespace tokens
+    assert(out.getLong(1) === 7)     // the,quick,-,brown,fox,42,!
+  }
+
+  test("paddedHits counts word occurrences, not substrings") {
+    val out = Seq("the theme of the day").toDF("t")
+      .select(paddedHits(col("t"), "the")).head()
+    assert(out.getDouble(0) === 2.0) // 'theme' does not count
+  }
+
+  test("langId picks dominant stopword profile with precedence tiebreak") {
+    val out = Seq(
+      "the cat and the dog of a house",   // en
+      "le chat et la maison et les toits", // fr
+      "der hund und die katze und das haus", // de
+      "qqq www zzz")                       // none -> und
+      .toDF("t").select(langId(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("en", "fr", "de", "und"))
+  }
+
+  test("fingerprints: whitespace-insensitive, case-insensitive") {
+    val out = Seq(("A  B\tC", "a b c"), ("x", "y")).toDF("p", "q")
+      .select(fingerprintMd5(col("p")) === fingerprintMd5(col("q")),
+        fingerprint64(col("p")) === fingerprint64(col("q"))).collect()
+    assert(out(0).getBoolean(0) && out(0).getBoolean(1))
+    assert(!out(1).getBoolean(0) && !out(1).getBoolean(1))
+  }
+
+  test("qualityScore in [0,1], increases with stopword density") {
+    val out = Seq(
+      "the of and a the of and a the of",
+      "zz yy xx ww vv uu tt ss rr qq")
+      .toDF("t").select(qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(out.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out(0) > out(1))
+  }
+}
