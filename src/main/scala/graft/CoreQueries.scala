@@ -188,6 +188,32 @@ object CoreQueries {
       .orderBy("s_suppkey", "station_id")
   }
 
+  /** W1-scale — the same top-1-per-key result as [[w1Top1PerKey]] but
+    * through the min_by/max_by aggregate (TopPerKey.minByTop1): no
+    * per-group sort, partial map-side aggregation — the formulation
+    * that survives a 100× scale-up. Shares w1's oracle SQL. */
+  def w2MinByTop1(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    graft.operators.TopPerKey.minByTop1(li, Seq("l_orderkey"),
+        struct((-col("l_extendedprice")).as("p"), col("l_linenumber").as("l")))
+      .orderBy("l_orderkey")
+  }
+
+  /** J4-scale — salted-join variant of an equi join on a heavy-tailed
+    * key (events.user_id ⋈ customer): Skew.saltedJoin spreads each hot
+    * key over 8 reducers; result must equal the plain join (the oracle
+    * computes the plain join). */
+  def j6SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    graft.operators.Skew.saltedJoin(ev, cust, "user_id", factor = 8)
+      .select(col("event_id"), col("user_id"), col("c_name"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** J2 — cross-type single-key equi join (VARCHAR ⋈ inferred numeric,
     * BlueForty.py:431-432): the string side is cast at the boundary. */
   def j2CrossTypeJoin(s: SparkSession, d: String): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.streaming.EventWindows
+import graft.streaming.{EventSessions, EventWindows}
 
 /** LLM-training-data pipeline extension queries (BASELINE.json
   * north-star: dedup, similarity search, multimodal columns, text
@@ -190,6 +190,12 @@ object ExtensionQueries {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Gap-based sessionization (12h gap) — batch window formulation;
+    * the flatMapGroupsWithState streaming path produces the same
+    * sessions (EventSessionsSpec). */
+  def st2Sessionize(s: SparkSession, d: String): DataFrame =
+    EventSessions.sessionizeBatch(Tables.events(s, d), gapMinutes = 720)
+
   // ======================================================== oracles
 
   private val jaccardPairsSql =
@@ -317,6 +323,21 @@ object ExtensionQueries {
         |GROUP BY k_bucket, event_type
         |ORDER BY k_bucket, event_type""".stripMargin,
 
+    "st2_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                       OR us - lag(us) OVER w > 43200000000 THEN 1
+        |                     ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+        | COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
     "st1_event_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
         | event_type, COUNT(*) AS n,
@@ -337,5 +358,6 @@ object ExtensionQueries {
     "t4_json_props"          -> (t4JsonProps _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "st1_event_window"       -> (st1EventWindow _),
+    "st2_sessionize"         -> (st2Sessionize _),
   )
 }

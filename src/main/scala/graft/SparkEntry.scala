@@ -21,6 +21,8 @@ object SparkEntry {
     "a1_po_totals"      -> (CoreQueries.a1PoTotals _),
     "j1_reconciliation" -> (CoreQueries.j1Reconciliation _),
     "w1_top1_per_key"   -> (CoreQueries.w1Top1PerKey _),
+    "w2_minby_top1"     -> (CoreQueries.w2MinByTop1 _),
+    "j6_salted_join"    -> (CoreQueries.j6SaltedJoin _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "j5_threeway_2key"  -> (CoreQueries.j5ThreeWayTwoKey _),
     "p14_zip_normalize" -> (CoreQueries.p14ZipNormalize _),
@@ -62,6 +64,18 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey
         |    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
         | FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "w2_minby_top1" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        | FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "j6_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
 
     "a3_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
