@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class CsvIngestSpec extends SparkTestBase {
+
+  test("stageSubdir: yyyy-mm, yyyy_mm, misc fallback, 1-digit month") {
+    assert(CsvIngest.stageSubdir("purchases_2013-01.csv") === "2013/01")
+    assert(CsvIngest.stageSubdir("po_2020_7_extra.csv") === "2020/07")
+    assert(CsvIngest.stageSubdir("nodate.csv") === "misc/00")
+    assert(CsvIngest.stageSubdir("199-12.csv") === "misc/00") // not 20xx
+  }
+
+  test("readPositional: header skipped, positional addressing, null-likes") {
+    val dir = Files.createTempDirectory("graft_csvspec")
+    Files.writeString(dir.resolve("t.csv"),
+      """colA,colB,colC
+        |1,\N,ok
+        |2,NULL,"quoted, comma"
+        |3,N/A,
+        |""".stripMargin)
+    val df = CsvIngest.readPositional(spark, dir.toString + "/*.csv")
+    val rows = df.orderBy(CsvIngest.pos(1)).collect()
+    assert(rows.length === 3)                 // header not a data row
+    assert(rows.map(_.getString(1)).forall(_ == null))  // all null-likes
+    assert(rows(1).getString(2) === "quoted, comma")    // quote handling
+    assert(rows(2).isNullAt(2))                          // empty → null
+  }
+
+  test("row tolerance: ragged rows survive with nulls (ON_ERROR=CONTINUE analog)") {
+    val dir = Files.createTempDirectory("graft_csvrag")
+    Files.writeString(dir.resolve("t.csv"),
+      """a,b,c
+        |1,2,3
+        |only-one-field
+        |4,5,6,EXTRA-FIELD
+        |""".stripMargin)
+    val df = CsvIngest.readPositional(spark, dir.toString + "/*.csv")
+    val rows = df.orderBy(CsvIngest.pos(1)).collect()
+    // permissive mode: short rows padded with null, long rows truncated —
+    // the job never fails (row-level tolerance, distributed)
+    assert(rows.length === 3)
+    assert(rows.find(_.getString(0) == "only-one-field").get.isNullAt(1))
+    assert(rows.find(_.getString(0) == "4").get.getString(2) === "6")
+  }
+
+  test("per-file headers are skipped across a multi-file glob") {
+    val dir = Files.createTempDirectory("graft_csvmulti")
+    Files.writeString(dir.resolve("a.csv"), "h1,h2\n1,x\n")
+    Files.writeString(dir.resolve("b.csv"), "h1,h2\n2,y\n")
+    val df = CsvIngest.readPositional(spark, dir.toString + "/*.csv")
+    assert(df.count() === 2)
+    assert(df.filter(CsvIngest.pos(1) === "h1").count() === 0)
+  }
+}
