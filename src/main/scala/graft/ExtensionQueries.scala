@@ -21,10 +21,15 @@ object ExtensionQueries {
 
   /** Exact-decimal per-dimension table: (vec_id, i, v) with v =
     * DECIMAL(9,6) quantized — the relational dot-product layout. */
-  private def expandDecimal(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+  private def expandDecimal(df: DataFrame): DataFrame = {
+    // tiny single-row-group parquet scans as 1 task: fan the vectors
+    // out before the per-dimension explode (no-op on wide scans)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val wide = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    wide.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("vec_id"), (col("i0") + 1).as("i"),
         col("x").cast("double").cast("decimal(9,6)").as("v"))
+  }
 
   // ------------------------------------------------------------ dedup
 

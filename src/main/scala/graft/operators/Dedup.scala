@@ -22,6 +22,16 @@ import TextAnalysis.wordShingles
   */
 object Dedup {
 
+  /** Fan out a narrow source to cluster parallelism: a small parquet
+    * file scans as one task (row-group granularity), which would run
+    * the whole shingle/hash pipeline on one core. One cheap round-robin
+    * shuffle of the raw rows unlocks every downstream map stage; a
+    * no-op when the scan is already wide (the 100 TB case). */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: keep the smallest id per key, count copies.
     * Deterministic (unlike dropDuplicates' arbitrary winner). */
   def exactKeepFirst(df: DataFrame, keyCol: String, idCol: String): DataFrame =
@@ -35,7 +45,8 @@ object Dedup {
     * ~|postings|²/2⁶⁴ — immeasurable against any Jaccard threshold),
     * and carrying `_n` here makes the final sizes join unnecessary. */
   private def postingsHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("_id"), wordShingles(col(textCol), n).as("_set"))
+    ensureParallelism(df)
+      .select(col(idCol).as("_id"), wordShingles(col(textCol), n).as("_set"))
       .select(col("_id"), size(col("_set")).as("_n"),
         explode(transform(col("_set"), s => xxhash64(s))).as("_sh"))
 
@@ -118,7 +129,7 @@ object Dedup {
       .select("ida", "idb").distinct()
     // Exact verification on candidates only: recompute Jaccard from the
     // (small) per-doc shingle sets carried alongside.
-    val sets = df.select(col(idCol).as("_vid"),
+    val sets = ensureParallelism(df).select(col(idCol).as("_vid"),
       wordShingles(col(textCol), n).as("_set"))
     cand
       .join(sets.toDF("va", "set_a"), col("ida") === col("va"))
@@ -134,8 +145,9 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
     * token hashes, computed as 64 conditional sums in one aggregation. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("_id"),
-      explode(TextAnalysis.words(col(textCol))).as("_tok"))
+    val toks = ensureParallelism(df)
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.words(col(textCol))).as("_tok"))
       .withColumn("_h", xxhash64(col("_tok")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1)
