@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * shuffles the corpus). The LSH variant buckets the corpus once
   * (map-only), so each query only meets its bucket's candidates —
   * the standard recall/cost trade; both share the same rerank code.
-  * All math uses built-in higher-order functions (zip_with/aggregate),
-  * staying codegen-adjacent with zero UDF serialization cost.
+  * The hot-path cosine is a native codegen'd Catalyst expression
+  * (org.apache.spark.sql.graft.CosineSimilarity); bucketing and the
+  * reference dot/norm helpers use built-in higher-order functions.
   */
 object Similarity {
 
