@@ -138,6 +138,38 @@ object SourceQueries {
       .orderBy("column_name")
   }
 
+  /** S15 (extension) — JSONL roundtrip: the interchange format of LLM
+    * data pipelines. Write documents as JSON-lines, read back with an
+    * explicit schema in PERMISSIVE mode (malformed lines null out, the
+    * ON_ERROR='CONTINUE' posture), aggregate per language. */
+  def s15JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_jsonl_rt")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .write.mode("overwrite").json(dir)
+    val back = s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("mode", "PERMISSIVE")
+      .json(dir)
+    back.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        max(length(col("text"))).cast("bigint").as("max_len"))
+      .orderBy("lang")
+  }
+
+  /** S16 (extension) — ORC roundtrip: second columnar format, same
+    * write→read→aggregate proof shape as the parquet/CSV paths. */
+  def s16OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("graft_orc_rt")
+    Tables.documents(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** S11/S12/S13/S14 — CTAS, append-INSERT, view registration, SQL
     * entry point: materialize a filtered slice, append a second, read
     * back through a registered temp view with spark.sql. */

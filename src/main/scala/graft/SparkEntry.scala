@@ -34,6 +34,8 @@ object SparkEntry {
     "s7_xml_shred"      -> (SourceQueries.s7XmlShred _),
     "s9_schema_inference" -> (SourceQueries.s9SchemaInference _),
     "s11_ctas_insert_view" -> (SourceQueries.s11CtasInsertView _),
+    "s15_jsonl_roundtrip" -> (SourceQueries.s15JsonlRoundtrip _),
+    "s16_orc_roundtrip"   -> (SourceQueries.s16OrcRoundtrip _),
   ) ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,6 +180,17 @@ object SparkEntry {
         | ('mixed_col','double'), ('name_col','string'), ('null_col','string'),
         | ('num_col','double')) AS t(column_name, inferred_type)
         |ORDER BY column_name""".stripMargin,
+
+    "s15_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "s16_orc_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "s11_ctas_insert_view" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

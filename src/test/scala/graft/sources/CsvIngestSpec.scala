@@ -47,6 +47,16 @@ class CsvIngestSpec extends SparkTestBase {
     assert(rows.find(_.getString(0) == "4").get.getString(2) === "6")
   }
 
+  test("gzip-compressed CSV reads transparently (AUTO_COMPRESS analog)") {
+    val dir = Files.createTempDirectory("graft_csvgz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("t.csv.gz")))
+    gz.write("h1,h2\n1,a\n2,b\n".getBytes("UTF-8")); gz.close()
+    val df = CsvIngest.readPositional(spark, dir.toString + "/*.csv.gz")
+    assert(df.count() === 2)
+    assert(df.orderBy(CsvIngest.pos(1)).collect()(1).getString(1) === "b")
+  }
+
   test("per-file headers are skipped across a multi-file glob") {
     val dir = Files.createTempDirectory("graft_csvmulti")
     Files.writeString(dir.resolve("a.csv"), "h1,h2\n1,x\n")
