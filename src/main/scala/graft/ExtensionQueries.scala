@@ -145,6 +145,7 @@ object ExtensionQueries {
     Tables.documents(s, d).select(
         col("doc_id"),
         TextAnalysis.langId(t).as("lang_detected"),
+        TextAnalysis.langIdCharNgram(t).as("lang_detected_ngram"),
         TextAnalysis.langScore(t, "en").as("en_score"),
         col("lang").as("lang_declared"))
       .orderBy("doc_id")
@@ -181,7 +182,9 @@ object ExtensionQueries {
         length(col("content")).cast("bigint").as("n_bytes"),
         sha2(col("content"), 256).as("sha256_hex"),
         size(Multimodal.sampleFrames(col("content"), 64, 16)).cast("bigint")
-          .as("n_frames"))
+          .as("n_frames"),
+        length(Multimodal.resizeStub(256)(col("content"))).cast("bigint")
+          .as("n_resized_bytes"))
       .orderBy("doc_id")
   }
 
@@ -229,11 +232,19 @@ object ExtensionQueries {
     def hits(w: String) =
       s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
     def score(ws: Seq[String]) = ws.map(hits).mkString("(", " + ", ")")
+    def nhits(g: String) =
+      s"(length(text) - length(replace(text,'$g','')))/${g.length}"
+    def nscore(lang: String) = TextAnalysis.CharNgramProfiles.toMap
+      .apply(lang).map(nhits).mkString("(", " + ", ")")
     val en = score(Seq("the", "a", "of", "and"))
     val fr = score(Seq("le", "la", "et", "les"))
     val de = score(Seq("der", "die", "und", "das"))
     val es = score(Seq("el", "los", "y", "una"))
-    s"SELECT doc_id, lang, text, $en AS s_en, $fr AS s_fr, $de AS s_de, $es AS s_es FROM documents"
+    s"""SELECT doc_id, lang, text,
+       | $en AS s_en, $fr AS s_fr, $de AS s_de, $es AS s_es,
+       | ${nscore("en")} AS g_en, ${nscore("fr")} AS g_fr,
+       | ${nscore("de")} AS g_de, ${nscore("es")} AS g_es
+       |FROM documents""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -303,6 +314,11 @@ object ExtensionQueries {
         |      WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
         |      WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
         |      ELSE 'und' END AS lang_detected,
+        | CASE WHEN g_en > 0 AND g_en = GREATEST(g_en,g_fr,g_de,g_es) THEN 'en'
+        |      WHEN g_fr > 0 AND g_fr = GREATEST(g_en,g_fr,g_de,g_es) THEN 'fr'
+        |      WHEN g_de > 0 AND g_de = GREATEST(g_en,g_fr,g_de,g_es) THEN 'de'
+        |      WHEN g_es > 0 AND g_es = GREATEST(g_en,g_fr,g_de,g_es) THEN 'es'
+        |      ELSE 'und' END AS lang_detected_ngram,
         | s_en AS en_score, lang AS lang_declared
         |FROM s ORDER BY doc_id""".stripMargin,
 
@@ -315,7 +331,8 @@ object ExtensionQueries {
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha256_hex,
-        | CAST(GREATEST(CAST(FLOOR((octet_length(encode(text))-16)/64.0) AS BIGINT), 0) + 1 AS BIGINT) AS n_frames
+        | CAST(GREATEST(CAST(FLOOR((octet_length(encode(text))-16)/64.0) AS BIGINT), 0) + 1 AS BIGINT) AS n_frames,
+        | CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT) AS n_resized_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t4_json_props" ->

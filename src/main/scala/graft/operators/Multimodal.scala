@@ -43,6 +43,20 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)), i =>
       (pmod(xxhash64(i, content), lit(1000)).cast("double") / lit(1000.0)))
 
+  /** STUB resize: deterministic stride-downsample of the payload to at
+    * most `targetBytes` (a real deployment decodes, resamples pixels,
+    * re-encodes — the contract here is binary → smaller binary with a
+    * bounded size, which is what downstream batching relies on). */
+  def resizeStub(targetBytes: Int) =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else if (bytes.length <= targetBytes) bytes
+      else {
+        val stride = bytes.length.toDouble / targetBytes
+        Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
+      }
+    }
+
   /** Frame sampling: every `stride` bytes, cut a `frameLen`-byte slice —
     * the video-keyframe access pattern over an opaque payload. */
   def sampleFrames(content: Column, stride: Int, frameLen: Int): Column =

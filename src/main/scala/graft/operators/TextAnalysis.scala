@@ -65,6 +65,36 @@ object TextAnalysis {
     }
   }
 
+  /** Count non-overlapping occurrences of an arbitrary substring —
+    * length-delta trick without word padding (for char n-grams). */
+  def substringHits(text: Column, s: String): Column =
+    (length(text) - length(call_function("replace", text, lit(s)))) /
+      lit(s.length)
+
+  /** Character-bigram/trigram profiles per language — the classic
+    * n-gram language-ID heuristic (cheap, whole-text, no tokenizer). */
+  val CharNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ing", " a "),
+    "fr" -> Seq("le", "ou", "ait", " de "),
+    "de" -> Seq("ch", "ei", "sch", " der "),
+    "es" -> Seq("os", "ua", "ción", " el "))
+
+  def charNgramScore(text: Column, lang: String): Column =
+    CharNgramProfiles.toMap.apply(lang)
+      .map(g => substringHits(text, g)).reduce(_ + _)
+
+  /** Argmax over char-n-gram profiles, fixed precedence tie-break;
+    * "und" when no profile matches at all. */
+  def langIdCharNgram(text: Column): Column = {
+    val scores = CharNgramProfiles.map { case (l, _) =>
+      l -> charNgramScore(text, l)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc > 0 && sc === best, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Quality score in [0,1]: length factor + stopword density, the
     * shape of heuristic doc-quality filters. Deterministic double math
     * (single divisions), rounded for cross-engine stability. */

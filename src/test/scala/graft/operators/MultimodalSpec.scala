@@ -42,6 +42,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(3L).length === 3)  // 200 bytes → 0, 64, 128
   }
 
+  test("resizeStub: bounded output, identity under target, deterministic") {
+    val out = media.select(col("id"),
+        Multimodal.resizeStub(64)(col("content")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("r")).toMap
+    assert(out(1L).length === 64)   // 100 bytes → downsampled to 64
+    assert(out(2L).length === 2)    // already under target → unchanged
+    assert(out(3L).length === 64)
+    assert(out(1L).forall(_ == 'a'.toByte)) // sampled from the source bytes
+  }
+
   test("decodeBatch: mapPartitions plumbing appends decoded_len") {
     val out = Multimodal.decodeBatch(media, "content")
     assert(out.schema.fieldNames.contains("decoded_len"))

@@ -38,6 +38,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.toSeq === Seq("en", "fr", "de", "und"))
   }
 
+  test("langIdCharNgram: char-profile argmax, substring hits exact") {
+    val hits = Seq("think the thing").toDF("t")
+      .select(substringHits(col("t"), "th")).head().getDouble(0)
+    assert(hits === 3.0)
+    val out = Seq(
+      "the thing he thought was thin",   // th/he heavy → en
+      "schnell der rauch der eiche",     // sch/ei/ der → de
+      "1234 5678")                       // nothing → und
+      .toDF("t").select(langIdCharNgram(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("en", "de", "und"))
+  }
+
   test("fingerprints: whitespace-insensitive, case-insensitive") {
     val out = Seq(("A  B\tC", "a b c"), ("x", "y")).toDF("p", "q")
       .select(fingerprintMd5(col("p")) === fingerprintMd5(col("q")),
