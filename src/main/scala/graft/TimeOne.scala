@@ -13,9 +13,19 @@ object TimeOne {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 20x-replicated documents (ids offset per copy) — stress input
+    // approximating the next scale factor up
+    def docs20x = {
+      import org.apache.spark.sql.functions._
+      val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+      (0 until 20).map(k => d.select((col("doc_id") + k * 10000000L).as("doc_id"),
+        col("text"))).reduce(_ union _)
+    }
     def dfFor(n: String) = n match {
       case "sig128" => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 128)
       case "sig64"  => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 64)
+      case "x2stress" => operators.Dedup.ngramJaccardPairs(docs20x, "doc_id", "text", 3, 0.8, maxDocFreq = Some(1000))
+      case "x3stress" => operators.Dedup.minhashLshPairs(docs20x, "doc_id", "text", 3, 128, 32, 0.8)
       case other    => SparkEntry.queries(other)(spark, sfDir)
     }
     SparkEntry.queries("a1_po_totals")(spark, sfDir).write.format("noop").mode("overwrite").save()
