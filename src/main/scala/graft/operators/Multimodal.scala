@@ -66,6 +66,19 @@ object Multimodal {
           .cast("int"), lit(0))),
       i => substring(content, (i * stride + 1).cast("int"), lit(frameLen)))
 
+  /** Partition sizing for decode stages: media payloads are wildly
+    * variable-width, so row-count partitioning leaves some tasks with
+    * 10× the bytes. One cheap aggregate measures total payload bytes,
+    * then a round-robin repartition targets `targetBytes` per task —
+    * the knob that keeps codec stages balanced and spill-free. */
+  def repartitionByPayloadBytes(df: DataFrame, contentCol: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    val total = df.agg(sum(length(col(contentCol)).cast("bigint")))
+      .head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    df.repartition(parts)
+  }
+
   /** Batch decode via mapPartitions — the Scala analog of a Pandas UDF
     * over mapInPandas: codec/model state would be initialized once per
     * partition (`???` marks where the real library call goes; the

@@ -75,22 +75,30 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates limited to the query's LSH bucket,
-    * then exact cosine rerank. Multi-probe (probes>1) flips the lowest
-    * bits to widen recall. */
+  /** The Hamming-radius-1 probe set for a bucket code: itself plus
+    * every single-bit flip. A near-neighbor pair disagrees on a
+    * hyperplane only when the projection sits near zero, so radius-1
+    * probing recovers any pair that disagrees on at most one plane —
+    * the dominant miss mode. nPlanes+1 probes per row. */
+  private def probeRadius1(bucket: Column, nPlanes: Int): Column =
+    array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))).map(m =>
+      bucket.bitwiseXOR(m)): _*)
+
+  /** Approximate top-k: candidates limited to the query's LSH bucket
+    * (± one plane disagreement when multiProbe), exact cosine rerank. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nPlanes: Int = 12,
-      probes: Int = 2): DataFrame = {
+      multiProbe: Boolean = true): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
       lshBucket(col(vecCol), dim, nPlanes).as("_bucket"))
     val qb0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv"),
       lshBucket(col(vecCol), dim, nPlanes).as("_qbucket"))
-    // multi-probe: also look in buckets differing in one low bit
     val qb = qb0.select(col("query_id"), col("_qv"),
-      explode(array((0 until probes).map(p =>
-        col("_qbucket").bitwiseXOR(lit(p.toLong))): _*)).as("_bucket"))
+      explode(
+        if (multiProbe) probeRadius1(col("_qbucket"), nPlanes)
+        else array(col("_qbucket"))).as("_bucket"))
       .distinct()
     val scored = broadcast(qb)
       .join(cb, Seq("_bucket"))
@@ -103,6 +111,29 @@ object Similarity {
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
+  }
+
+  /** Scale-path embedding near-dup: bucket by hyperplane signs
+    * (map-only), generate pairs only within buckets (±probes low-bit
+    * flips widen recall), rerank with exact cosine. Replaces the O(n²)
+    * cartesian with a bucket-key equi self-join. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nPlanes: Int = 12,
+      multiProbe: Boolean = true): DataFrame = {
+    val b0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      lshBucket(col(vecCol), dim, nPlanes).as("_b0"))
+    // probe one side at radius 1, keep the other exact: a pair whose
+    // codes differ in ≤1 bit meets exactly through the flipped probe
+    val probed = b0.select(col("_id"), col("_v"),
+      explode(
+        if (multiProbe) probeRadius1(col("_b0"), nPlanes)
+        else array(col("_b0"))).as("_bucket"))
+    val a = probed.toDF("ida", "va", "bucket")
+    val b = b0.toDF("idb", "vb", "bucket2")
+    a.join(b, col("bucket") === col("bucket2") && col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("ida", "idb").agg(first(col("cos")).as("cos"))
   }
 
   /** All pairs (a<b) with cosine ≥ threshold within `df` — embedding

@@ -52,6 +52,14 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1L).forall(_ == 'a'.toByte)) // sampled from the source bytes
   }
 
+  test("repartitionByPayloadBytes sizes tasks by bytes, not rows") {
+    val out = Multimodal.repartitionByPayloadBytes(media, "content",
+      targetBytes = 150L)
+    // total 302 bytes / 150-byte target → 3 partitions
+    assert(out.rdd.getNumPartitions === 3)
+    assert(out.count() === 3)
+  }
+
   test("decodeBatch: mapPartitions plumbing appends decoded_len") {
     val out = Multimodal.decodeBatch(media, "content")
     assert(out.schema.fieldNames.contains("decoded_len"))

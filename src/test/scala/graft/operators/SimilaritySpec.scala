@@ -43,12 +43,28 @@ class SimilaritySpec extends SparkTestBase {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshTopK(clustered, queries, "vec_id", "embedding",
-        dim = 8, k = 5, nPlanes = 6, probes = 2)
+        dim = 8, k = 5, nPlanes = 6)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // same-cluster neighbors share sign-buckets: recall should be high
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"lsh recall $recall too low; brute=$brute lsh=$lsh")
+  }
+
+  test("lshNearDupPairs: bucketed path recovers the exact near-dup pairs") {
+    // two tight clusters: near-dups share sign-buckets with certainty
+    val clustered = (0 until 16).map { i =>
+      val base = if (i < 8) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
+      base(i % 8) = base(i % 8) * 1.05f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(clustered, "vec_id", "embedding", 0.99)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(clustered, "vec_id", "embedding",
+        dim = 8, threshold = 0.99, nPlanes = 6)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact, s"lsh=$lsh exact=$exact")
   }
 
   test("cosineNearDupPairs finds only the close pair") {
