@@ -89,12 +89,10 @@ object Dedup {
           (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-  /** MinHash signatures, fully map-side: each shingle string is hashed
-    * ONCE to a long; the numHashes permutations re-hash that fixed
-    * 8-byte value (xxhash64 seeded by the permutation index) inside an
-    * array_min over the per-doc shingle array — so signatures need NO
-    * explode, NO shuffle, and stream through the scan stage. Docs with
-    * no shingles (< n words) are excluded (they have no MinHash). */
+  /** MinHash signatures: each shingle string is hashed ONCE to a long
+    * map-side; the numHashes permutations derive from that fixed
+    * 8-byte value inside [[graft.functions.MinHashAgg]]. Docs with no
+    * shingles (< n words) produce no signature. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128): DataFrame = {
     // One custom typed aggregate computes the whole k-wide signature
@@ -160,10 +158,12 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming (< 16):
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming:
     * pigeonhole on 4×16-bit chunks — any pair within distance 3 shares
     * at least one exact chunk, so candidates meet in a chunk-keyed
-    * shuffle instead of an all-pairs scan. */
+    * shuffle instead of an all-pairs scan. NOTE the banding is
+    * complete only for maxHamming ≤ 3; larger values still filter
+    * correctly but may miss pairs whose codes differ in all 4 chunks. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sh = simhash64(df, idCol, textCol)
