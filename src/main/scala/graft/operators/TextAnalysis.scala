@@ -116,4 +116,18 @@ object TextAnalysis {
     * comparisons). */
   def fingerprint64(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling-hash content fingerprints: hash every character k-gram
+    * (the rolling window), keep the distinct hashes ≡ 0 mod p — the
+    * classic "0 mod p" document sketch (MOSS-style). Sketch size is
+    * ~len/p regardless of edits; two documents' sketch overlap
+    * estimates their k-gram resemblance, and local edits only perturb
+    * the k-grams they touch. One array expression per row — no
+    * shuffle, no per-window recompute. */
+  def contentFingerprints(text: Column, k: Int = 8, p: Int = 4): Column = {
+    val grams = transform(
+      sequence(lit(0), greatest(length(text) - k, lit(0))),
+      i => xxhash64(substring(text, i + 1, lit(k))))
+    array_distinct(filter(grams, h => pmod(h, lit(p)) === 0))
+  }
 }

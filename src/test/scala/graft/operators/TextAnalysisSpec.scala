@@ -58,6 +58,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!out(1).getBoolean(0) && !out(1).getBoolean(1))
   }
 
+  test("contentFingerprints: edit-local sketch, resemblance ordering") {
+    val base = "the quick brown fox jumps over the lazy dog repeatedly today"
+    val near = base.replace("lazy", "hazy")     // one local edit
+    val far = "completely different content about distributed query engines"
+    val rows = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "t")
+      .select(col("id"), contentFingerprints(col("t")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(rows(1L) === rows(2L))               // identical text → same sketch
+    def resemblance(a: Set[Long], b: Set[Long]) =
+      if (a.isEmpty && b.isEmpty) 1.0
+      else (a intersect b).size.toDouble / (a union b).size
+    assert(resemblance(rows(1L), rows(3L)) > 0.5)  // local edit: high overlap
+    assert(resemblance(rows(1L), rows(3L)) > resemblance(rows(1L), rows(4L)))
+  }
+
   test("qualityScore in [0,1], increases with stopword density") {
     val out = Seq(
       "the of and a the of and a the of",
