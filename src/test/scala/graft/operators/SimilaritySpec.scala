@@ -51,6 +51,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"lsh recall $recall too low; brute=$brute lsh=$lsh")
   }
 
+  test("ivfTopK: probed k-means cells reach brute-force recall on clusters") {
+    val clustered = (0 until 40).map { i =>
+      val base = Array.fill(8)(if (i % 4 == 0) 1.0f else if (i % 4 == 1) -1.0f
+        else if (i % 4 == 2) 0.5f else -0.5f)
+      base(i % 8) = base(i % 8) + 0.05f * (i % 5)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(clustered, queries, "vec_id", "embedding",
+        k = 5, nLists = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ivf recall $recall; brute=$brute ivf=$ivf")
+  }
+
   test("lshNearDupPairs: bucketed path recovers the exact near-dup pairs") {
     // two tight clusters: near-dups share sign-buckets with certainty
     val clustered = (0 until 16).map { i =>
