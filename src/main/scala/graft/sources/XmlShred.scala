@@ -86,13 +86,29 @@ object XmlShred {
     if (doc == null) Array.empty[Map[String, String]] else shredDoc(doc)
   }
 
+  /** Malformed documents yield zero rows instead of failing the job —
+    * the ON_ERROR='CONTINUE' posture, per-document. */
+  private val shredToMapsPermissive = udf { (doc: String) =>
+    if (doc == null) Array.empty[Map[String, String]]
+    else try shredDoc(doc)
+    catch { case _: javax.xml.stream.XMLStreamException =>
+      Array.empty[Map[String, String]] }
+  }
+
   /** Explode a raw-doc DataFrame: one output row per repeated root-child
     * element, carrying all passthrough columns, `XML_INDEX` (0-based,
-    * like FLATTEN's t.index) and an `_xml` map for [[xmlGet]]. */
-  def explodeDocs(raw: DataFrame, docCol: String = "DOC"): DataFrame =
+    * like FLATTEN's t.index) and an `_xml` map for [[xmlGet]].
+    *
+    * `permissive=false` (default) aborts on malformed XML — matching
+    * the reference's ON_ERROR='ABORT_STATEMENT' for the XML COPY
+    * (BlueForty.py:176); permissive=true drops bad documents instead. */
+  def explodeDocs(raw: DataFrame, docCol: String = "DOC",
+      permissive: Boolean = false): DataFrame = {
+    val shred = if (permissive) shredToMapsPermissive else shredToMaps
     raw.select(
       (raw.columns.filter(_ != docCol).map(col).toSeq :+
-        posexplode(shredToMaps(col(docCol))).as(Seq("XML_INDEX", "_xml"))): _*)
+        posexplode(shred(col(docCol))).as(Seq("XML_INDEX", "_xml"))): _*)
+  }
 
   /** `XMLGET(t.value,'Tag'):"$"` equivalent over the exploded rows. */
   def xmlGet(tag: String): Column = col("_xml").getItem(tag)

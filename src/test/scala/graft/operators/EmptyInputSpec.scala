@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.streaming.EventSessions
+import org.apache.spark.sql.functions._
+
+/** Every operator must degrade to an empty (correctly-typed) result on
+  * empty input — the property that makes them safe to compose in
+  * pipelines where upstream filters may eliminate everything. */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup operators on empty input") {
+    assert(Dedup.exactKeepFirst(noDocs, "text", "doc_id").count() === 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text", 3, 0.5).count() === 0)
+    assert(Dedup.minhashLshPairs(noDocs, "doc_id", "text", 3, 128, 32, 0.5).count() === 0)
+    assert(Dedup.simhashNearDups(noDocs, "doc_id", "text", 3).count() === 0)
+  }
+
+  test("similarity operators on empty input") {
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, "vec_id", "embedding", 5)
+      .count() === 0)
+    assert(Similarity.cosineNearDupPairs(noVecs, "vec_id", "embedding", 0.9)
+      .count() === 0)
+    assert(Similarity.lshNearDupPairs(noVecs, "vec_id", "embedding", 8, 0.9, 6)
+      .count() === 0)
+  }
+
+  test("top-per-key and sessionization on empty input") {
+    val noLi = Seq.empty[(Long, Int, Double)]
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    assert(TopPerKey.rowNumberTopK(noLi, Seq("l_orderkey"),
+      Seq(col("l_extendedprice").desc)).count() === 0)
+    assert(TopPerKey.minByTop1(noLi, Seq("l_orderkey"),
+      col("l_extendedprice")).count() === 0)
+    val noEv = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(EventSessions.sessionizeBatch(noEv, 30).count() === 0)
+  }
+}
