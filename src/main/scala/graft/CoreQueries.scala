@@ -120,7 +120,7 @@ object CoreQueries {
     * (BlueForty.py:88-107). Inputs are strings derived from the corpus
     * so both engines parse identical text. */
   def p5TryCasts(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    val ev = Tables.wide(Tables.events(s, d))
     val asStr = ev.select(
       col("event_id"),
       col("value").cast("decimal(18,2)").cast("string").as("num_str"),

@@ -131,7 +131,7 @@ object ExtensionQueries {
 
   def t1TextStats(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).select(
+    Tables.wide(Tables.documents(s, d)).select(
         col("doc_id"),
         length(t).cast("bigint").as("n_chars_measured"),
         TextAnalysis.wordCount(t).as("n_words"),
@@ -142,7 +142,7 @@ object ExtensionQueries {
 
   def t2LangId(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).select(
+    Tables.wide(Tables.documents(s, d)).select(
         col("doc_id"),
         TextAnalysis.langId(t).as("lang_detected"),
         TextAnalysis.langIdCharNgram(t).as("lang_detected_ngram"),
@@ -152,7 +152,7 @@ object ExtensionQueries {
   }
 
   def t3Fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    Tables.wide(Tables.documents(s, d)).select(
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
       .orderBy("doc_id")
@@ -176,7 +176,7 @@ object ExtensionQueries {
     * count — the codec-independent part a real image/audio pipeline
     * shares (decode itself is stubbed, see Multimodal). */
   def m1MultimodalStub(s: SparkSession, d: String): DataFrame = {
-    val m = Multimodal.asMedia(Tables.documents(s, d), "text", "image/fake")
+    val m = Multimodal.asMedia(Tables.wide(Tables.documents(s, d)), "text", "image/fake")
     m.select(
         col("doc_id"),
         length(col("content")).cast("bigint").as("n_bytes"),

@@ -8,6 +8,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a narrow scan out to cluster parallelism before a map-heavy
+    * stage: the corpus files are single-row-group parquet (one task).
+    * No-op when the scan is already wide. */
+  def wide(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read nanos as raw long (runtime-settable
     * legacy conf) and truncate to microsecond TimestampType — the same

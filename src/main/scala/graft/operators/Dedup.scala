@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import TextAnalysis.wordShingles
+
 
 /** Deduplication operators for training-data pipelines: exact,
   * n-gram-Jaccard, MinHash+LSH, and SimHash near-dup detection.
@@ -46,9 +46,10 @@ object Dedup {
     * and carrying `_n` here makes the final sizes join unnecessary. */
   private def postingsHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     ensureParallelism(df)
-      .select(col(idCol).as("_id"), wordShingles(col(textCol), n).as("_set"))
+      .select(col(idCol).as("_id"),
+        TextAnalysis.wordShingleHashes(col(textCol), n).as("_set"))
       .select(col("_id"), size(col("_set")).as("_n"),
-        explode(transform(col("_set"), s => xxhash64(s))).as("_sh"))
+        explode(col("_set")).as("_sh"))
 
   /** All (a,b) id pairs sharing a shingle, emitted map-side from
     * per-shingle posting lists: one shuffle keyed on the shingle hash,
@@ -126,9 +127,9 @@ object Dedup {
           col("ida") < col("idb"))
       .select("ida", "idb").distinct()
     // Exact verification on candidates only: recompute Jaccard from the
-    // (small) per-doc shingle sets carried alongside.
+    // (small) per-doc shingle-hash sets carried alongside.
     val sets = ensureParallelism(df).select(col(idCol).as("_vid"),
-      wordShingles(col(textCol), n).as("_set"))
+      TextAnalysis.wordShingleHashes(col(textCol), n).as("_set"))
     cand
       .join(sets.toDF("va", "set_a"), col("ida") === col("va"))
       .join(sets.toDF("vb", "set_b"), col("idb") === col("vb"))

@@ -35,6 +35,20 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Distinct 64-bit hashes of the word n-gram shingles, computed by
+    * hashing the n words directly (multi-argument xxhash64) — no
+    * shingle-string construction. Set cardinality and intersections
+    * are identical to [[wordShingles]]' modulo 2⁻⁶⁴ collisions, at a
+    * fraction of the per-row cost; this is the form dedup shuffles. */
+  def wordShingleHashes(text: Column, n: Int): Column = {
+    val ws = words(text)
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), i =>
+          xxhash64((0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
   /** Count non-overlapping occurrences of ` word ` in the padded text —
     * the classic length-delta trick, identical across engines. */
   def paddedHits(text: Column, word: String): Column = {
