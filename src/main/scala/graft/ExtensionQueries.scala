@@ -69,6 +69,43 @@ object ExtensionQueries {
         maxHamming = 3)
       .orderBy("ida", "idb")
 
+  /** Incremental dedup: an incoming batch is anti-joined against the
+    * existing corpus on the content fingerprint — the shape of every
+    * "only ingest what we haven't seen" pipeline step. Left-anti join
+    * on a fingerprint key; batches derived deterministically from
+    * doc_id parity. */
+  def x7IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val (incoming, existing) = incrementalBatches(s, d)
+    incoming.join(existing, incoming("fp") === col("fp_e"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic batch split: existing = even doc_ids; incoming = odd
+    * originals plus re-submitted copies of the evens (shifted ids) —
+    * so the anti join keeps genuinely-new docs and the semi join
+    * reports the resubmissions. */
+  private def incrementalBatches(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .union(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("fp")))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("fp").as("fp_e"))
+    (incoming, existing)
+  }
+
+  /** Cross-batch overlap: semi join — incoming docs whose content
+    * already exists in the corpus half (the "what would dedup drop"
+    * report). */
+  def x8CrossBatchOverlap(s: SparkSession, d: String): DataFrame = {
+    val (incoming, existing) = incrementalBatches(s, d)
+    incoming.join(existing, incoming("fp") === col("fp_e"), "left_semi")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------- similarity search
 
   /** Brute-force cosine top-10 for 8 query vectors against the whole
@@ -259,6 +296,24 @@ object ExtensionQueries {
 
     "x3_dedup_minhash_lsh" -> jaccardPairsSql.replace("%THRESH%", "0.8"),
 
+    "x7_incremental_dedup" ->
+      """WITH inc AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id, fp FROM inc
+        |WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x8_crossbatch_overlap" ->
+      """WITH inc AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id, fp FROM inc
+        |WHERE fp IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "x5_ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) v FROM
         |  (SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding,1) i
@@ -372,6 +427,8 @@ object ExtensionQueries {
     "x2_dedup_ngram_jaccard" -> (x2NgramJaccard _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4_dedup_simhash"       -> (x4Simhash _),
+    "x7_incremental_dedup"   -> (x7IncrementalDedup _),
+    "x8_crossbatch_overlap"  -> (x8CrossBatchOverlap _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),
     "x6_embedding_neardup"   -> (x6EmbeddingNearDup _),
     "t1_text_stats"          -> (t1TextStats _),
