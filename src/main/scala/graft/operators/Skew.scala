@@ -26,7 +26,7 @@ object Skew {
       factor: Int): DataFrame = {
     require(factor > 0)
     val salted = probe.withColumn("_salt",
-      probeSalt(factor, probe.columns.map(col): _*))
+      probeSalt(factor, probe.columns.toIndexedSeq.map(col): _*))
     val replicated = build
       .withColumn("_salt", explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")

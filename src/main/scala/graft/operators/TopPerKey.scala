@@ -28,7 +28,7 @@ object TopPerKey {
   /** argmin: one row per key minimizing `ordCol` (struct payload keeps
     * all columns). Partial aggregation makes this shuffle O(keys). */
   def minByTop1(df: DataFrame, keyCols: Seq[String], ordCol: Column): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(min_by(payload, ordCol).as("_top"))
       .select(col("_top.*"))

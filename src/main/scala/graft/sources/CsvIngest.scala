@@ -58,7 +58,7 @@ object CsvIngest {
     // Snowflake NULL_IF takes a list; Spark's nullValue takes one value,
     // so apply the full null-like list as a post-read projection (stays
     // in the same codegen stage as the scan — no extra pass).
-    positional.select(positional.columns.map { c =>
+    positional.select(positional.columns.toIndexedSeq.map { c =>
       nullIfIn(col(c), opts.nullLikes).as(c)
     }: _*)
   }
