@@ -70,6 +70,20 @@ object CoreQueries {
       .orderBy("l_orderkey")
   }
 
+  /** A4 (extension) — distinct-count + interpolated percentiles per
+    * group: the distinct aggregation and order-statistics surface an
+    * analytics engine needs beyond the reference's SUMs. percentile()
+    * uses the same (n-1)·p linear interpolation as DuckDB's
+    * quantile_cont; rounded to 6 dp for cross-engine stability. */
+  def a4QuantileStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("dc"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"))
+      .orderBy("l_returnflag")
+
   /** A3 — SELECT DISTINCT (BlueForty.py:427-433). */
   def a3Distinct(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)

@@ -24,6 +24,7 @@ object SparkEntry {
     "w2_minby_top1"     -> (CoreQueries.w2MinByTop1 _),
     "j6_salted_join"    -> (CoreQueries.j6SaltedJoin _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
+    "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
     "j5_threeway_2key"  -> (CoreQueries.j5ThreeWayTwoKey _),
     "p14_zip_normalize" -> (CoreQueries.p14ZipNormalize _),
     "p5_try_casts"      -> (CoreQueries.p5TryCasts _),
@@ -82,6 +83,12 @@ object SparkEntry {
     "a3_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "a4_quantile_stats" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dc,
+        | ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "j5_threeway_2key" ->
       """SELECT e.event_id, o.o_orderkey, c.c_name, c.c_mktsegment, e.value
