@@ -116,6 +116,51 @@ object CoreQueries {
       .orderBy("event_id", "o_orderkey")
   }
 
+  /** Q3-shape (extension) — revenue per order for urgent orders, global
+    * top-10 by revenue: aggregation followed by a LIMIT over a global
+    * sort (top-k pushdown: Spark plans TakeOrderedAndProject, which
+    * keeps k rows per partition before the single-point merge). */
+  def qTpchQ3(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+    val li = Tables.lineitem(s, d)
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_date"))
+      .agg(round(sum(asMoney(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - asMoney(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q5-shape (extension) — the deepest join tree in the suite: region
+    * ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    * classic local-supplier constraint (supplier and customer share a
+    * nation). Exercises Catalyst's join reordering + broadcast chaining
+    * over 6 relations. */
+  def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+      .join(asia, col("n_regionkey") === col("r_regionkey"))
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    nat
+      .join(cust, cust("c_nationkey") === nat("n_nationkey"))
+      .join(ord, ord("o_custkey") === cust("c_custkey"))
+      .join(li, li("l_orderkey") === ord("o_orderkey"))
+      .join(sup, sup("s_suppkey") === li("l_suppkey") &&
+        sup("s_nationkey") === cust("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(asMoney(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - asMoney(col("l_discount")))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+  }
+
   /** P11/P13/P14/P3/P9/P10 — zip-style normalization: strip non-digits,
     * keep last 5, LPAD to 5, coalesce a fallback source, drop null/empty
     * (the SUPPLIER_ZIP5 view, BlueForty.py:364-388). */

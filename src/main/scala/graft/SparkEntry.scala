@@ -23,6 +23,8 @@ object SparkEntry {
     "w1_top1_per_key"   -> (CoreQueries.w1Top1PerKey _),
     "w2_minby_top1"     -> (CoreQueries.w2MinByTop1 _),
     "j6_salted_join"    -> (CoreQueries.j6SaltedJoin _),
+    "q_tpch_q3"         -> (CoreQueries.qTpchQ3 _),
+    "q_tpch_q5"         -> (CoreQueries.qTpchQ5 _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
     "j5_threeway_2key"  -> (CoreQueries.j5ThreeWayTwoKey _),
@@ -83,6 +85,31 @@ object SparkEntry {
     "a3_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, o_date, revenue FROM (
+        | SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_date,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        | FROM orders o JOIN lineitem ON o.o_orderkey = l_orderkey
+        | WHERE o.o_orderpriority = '1-URGENT'
+        | GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)) t
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n.n_name,
+        | CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |   (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lineitems
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |              AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
 
     "a4_quantile_stats" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dc,
