@@ -115,8 +115,15 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
-    val banded = sig.select(col("_id"),
+    // One aggregation produces BOTH the signature (for banding) and the
+    // shingle-hash set (for exact verification): the shingle pipeline
+    // and its shuffle are computed once and the exchange is reused by
+    // every consumer, instead of re-deriving shingles per join side.
+    val post = postingsHashed(df, idCol, textCol, n)
+    val sigSet = post.groupBy("_id").agg(
+      graft.functions.MinHashAgg.minhash(numHashes)(col("_sh")).as("_sig"),
+      collect_list(col("_sh")).as("_set"))
+    val banded = sigSet.select(col("_id"),
       posexplode(array((0 until bands).map { bnd =>
         xxhash64((lit(bnd) +:
           (0 until r).map(j => element_at(col("_sig"), bnd * r + j + 1))): _*)
@@ -126,10 +133,7 @@ object Dedup {
         col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
           col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    // Exact verification on candidates only: recompute Jaccard from the
-    // (small) per-doc shingle-hash sets carried alongside.
-    val sets = ensureParallelism(df).select(col(idCol).as("_vid"),
-      TextAnalysis.wordShingleHashes(col(textCol), n).as("_set"))
+    val sets = sigSet.select(col("_id").as("_vid"), col("_set"))
     cand
       .join(sets.toDF("va", "set_a"), col("ida") === col("va"))
       .join(sets.toDF("vb", "set_b"), col("idb") === col("vb"))
