@@ -55,6 +55,16 @@ class DedupSpec extends SparkTestBase {
     assert(lshLow.subsetOf(exactLow))
   }
 
+  test("corpus-level: LSH pair set equals exact jaccard pair set at 0.8") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("ida", "idb", "jaccard").orderBy("ida", "idb").collect().toSeq
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.8)
+      .select("ida", "idb", "jaccard").orderBy("ida", "idb").collect().toSeq
+    assert(exact.nonEmpty) // the corpus embeds near-dups
+    assert(lsh === exact)
+  }
+
   test("simhash: identical text → distance 0; banding finds all close pairs") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
