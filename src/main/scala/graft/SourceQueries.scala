@@ -30,7 +30,10 @@ object SourceQueries {
         col("l_linestatus"), col("l_quantity"), col("l_extendedprice"),
         col("l_shipdate").cast("date").as("l_shipdate"))
       .write.mode("overwrite").option("header", "true").csv(dir)
-    val raw = readPositional(s, dir + "/*.csv")
+    // read the dir, not a "/*.csv" glob: globbed paths make Spark's
+    // FileStreamSink metadata probe log a spurious FileNotFoundException
+    // stack trace at WARN ( _SUCCESS files are skipped either way)
+    val raw = readPositional(s, dir)
     raw.select(
         pos(1).try_cast("bigint").as("l_orderkey"),
         pos(3).as("l_returnflag"),
@@ -131,7 +134,7 @@ object SourceQueries {
           .otherwise(lit("")).as("null_col"))
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(dir)
-    val schema = SchemaInference.inferSchema(s, dir + "/*.csv")
+    val schema = SchemaInference.inferSchema(s, dir) // dir, not glob (WARN-trace avoidance, see s1)
     schema.fields.toSeq
       .map(f => (f.name, f.dataType.typeName))
       .toDF("column_name", "inferred_type")

@@ -47,7 +47,7 @@ object Dedup {
   private def postingsHashed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     ensureParallelism(df)
       .select(col(idCol).as("_id"),
-        TextAnalysis.wordShingleHashes(col(textCol), n).as("_set"))
+        TextAnalysis.wordShingleHashesNative(col(textCol), n).as("_set"))
       .select(col("_id"), size(col("_set")).as("_n"),
         explode(col("_set")).as("_sh"))
 
@@ -72,6 +72,12 @@ object Dedup {
       .select(col("_p.a._id").as("ida"), col("_p.a._n").as("na"),
         col("_p.b._id").as("idb"), col("_p.b._n").as("nb"))
   }
+
+  // timing-dissection entry points (TimeOne x2post / x2pairs)
+  def postingsHashedForTiming(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    postingsHashed(df, idCol, textCol, n)
+  def coShinglePairsForTiming(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    coShinglePairs(df, idCol, textCol, n, None)
 
   /** All pairs with word-n-gram Jaccard ≥ threshold. Exact (when
     * maxDocFreq is unset): intersection counts from co-shingle pair

@@ -49,6 +49,17 @@ object TextAnalysis {
         .otherwise(array().cast("array<bigint>")))
   }
 
+  /** [[wordShingleHashes]] as a native codegen'd expression — the form
+    * the dedup operators actually run. The HOF formulation above
+    * re-evaluates `split` inside the interpreted lambda for every
+    * window (O(len·windows) regex work per document); the native scan
+    * is one pass (see org.apache.spark.sql.graft.WordShingleHashes).
+    * Bit-identical output, asserted in WordShingleHashesSpec. */
+  def wordShingleHashesNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.WordShingleHashes(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+
   /** Count non-overlapping occurrences of ` word ` in the padded text —
     * the classic length-delta trick, identical across engines. */
   def paddedHits(text: Column, word: String): Column = {
