@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFunctions._
+import graft.operators.{AsofJoin, RangeJoin}
+
+/** OLAP-breadth queries beyond the reference's own surface — the
+  * operators a user migrating real warehouse workloads onto this
+  * engine reaches for next: as-of and range joins (time-series /
+  * interval enrichment), rollup grouping sets, analytic window frames
+  * (lag + rolling sums), set operations, outer joins, and
+  * bounded-error approximate distinct counts. Same parity rules as
+  * CoreQueries (DECIMAL measures, deterministic final ORDER BY,
+  * column-name-aligned oracles).
+  */
+object OlapQueries {
+
+  /** Events with microsecond epoch — the integer time axis both
+    * engines agree on (Spark truncates the parquet nanos to micros,
+    * DuckDB's epoch_us does the same). */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"), col("event_type"), col("value"))
+
+  /** J7 (extension) — backward as-of join: each 'view' event picks up
+    * the latest 'purchase' quote at-or-before its timestamp, per user.
+    * Implemented as one shuffle + one sort (AsofJoin), not an
+    * inequality nested loop; DuckDB's native ASOF LEFT JOIN is the
+    * oracle. The right side is pre-aggregated to one row per
+    * (user, ts) so the as-of winner is well-defined. */
+  def j7AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+    val quotes = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("t_us"))
+      .agg(max(col("value").cast("decimal(18,2)")).as("quote"))
+      .select(col("user_id"), col("t_us").as("q_us"), col("quote"))
+    val trades = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+    AsofJoin.backward(trades, "t_us", quotes, "q_us", "user_id")
+      .select(col("event_id"), col("user_id"), col("t_us"), col("value"),
+        col("q_us"), col("quote").cast("double").as("quote"))
+      .orderBy("event_id")
+  }
+
+  /** J8 (extension) — range join: lineitem prices (in exact cents)
+    * against 200 overlapping price bands, via the bucketed equi-join
+    * rewrite (RangeJoin) instead of a nested loop; aggregated per band
+    * so the result is the band histogram. */
+  def j8RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d).select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val bands = s.range(0, 200).select(col("id").as("band_id"),
+      (col("id") * 60000L).as("lo"), (col("id") * 60000L + 90000L).as("hi"))
+    RangeJoin.pointInInterval(pts, "cents", bands, "lo", "hi",
+        bucketWidth = 30000L)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("band_id")
+  }
+
+  /** A5 (extension) — ROLLUP grouping sets with GROUPING_ID: detail,
+    * per-flag subtotal, and grand total in one aggregation pass.
+    * Spark's grouping_id bitmask matches DuckDB's GROUPING(). */
+  def a5Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(asMoney(col("l_extendedprice"))), 2)
+          .cast("double").as("sum_price"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("sum_price"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** W3 (extension) — analytic window frames: lag(1) and a 4-row
+    * rolling sum over each user's event sequence, ordered on the
+    * unique (ts, event_id) pair so frames are deterministic. */
+  def w3LagRolling(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    val roll = w.rowsBetween(-3, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("t_us"),
+        lag(col("v"), 1).over(w).cast("double").as("prev_value"),
+        round(sum(col("v")).over(roll), 2).cast("double").as("roll_sum"),
+        count(lit(1)).over(roll).as("n_win"))
+      .orderBy("event_id")
+  }
+
+  /** A6 (extension) — set operations with SQL set-distinct semantics:
+    * nations of BUILDING-segment customers vs nations of well-funded
+    * suppliers, under UNION / INTERSECT / EXCEPT, tagged per op. */
+  def a6SetOps(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").as("nationkey"))
+    val b = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+      .select(col("s_nationkey").as("nationkey"))
+    val u = a.union(b).distinct().withColumn("op", lit("union"))
+    val i = a.intersect(b).withColumn("op", lit("intersect"))
+    val e = a.except(b).withColumn("op", lit("except"))
+    u.union(i).union(e)
+      .select(col("op"), col("nationkey"))
+      .orderBy("op", "nationkey")
+  }
+
+  /** J9 (extension) — left outer join with null handling: every order,
+    * extended with its large-line (qty > 45) totals where they exist;
+    * COALESCE defaults + an explicit has_big flag on the null probe. */
+  def j9OuterJoin(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(asMoney(col("l_extendedprice"))).as("_big_total"),
+        count(lit(1)).as("_n_big"))
+    val ord = Tables.orders(s, d)
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(round(col("_big_total"), 2).cast("double"), lit(0.0))
+          .as("big_total"),
+        coalesce(col("_n_big"), lit(0L)).as("n_big"),
+        col("l_orderkey").isNotNull.as("has_big"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A7 (extension) — approximate distinct count (HyperLogLog++) with
+    * its error bound asserted IN the result: the query emits the exact
+    * distinct count plus a boolean that the approx estimate landed
+    * within 5% (the oracle states `true` literally, so a drifting
+    * sketch fails the hash match). The approx path is the one that
+    * runs at 100 TB — fixed-size sketch, partial-mergeable, no
+    * distinct shuffle of the key. */
+  def a7ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_dc"),
+        approx_count_distinct(col("l_partkey")).as("_approx"))
+      .select(col("l_returnflag"), col("exact_dc"),
+        (abs(col("_approx") - col("exact_dc")).cast("double") /
+          col("exact_dc").cast("double") <= 0.05).as("approx_within_5pct"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j7_asof_join"       -> (j7AsofJoin _),
+    "j8_range_join"      -> (j8RangeJoin _),
+    "a5_rollup"          -> (a5Rollup _),
+    "w3_lag_rolling"     -> (w3LagRolling _),
+    "a6_setops"          -> (a6SetOps _),
+    "j9_outer_join"      -> (j9OuterJoin _),
+    "a7_approx_distinct" -> (a7ApproxDistinct _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j7_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |                   event_type, value FROM events),
+        |quotes AS (SELECT user_id, t_us AS q_us,
+        |    MAX(CAST(value AS DECIMAL(18,2))) AS quote
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, t_us),
+        |trades AS (SELECT event_id, user_id, t_us, value
+        |  FROM ev WHERE event_type = 'view')
+        |SELECT t.event_id, t.user_id, t.t_us, t.value, q.q_us,
+        |       CAST(q.quote AS DOUBLE) AS quote
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND t.t_us >= q.q_us
+        |ORDER BY t.event_id""".stripMargin,
+
+    "j8_range_join" ->
+      """WITH pts AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS cents FROM lineitem),
+        |bands AS (SELECT id AS band_id, id*60000 AS lo, id*60000+90000 AS hi
+        |  FROM range(200) t(id))
+        |SELECT band_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM pts JOIN bands ON cents >= lo AND cents < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "a5_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "w3_lag_rolling" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT event_id, user_id, t_us,
+        | CAST(LAG(v, 1) OVER w AS DOUBLE) AS prev_value,
+        | CAST(ROUND(SUM(v) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll_sum,
+        | COUNT(*) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_win
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "a6_setops" ->
+      """WITH a AS (SELECT c_nationkey AS nationkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+        |SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM a UNION SELECT * FROM b) t
+        |UNION ALL
+        |SELECT 'intersect', nationkey FROM (SELECT nationkey FROM a INTERSECT SELECT * FROM b) t
+        |UNION ALL
+        |SELECT 'except', nationkey FROM (SELECT nationkey FROM a EXCEPT SELECT * FROM b) t
+        |ORDER BY op, nationkey""".stripMargin,
+
+    "j9_outer_join" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS big_total,
+        |    COUNT(*) AS n_big
+        |  FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey)
+        |SELECT o.o_orderkey, o.o_orderstatus,
+        | COALESCE(CAST(ROUND(big.big_total, 2) AS DOUBLE), 0.0) AS big_total,
+        | COALESCE(big.n_big, 0) AS n_big,
+        | big.l_orderkey IS NOT NULL AS has_big
+        |FROM orders o LEFT JOIN big ON o.o_orderkey = big.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "a7_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_dc,
+        | true AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

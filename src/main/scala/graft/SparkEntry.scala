@@ -39,7 +39,7 @@ object SparkEntry {
     "s11_ctas_insert_view" -> (SourceQueries.s11CtasInsertView _),
     "s15_jsonl_roundtrip" -> (SourceQueries.s15JsonlRoundtrip _),
     "s16_orc_roundtrip"   -> (SourceQueries.s16OrcRoundtrip _),
-  ) ++ ExtensionQueries.queries
+  ) ++ ExtensionQueries.queries ++ OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -231,5 +231,5 @@ object SparkEntry {
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus IN ('F','O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-  ) ++ ExtensionQueries.oracles
+  ) ++ ExtensionQueries.oracles ++ OlapQueries.oracles
 }

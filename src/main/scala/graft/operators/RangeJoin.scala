@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join: points ⋈ intervals on
+  * `lo <= point < hi`, as a bucketed EQUI join instead of the
+  * broadcast-nested-loop Catalyst plans for a bare inequality
+  * condition.
+  *
+  * Scheme (the standard interval-bucketing rewrite): pick a fixed
+  * bucket width W; every interval is replicated to each W-aligned
+  * bucket it overlaps, every point maps to its single containing
+  * bucket, and a hash equi-join on the bucket id meets exactly the
+  * (point, interval) pairs whose buckets coincide — the residual
+  * `lo <= p < hi` filter keeps true containments. Each true pair is
+  * produced exactly once (a point has ONE bucket, and the interval has
+  * at most one copy in it), so no distinct pass is needed.
+  *
+  * Scale: the join is a shuffle/broadcast HASH join on a long key —
+  * O(|points| + Σ(interval width/W)) shuffled rows, versus O(|p|·|i|)
+  * compared pairs for the nested-loop plan. Pick W near the median
+  * interval width: replication per interval is ceil(width/W)+1 ≤ 2
+  * copies at W = width, while points never replicate. Domain is
+  * integral (longs — timestamps in µs, money in cents); bucket ids
+  * use exact floor division (decimal, not double, so magnitudes past
+  * 2^53 stay exact).
+  */
+object RangeJoin {
+
+  private def floorDiv(c: Column, w: Long): Column = {
+    val d = c.cast("decimal(38,0)")
+    ((d - pmod(d, lit(w))) / lit(w)).cast("long")
+  }
+
+  /** Inner join `points` to `intervals` where
+    * `intervals(loCol) <= points(pointCol) < intervals(hiCol)`.
+    * Output: all point columns + all interval columns (names must not
+    * collide). Empty intervals (hi <= lo) match nothing. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(collisions.isEmpty,
+      s"interval columns collide with points: ${collisions.mkString(",")}")
+    val ivb = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("_bucket", explode(sequence(
+        floorDiv(col(loCol), bucketWidth),
+        floorDiv(col(hiCol) - 1, bucketWidth))))
+    val pb = points.withColumn("_bucket", floorDiv(col(pointCol), bucketWidth))
+    pb.join(ivb, Seq("_bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bucket")
+  }
+}
