@@ -143,7 +143,43 @@ object OlapQueries {
           col("exact_dc").cast("double") <= 0.05).as("approx_within_5pct"))
       .orderBy("l_returnflag")
 
+  /** A8 (extension) — pivot (cross-tab): per user bucket, one column
+    * per event type. The value list is explicit, so Spark skips the
+    * distinct-scan pass and plans a single conditional aggregation —
+    * the same CASE WHEN shape the oracle states. */
+  def a8Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value").cast("decimal(18,2)")), 2)
+        .cast("double"))
+      .orderBy("user_bucket")
+
+  /** ST3 (extension) — time-series gap filling: densify each event
+    * type's hourly series over its own [min, max] span, zero-filling
+    * missing hours via a generated sequence + left join — the
+    * dashboard/feature-engineering step after every windowed
+    * aggregation. sequence() explodes per type (25k hour rows per
+    * year-type), never per event, so densification cost is independent
+    * of event volume. */
+  def st3GapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val allHours = hourly.groupBy("event_type")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("h"))
+    allHours.join(hourly, Seq("event_type", "h"), "left_outer")
+      .select(col("event_type"), col("h").cast("string").as("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a8_pivot"           -> (a8Pivot _),
+    "st3_gapfill"        -> (st3GapFill _),
     "j7_asof_join"       -> (j7AsofJoin _),
     "j8_range_join"      -> (j8RangeJoin _),
     "a5_rollup"          -> (a5Rollup _),
@@ -154,6 +190,30 @@ object OlapQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a8_pivot" -> {
+      def cell(t: String) =
+        s"""CAST(ROUND(SUM(CASE WHEN event_type = '$t'
+           |  THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS $t"""
+          .stripMargin.replace("\n", " ")
+      s"""SELECT user_id % 10 AS user_bucket,
+         | ${Seq("click", "error", "purchase", "signup", "view")
+               .map(cell).mkString(",\n ")}
+         |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
+    },
+
+    "st3_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+        |         FROM hourly GROUP BY event_type),
+        |allh AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span)
+        |SELECT a.event_type, CAST(a.h AS VARCHAR) AS hour_start,
+        |       COALESCE(hourly.n, 0) AS n
+        |FROM allh a LEFT JOIN hourly ON a.event_type = hourly.event_type
+        |                            AND a.h = hourly.h
+        |ORDER BY a.event_type, hour_start""".stripMargin,
     "j7_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
         |                   event_type, value FROM events),

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Range (interval-containment) join: points ⋈ intervals on
   * `lo <= point < hi`, as a bucketed EQUI join instead of the
@@ -28,9 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def floorDiv(c: Column, w: Long): Column = {
-    val d = c.cast("decimal(38,0)")
-    ((d - pmod(d, lit(w))) / lit(w)).cast("long")
+  /** Exact floor(c / w). Integral columns take the long fast path —
+    * `(c - pmod(c, w)) div w` is all 64-bit arithmetic (pmod makes the
+    * numerator divisible AND ≤ c, so truncating `div` equals floor) —
+    * since the decimal fallback costs a per-row BigDecimal pmod+divide
+    * that dominated the whole join when measured. */
+  private def floorDiv(df: DataFrame, colName: String, w: Long): Column = {
+    val c = col(colName)
+    df.schema(colName).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val x = c.cast("long")
+        ColumnShim.column(
+          new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            ColumnShim.expression(x - pmod(x, lit(w))),
+            ColumnShim.expression(lit(w))))
+      case _ =>
+        val d = c.cast("decimal(38,0)")
+        ((d - pmod(d, lit(w))) / lit(w)).cast("long")
+    }
   }
 
   /** Inner join `points` to `intervals` where
@@ -46,11 +63,12 @@ object RangeJoin {
       s"interval columns collide with points: ${collisions.mkString(",")}")
     val ivb = intervals
       .filter(col(hiCol) > col(loCol))
-      .withColumn("_bucket", explode(sequence(
-        floorDiv(col(loCol), bucketWidth),
-        floorDiv(col(hiCol) - 1, bucketWidth))))
-    val pb = points.withColumn("_bucket", floorDiv(col(pointCol), bucketWidth))
-    pb.join(ivb, Seq("_bucket"))
+      .withColumn("_hi1", col(hiCol) - 1)
+    val ivb2 = ivb.withColumn("_bucket", explode(sequence(
+        floorDiv(ivb, loCol, bucketWidth),
+        floorDiv(ivb, "_hi1", bucketWidth)))).drop("_hi1")
+    val pb = points.withColumn("_bucket", floorDiv(points, pointCol, bucketWidth))
+    pb.join(ivb2, Seq("_bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bucket")
   }
