@@ -53,24 +53,34 @@ object Dedup {
 
   /** All (a,b) id pairs sharing a shingle, emitted map-side from
     * per-shingle posting lists: one shuffle keyed on the shingle hash,
-    * pair generation as an array expression, no self-join. */
+    * pair generation by a native Generator (PairExplode), no self-join.
+    *
+    * Each posting entry is packed as `id << SizeBits | setSize` so the
+    * list is a primitive long array: sorting it orders by id (ids are
+    * unique within a list), the generator loop emits each i<j pair
+    * once, and both fields unpack with two codegen'd bit ops. Caps:
+    * setSize < 2^20 shingles per doc, id < 2^43. */
+  private val SizeBits = 20
   private def coShinglePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDocFreq: Option[Int]): DataFrame = {
     val post = postingsHashed(df, idCol, textCol, n)
+    val packed = shiftleft(col("_id"), SizeBits) + col("_n")
     val lists = post.groupBy("_sh")
-      .agg(sort_array(collect_list(struct(col("_id"), col("_n")))).as("_lst"))
+      .agg(sort_array(collect_list(packed)).as("_lst"))
     // Optional stop-shingle cap: a shingle appearing in > maxDocFreq
     // docs generates O(df²) pairs; real corpora cap df to bound skew
     // (no-op below the cap, so exactness is preserved at test scale).
     val capped = maxDocFreq.fold(lists)(m => lists.filter(size(col("_lst")) <= m))
-    val lst = col("_lst")
-    val pairs = flatten(transform(sequence(lit(0), size(lst) - 2), i =>
-      transform(slice(lst, i + 2, size(lst)), x =>
-        struct(element_at(lst, i + 1).as("a"), x.as("b")))))
-    capped.filter(size(lst) >= 2)
-      .select(explode(pairs).as("_p"))
-      .select(col("_p.a._id").as("ida"), col("_p.a._n").as("na"),
-        col("_p.b._id").as("idb"), col("_p.b._n").as("nb"))
+    val pairs = org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.PairExplode(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("_lst"))))
+    val sizeMask = (1L << SizeBits) - 1
+    capped.filter(size(col("_lst")) >= 2)
+      .select(pairs.as(Seq("_pa", "_pb")))
+      .select(shiftright(col("_pa"), SizeBits).as("ida"),
+        col("_pa").bitwiseAND(lit(sizeMask)).as("na"),
+        shiftright(col("_pb"), SizeBits).as("idb"),
+        col("_pb").bitwiseAND(lit(sizeMask)).as("nb"))
   }
 
   // timing-dissection entry points (TimeOne x2post / x2pairs)
