@@ -106,6 +106,25 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy dedup, the production composition: cheap shingle-Jaccard
+    * candidates (threshold 0.3) verified with exact edit distance on
+    * the 60-char prefix — candidates come from the shuffle-bounded
+    * shingle join, the O(len²) levenshtein only runs on candidate
+    * pairs. The oracle recomputes both stages exactly in SQL. */
+  def t5EditPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cand = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.3)
+    val pfx = docs.select(col("doc_id"), substring(col("text"), 1, 60).as("p"))
+    cand
+      .join(pfx.toDF("ida2", "pa"), col("ida") === col("ida2"))
+      .join(pfx.toDF("idb2", "pb"), col("idb") === col("idb2"))
+      .select(col("ida"), col("idb"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= 10)
+      .orderBy("ida", "idb")
+  }
+
   // ------------------------------------------- similarity search
 
   /** Brute-force cosine top-10 for 8 query vectors against the whole
@@ -243,7 +262,10 @@ object ExtensionQueries {
 
   // ======================================================== oracles
 
-  private val jaccardPairsSql =
+  /** Exact word-3-gram Jaccard pair set as a composable CTE body
+    * (no final ORDER BY): `SELECT ida, idb, jaccard` filtered at
+    * %THRESH%. */
+  private val jaccardPairsCte =
     """WITH words AS (
       |  SELECT doc_id, w, i FROM (
       |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
@@ -262,8 +284,9 @@ object ExtensionQueries {
       |  SELECT ida, idb, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) AS jaccard
       |  FROM inter JOIN sizes sa ON sa.doc_id=ida
       |             JOIN sizes sb ON sb.doc_id=idb) t
-      |WHERE jaccard >= %THRESH%
-      |ORDER BY ida, idb""".stripMargin
+      |WHERE jaccard >= %THRESH%""".stripMargin
+
+  private val jaccardPairsSql = jaccardPairsCte + "\nORDER BY ida, idb"
 
   private val langScoreSql = {
     def hits(w: String) =
@@ -293,6 +316,15 @@ object ExtensionQueries {
         |GROUP BY text ORDER BY doc_id_kept""".stripMargin,
 
     "x2_dedup_ngram_jaccard" -> jaccardPairsSql.replace("%THRESH%", "0.5"),
+
+    "t5_edit_pairs" ->
+      s"""SELECT p.ida, p.idb,
+        | levenshtein(substr(da.text,1,60), substr(db.text,1,60)) AS dist
+        |FROM (${jaccardPairsCte.replace("%THRESH%", "0.3")}) p
+        |JOIN documents da ON da.doc_id = p.ida
+        |JOIN documents db ON db.doc_id = p.idb
+        |WHERE levenshtein(substr(da.text,1,60), substr(db.text,1,60)) <= 10
+        |ORDER BY ida, idb""".stripMargin,
 
     "x3_dedup_minhash_lsh" -> jaccardPairsSql.replace("%THRESH%", "0.8"),
 
@@ -434,6 +466,7 @@ object ExtensionQueries {
     "t1_text_stats"          -> (t1TextStats _),
     "t2_langid"              -> (t2LangId _),
     "t3_fingerprint"         -> (t3Fingerprint _),
+    "t5_edit_pairs"          -> (t5EditPairs _),
     "t4_json_props"          -> (t4JsonProps _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "st1_event_window"       -> (st1EventWindow _),

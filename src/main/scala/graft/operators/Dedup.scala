@@ -161,6 +161,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Fuzzy (edit-distance) near-dup pairs: all (a,b) with
+    * levenshtein(text_a, text_b) ≤ maxDist.
+    *
+    * Pruning is length blocking — a sound filter, since edit distance
+    * ≥ |len(a)−len(b)|: docs land in buckets of `bucketWidth ≥ maxDist`
+    * by length, the probe side also emits its two neighbor buckets, so
+    * every pair within the length bound meets in exactly one bucket
+    * (the one-sided explode + id inequality yields each unordered pair
+    * once). The verify uses Spark's thresholded levenshtein (banded
+    * O(maxDist·len) DP with early exit, not full O(len²)).
+    *
+    * Scale: blocking turns the all-pairs cross join into a bucket-keyed
+    * equi join — but length is a weak key for near-uniform corpora; at
+    * 100 TB compose with a similarity blocker instead (shingle/LSH
+    * candidates verified by edit distance — the t5_edit_pairs shape). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, bucketWidth: Int = 0): DataFrame = {
+    val b = math.max(if (bucketWidth > 0) bucketWidth else 16, maxDist)
+    val t = ensureParallelism(df).select(col(idCol).as("_id"),
+      col(textCol).as("_t"),
+      (length(col(textCol)).cast("long") / b).cast("long").as("_bk"))
+    val probe = t.select(col("_id").as("_idb"), col("_t").as("_tb"),
+      explode(array(col("_bk") - 1, col("_bk"), col("_bk") + 1)).as("_bk"))
+    t.join(probe, Seq("_bk"))
+      .filter(col("_id") < col("_idb") &&
+        abs(length(col("_t")) - length(col("_tb"))) <= maxDist)
+      .select(col("_id").as("ida"), col("_idb").as("idb"),
+        levenshtein(col("_t"), col("_tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // thresholded levenshtein: -1 = above maxDist
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
     * token hashes, computed as 64 conditional sums in one aggregation. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {

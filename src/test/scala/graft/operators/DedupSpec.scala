@@ -80,4 +80,25 @@ class DedupSpec extends SparkTestBase {
     } yield (a, b)).toSet
     assert(reported === want)
   }
+
+  test("editDistancePairs equals the naive all-pairs levenshtein") {
+    import org.apache.spark.sql.functions._
+    // varied lengths so the length blocking actually prunes, plus
+    // pairs that straddle bucket boundaries
+    val texts = (0 until 60).map { i =>
+      (i.toLong, "base text " + ("x" * (i % 13)) + (if (i % 7 == 0) "!" else ""))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val fast = Dedup.editDistancePairs(df, "doc_id", "text",
+        maxDist = 4, bucketWidth = 4)
+      .select("ida", "idb", "dist")
+    val t = df.select(col("doc_id"), col("text"))
+    val slow = t.toDF("ida", "ta")
+      .crossJoin(t.toDF("idb", "tb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= 4)
+    assert(fast.count() === slow.count(), "pair multiplicity")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
 }
