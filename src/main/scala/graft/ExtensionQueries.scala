@@ -183,6 +183,18 @@ object ExtensionQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Deterministic sampling: a 10% hash-mod cut of the corpus, then a
+    * per-language stratified cap of 20 docs — both keyed on the row
+    * (engine-portable arithmetic hash), so the oracle picks the exact
+    * same rows. rand()/df.sample() could never hash-match. */
+  def x9HashSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val cut = operators.Sampling.hashSample(docs, "doc_id", 10, Seq(0))
+    operators.Sampling.stratifiedTopK(cut, "lang", "doc_id", 20)
+      .select(col("doc_id"), col("lang"), col("strat_rank"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- text analysis
 
   def t1TextStats(s: SparkSession, d: String): DataFrame = {
@@ -337,6 +349,18 @@ object ExtensionQueries {
         |WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
 
+    "x9_hash_sample" ->
+      """WITH cut AS (
+        |  SELECT doc_id, lang, (doc_id * 48271) % 2147483647 AS h
+        |  FROM documents
+        |  WHERE ((doc_id * 48271) % 2147483647) % 10 = 0)
+        |SELECT doc_id, lang, strat_rank FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS strat_rank
+        |  FROM cut) t
+        |WHERE strat_rank <= 20 ORDER BY doc_id""".stripMargin,
+
     "x8_crossbatch_overlap" ->
       """WITH inc AS (
         |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
@@ -461,6 +485,7 @@ object ExtensionQueries {
     "x4_dedup_simhash"       -> (x4Simhash _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
     "x8_crossbatch_overlap"  -> (x8CrossBatchOverlap _),
+    "x9_hash_sample"         -> (x9HashSample _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),
     "x6_embedding_neardup"   -> (x6EmbeddingNearDup _),
     "t1_text_stats"          -> (t1TextStats _),

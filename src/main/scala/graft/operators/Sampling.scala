@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Why not `df.sample()`/`rand()`: those are seeded per-partition, so
+  * the selected set changes whenever partitioning, parallelism, or
+  * engine changes — unusable for reproducible corpus cuts or
+  * differential testing. Hash-mod sampling keys the decision on the
+  * ROW (a key column), so any engine, any cluster size, any run picks
+  * the same rows, membership is joinable ("was this doc in the 10%
+  * eval split?"), and disjoint splits fall out of disjoint residue
+  * classes.
+  *
+  * Scale: both operators are map-only over the scan except the
+  * stratified cap's per-stratum window, which Spark executes with
+  * WindowGroupLimit pushdown (each mapper keeps ≤ k rows per stratum
+  * before the shuffle) — O(strata·k) exchanged rows, not O(rows).
+  */
+object Sampling {
+
+  /** MINSTD multiplicative hash of a non-negative integral key —
+    * deterministic, engine-portable (plain * and % — no engine hash
+    * builtin), uniform enough for split assignment. Keys must stay
+    * below ~2^47 so the multiply cannot overflow a long. */
+  def minstdHash(key: Column): Column =
+    pmod(key.cast("long") * 48271L, lit(2147483647L))
+
+  /** Keep rows whose hash falls in `residues` of `modulus` classes —
+    * e.g. modulus=10, residues=Seq(0) is a reproducible 10% sample;
+    * residues=Seq(1,2) is a disjoint 20%. */
+  def hashSample(df: DataFrame, keyCol: String, modulus: Int,
+      residues: Seq[Int]): DataFrame =
+    df.filter(pmod(minstdHash(col(keyCol)), lit(modulus.toLong))
+      .isin(residues.map(_.toLong): _*))
+
+  /** Per-stratum cap: the k rows with smallest (hash, key) per
+    * stratum — a deterministic stratified sample (equal quota per
+    * class, the "balance languages/sources" step). Emits the rank as
+    * `rankCol`. */
+  def stratifiedTopK(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int, rankCol: String = "strat_rank"): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(minstdHash(col(keyCol)), col(keyCol))
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+}

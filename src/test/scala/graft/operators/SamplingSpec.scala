@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+
+  private lazy val docs = spark.range(1000).select(col("id").as("doc_id"),
+    (col("id") % 7).cast("string").as("lang"))
+
+  test("hash sample is invariant under repartitioning") {
+    val a = Sampling.hashSample(docs, "doc_id", 10, Seq(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(13), "doc_id", 10, Seq(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.size > 50 && a.size < 200, s"~10% of 1000, got ${a.size}")
+  }
+
+  test("residue classes give disjoint, covering splits") {
+    val parts = (0 until 10).map(r =>
+      Sampling.hashSample(docs, "doc_id", 10, Seq(r))
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(parts.map(_.size).sum === 1000)
+    assert(parts.reduce(_ ++ _).size === 1000)
+  }
+
+  test("stratifiedTopK caps every stratum at k, deterministically") {
+    val out = Sampling.stratifiedTopK(docs, "lang", "doc_id", 5)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ === 5L))
+    val again = Sampling.stratifiedTopK(docs.repartition(7), "lang", "doc_id", 5)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+  }
+}
