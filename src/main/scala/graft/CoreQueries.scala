@@ -161,6 +161,44 @@ object CoreQueries {
       .orderBy("n_name")
   }
 
+  /** Q18-shape (extension) — HAVING on an aggregate then join back:
+    * orders whose total quantity clears a threshold, enriched with the
+    * customer — the aggregate-filter-semijoin shape. The HAVING
+    * aggregation runs BEFORE the joins, so only qualifying keys reach
+    * them. */
+  def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(asMoney(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"),
+        round(col("sum_qty"), 2).cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** C3 (extension) — correlated EXISTS / NOT EXISTS through the SQL
+    * entry point: Catalyst decorrelates them into left-semi and
+    * left-anti hash joins (no per-row subquery execution — verified in
+    * plan), the shape every "orders with at least one X and no Y"
+    * filter takes. */
+  def c3Exists(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus FROM g_orders o
+        |WHERE EXISTS (SELECT 1 FROM g_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_tax > 0.07)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** P11/P13/P14/P3/P9/P10 — zip-style normalization: strip non-digits,
     * keep last 5, LPAD to 5, coalesce a fallback source, drop null/empty
     * (the SUPPLIER_ZIP5 view, BlueForty.py:364-388). */

@@ -25,6 +25,8 @@ object SparkEntry {
     "j6_salted_join"    -> (CoreQueries.j6SaltedJoin _),
     "q_tpch_q3"         -> (CoreQueries.qTpchQ3 _),
     "q_tpch_q5"         -> (CoreQueries.qTpchQ5 _),
+    "q_tpch_q18"        -> (CoreQueries.qTpchQ18 _),
+    "c3_exists"         -> (CoreQueries.c3Exists _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
     "j5_threeway_2key"  -> (CoreQueries.j5ThreeWayTwoKey _),
@@ -110,6 +112,27 @@ object SparkEntry {
         |              AND s.s_nationkey = c.c_nationkey
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        | CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+        | CAST(ROUND(big.sum_qty, 2) AS DOUBLE) AS sum_qty
+        |FROM orders o
+        |JOIN (SELECT l_orderkey,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150) big
+        |  ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "c3_exists" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_tax > 0.07)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "a4_quantile_stats" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dc,
