@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -21,7 +22,32 @@ object TimeOne {
       (0 until 20).map(k => d.select((col("doc_id") + k * 10000000L).as("doc_id"),
         col("text"))).reduce(_ union _)
     }
+    // ~1M-vector corpus: each base embedding replicated 500× with a
+    // deterministic per-copy perturbation on one dimension
+    def embStress = {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      e.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(499))).as("k"))
+        .select((col("vec_id") * 1000 + col("k")).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === pmod(col("k"), lit(64)),
+              x + col("k").cast("float") / 10000).otherwise(x))
+            .cast("array<float>").as("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    def annQueries(c: org.apache.spark.sql.DataFrame) =
+      c.filter(col("vec_id") % 2000 === 0) // 1000 query vectors
     def dfFor(n: String) = n match {
+      case "annbrute" =>
+        val c = embStress.cache()
+        operators.Similarity.bruteForceTopK(c, annQueries(c), "vec_id", "embedding", 10)
+      case "annlsh" =>
+        val c = embStress.cache()
+        operators.Similarity.lshTopK(c, annQueries(c), "vec_id", "embedding", 64, 10)
+      case "annivf" =>
+        val c = embStress.cache()
+        operators.Similarity.ivfTopK(c, annQueries(c), "vec_id", "embedding", 10)
       case "sig128" => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 128)
       case "sig64"  => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 64)
       case "x2stress" => operators.Dedup.ngramJaccardPairs(docs20x, "doc_id", "text", 3, 0.8, maxDocFreq = Some(1000))

@@ -64,8 +64,18 @@ object Similarity {
       lit(1000000.0)) / lit(1000000.0)
 
   /** Sign-bit bucket id from `nPlanes` hyperplanes — vectors in the
-    * same bucket are likely neighbors (cosine LSH). Map-only. */
+    * same bucket are likely neighbors (cosine LSH). Map-only; native
+    * codegen'd expression with the constant weight matrix hoisted out
+    * of the per-row loop (the HOF form below recomputes it per row,
+    * interpreted — see HyperplaneLshBucket). */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int = 12): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.HyperplaneLshBucket(
+        org.apache.spark.sql.graft.ColumnShim.expression(vec), dim, nPlanes))
+
+  /** HOF reference formulation of [[lshBucket]] — bit-parity asserted
+    * in HyperplaneLshBucketSpec; kept for differential testing only. */
+  def lshBucketHof(vec: Column, dim: Int, nPlanes: Int = 12): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec,
