@@ -92,6 +92,27 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** W4 (extension) — the ranking-function family under ties: rank /
+    * dense_rank / percent_rank / cume_dist over a NON-unique order key
+    * (deterministic by definition under ties), ntile over the
+    * tie-broken unique order (ntile splits ties by row position, so
+    * determinism requires the unique key). */
+  def w4RankFamily(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val ties = Window.partitionBy("user_id").orderBy(col("v"))
+    val uniq = Window.partitionBy("user_id").orderBy(col("v"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"),
+        col("v").cast("double").as("value"),
+        rank().over(ties).as("rnk"),
+        dense_rank().over(ties).as("drnk"),
+        round(percent_rank().over(ties), 6).as("prnk"),
+        round(cume_dist().over(ties), 6).as("cdist"),
+        ntile(4).over(uniq).as("quartile"))
+      .orderBy("event_id")
+  }
+
   /** A6 (extension) — set operations with SQL set-distinct semantics:
     * nations of BUILDING-segment customers vs nations of well-funded
     * suppliers, under UNION / INTERSECT / EXCEPT, tagged per op. */
@@ -184,6 +205,7 @@ object OlapQueries {
     "j8_range_join"      -> (j8RangeJoin _),
     "a5_rollup"          -> (a5Rollup _),
     "w3_lag_rolling"     -> (w3LagRolling _),
+    "w4_rank_family"     -> (w4RankFamily _),
     "a6_setops"          -> (a6SetOps _),
     "j9_outer_join"      -> (j9OuterJoin _),
     "a7_approx_distinct" -> (a7ApproxDistinct _),
@@ -254,6 +276,18 @@ object OlapQueries {
         | COUNT(*) OVER (PARTITION BY user_id ORDER BY t_us, event_id
         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_win
         |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "w4_rank_family" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT event_id, user_id, CAST(v AS DOUBLE) AS value,
+        | RANK() OVER wt AS rnk,
+        | DENSE_RANK() OVER wt AS drnk,
+        | ROUND(PERCENT_RANK() OVER wt, 6) AS prnk,
+        | ROUND(CUME_DIST() OVER wt, 6) AS cdist,
+        | NTILE(4) OVER (PARTITION BY user_id ORDER BY v, event_id) AS quartile
+        |FROM ev WINDOW wt AS (PARTITION BY user_id ORDER BY v)
         |ORDER BY event_id""".stripMargin,
 
     "a6_setops" ->
