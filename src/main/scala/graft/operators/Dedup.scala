@@ -89,14 +89,33 @@ object Dedup {
   def coShinglePairsForTiming(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     coShinglePairs(df, idCol, textCol, n, None)
 
-  /** All pairs with word-n-gram Jaccard ≥ threshold. Exact (when
-    * maxDocFreq is unset): intersection counts from co-shingle pair
-    * counting, set sizes computed map-side. Two shuffles total
-    * (by shingle, then by pair); `jaccard` is one double division
-    * rounded to 6 dp. */
+  /** All pairs with word-n-gram Jaccard ≥ threshold. Exact, with the
+    * strategy picked by the threshold: count-based co-shingle pairing
+    * below [[PrefixFilterThreshold]] (one posting shuffle + pair-count
+    * aggregation — cheapest when the prefix would cover most of each
+    * set anyway), AllPairs-style prefix filtering above it (measured
+    * 130 s → 33 s at t=0.8 on the 20× stress corpus, but 3× SLOWER
+    * than counting at t=0.5, where the prefix fraction is ~half and
+    * the extra verify joins dominate). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Int] = None): DataFrame =
+    if (threshold >= PrefixFilterThreshold)
+      prefixNgramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+    else countNgramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+
+  /** Crossover point between the two exact strategies: the prefix
+    * fraction is 1 − t (+1 shingle), so its candidate reduction
+    * squares to ~9× at 0.7 and keeps growing, while below it the
+    * reduction no longer pays for the set-collection + verify joins. */
+  val PrefixFilterThreshold = 0.7
+
+  /** Count-based exact pairs: intersection counts from co-shingle
+    * pair counting, set sizes carried map-side. Two shuffles total
+    * (by shingle, then by pair). */
+  private[operators] def countNgramJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxDocFreq: Option[Int]): DataFrame =
     coShinglePairs(df, idCol, textCol, n, maxDocFreq)
       .groupBy("ida", "idb")
       .agg(count(lit(1)).as("c"),
@@ -105,6 +124,71 @@ object Dedup {
         round(col("c").cast("double") /
           (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Prefix-filtered exact pairs: AllPairs-style candidate pruning,
+    * then set-intersection verification.
+    *
+    * Each doc's shingle-hash set is sorted (ascending hash = the
+    * global token order); only the first `|x| − ⌈t·|x|⌉ + 1` shingles
+    * — the prefix — are posted for candidate generation. Completeness:
+    * take the globally smallest SHARED shingle u of a pair with
+    * J ≥ t; if u were outside x's prefix, every shared shingle would
+    * be (the prefix holds x's smallest), capping the overlap at
+    * ⌈t|x|⌉ − 1 < t|x| ≤ the overlap J ≥ t requires — contradiction,
+    * so u sits in BOTH prefixes and the pair co-occurs in a prefix
+    * posting list. The ⌈t·|x|⌉ is computed in DECIMAL: double math
+    * (5·0.8 = 4.0000…0004) would round the ceiling up and illegally
+    * shorten the prefix.
+    *
+    * Cost vs naive co-shingle counting: pair emissions shrink by the
+    * prefix fraction squared within each posting list (~25× at t=0.8,
+    * ~4× at t=0.5 — measured 130 s → 33 s on the 20× stress corpus),
+    * the map-side length filter (t·max ≤ min) prunes before the
+    * distinct, and verification touches only surviving candidates.
+    * The shingle sets are collected ONCE and reused for both prefix
+    * posting and verification. */
+  private[operators] def prefixNgramJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      maxDocFreq: Option[Int]): DataFrame = {
+    val post = postingsHashed(df, idCol, textCol, n)
+    val sigSet = post.groupBy("_id")
+      .agg(sort_array(collect_list(col("_sh"))).as("_set"))
+    val sized = sigSet.select(col("_id"), col("_set"),
+      size(col("_set")).as("_n"))
+    val tDec = lit(BigDecimal(threshold)).cast("decimal(10,6)")
+    val plen = (col("_n") - ceil(col("_n").cast("decimal(20,6)") * tDec) +
+      1).cast("int")
+    val packed = shiftleft(col("_id"), SizeBits) + col("_n")
+    val prefixPost = sized.select(packed.as("_p"),
+      explode(slice(col("_set"), lit(1), plen)).as("_sh"))
+    val lists = prefixPost.groupBy("_sh")
+      .agg(sort_array(collect_list(col("_p"))).as("_lst"))
+    // Optional stop-shingle cap: a prefix shingle appearing in >
+    // maxDocFreq docs generates O(df²) candidates; real corpora cap df
+    // to bound skew (no-op below the cap — exactness preserved).
+    val capped = maxDocFreq.fold(lists)(m => lists.filter(size(col("_lst")) <= m))
+    val pairs = org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.PairExplode(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("_lst"))))
+    val sizeMask = (1L << SizeBits) - 1
+    val cand = capped.filter(size(col("_lst")) >= 2)
+      .select(pairs.as(Seq("_pa", "_pb")))
+      .select(shiftright(col("_pa"), SizeBits).as("ida"),
+        col("_pa").bitwiseAND(lit(sizeMask)).as("na"),
+        shiftright(col("_pb"), SizeBits).as("idb"),
+        col("_pb").bitwiseAND(lit(sizeMask)).as("nb"))
+      // length filter: J ≥ t needs t·max(|a|,|b|) ≤ min(|a|,|b|)
+      .filter(col("na") * tDec <= col("nb") && col("nb") * tDec <= col("na"))
+      .select("ida", "idb").distinct()
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+    cand
+      .join(sigSet.toDF("va", "set_a"), col("ida") === col("va"))
+      .join(sigSet.toDF("vb", "set_b"), col("idb") === col("vb"))
+      .select(col("ida"), col("idb"),
+        round(inter.cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   /** MinHash signatures: each shingle string is hashed ONCE to a long
     * map-side; the numHashes permutations derive from that fixed

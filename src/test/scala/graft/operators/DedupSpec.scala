@@ -81,6 +81,18 @@ class DedupSpec extends SparkTestBase {
     assert(reported === want)
   }
 
+  test("prefix-filtered and count-based exact jaccard agree at any threshold") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      val p = Dedup.prefixNgramJaccardPairs(corpus, "doc_id", "text", 3, t, None)
+      val c = Dedup.countNgramJaccardPairs(corpus, "doc_id", "text", 3, t, None)
+      assert(p.exceptAll(c).isEmpty && c.exceptAll(p).isEmpty,
+        s"strategies disagree at threshold $t")
+    }
+  }
+
   test("editDistancePairs equals the naive all-pairs levenshtein") {
     import org.apache.spark.sql.functions._
     // varied lengths so the length blocking actually prunes, plus
