@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in top-1-window → min_by rewrite (see RewriteTop1Window;
     // inert unless spark.graft.rewriteTop1Window=true).
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteTop1Window)
+    // Always-on: bound-compares of levenshtein use the banded
+    // thresholded form (unconditionally sound — see the rule).
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.RewriteThresholdedLevenshtein)
   }
 }
