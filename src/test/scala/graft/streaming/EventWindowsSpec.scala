@@ -62,4 +62,37 @@ class EventWindowsSpec extends SparkTestBase {
         s"late row leaked: ${rows.mkString(";")}")
     } finally q.stop()
   }
+
+  test("file source + AvailableNow + checkpoint == batch over the same files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sckpt").toString
+    val rows = Seq(
+      (Timestamp.valueOf("2024-03-01 10:05:00"), "click", 1.5),
+      (Timestamp.valueOf("2024-03-01 10:35:00"), "view", 2.0),
+      (Timestamp.valueOf("2024-03-01 11:10:00"), "click", 4.0),
+      (Timestamp.valueOf("2024-03-01 12:20:00"), "view", 8.0))
+    rows.toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+
+    val batch = EventWindows.tumblingStats(spark.read.parquet(dir))
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(dir)
+    val q = EventWindows.tumblingStats(stream, watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("ew_file")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // AvailableNow processes the backlog then stops on its own
+      assert(q.awaitTermination(60000), "stream did not drain in 60s")
+      val streamed = spark.table("ew_file")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
