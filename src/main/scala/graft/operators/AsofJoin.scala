@@ -59,17 +59,25 @@ object AsofJoin {
 
     // side 1 = left, 0 = right: at equal ts the right row sorts first,
     // so the running last() includes equal-timestamp matches (ASOF >=).
+    // Null-timestamp semantics match SQL comparison (and DuckDB ASOF):
+    // a null never satisfies l.ts >= r.ts, so null-ts right rows are
+    // dropped up front (they could otherwise sort first under asc
+    // nulls-first and "match" everything) and null-ts left rows get a
+    // null match via the explicit gate below (under desc they'd sort
+    // last and see every right row).
     val lPrep = left.select(col(key).as("_k"), col(leftTs).as("_t"),
       lit(1).as("_side"), lStruct.as("_lrow"), lit(null).cast(rType).as("_rrow"))
-    val rPrep = right.select(col(key).as("_k"), col(rightTs).as("_t"),
-      lit(0).as("_side"), lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow"))
+    val rPrep = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("_k"), col(rightTs).as("_t"),
+        lit(0).as("_side"), lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow"))
 
     val ord = if (ascending) col("_t").asc else col("_t").desc
     val w = Window.partitionBy("_k").orderBy(ord, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lPrep.unionByName(rPrep)
-      .withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
+      .withColumn("_m", when(col("_t").isNotNull,
+        last(col("_rrow"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 1)
     // tolerance: |l.ts - r.ts| must be within `tolerance` (a Column in
     // the timestamp's units) or the match is dropped back to null.

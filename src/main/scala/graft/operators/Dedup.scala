@@ -61,26 +61,46 @@ object Dedup {
     * once, and both fields unpack with two codegen'd bit ops. Caps:
     * setSize < 2^20 shingles per doc, id < 2^43. */
   private val SizeBits = 20
-  private def coShinglePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocFreq: Option[Int]): DataFrame = {
-    val post = postingsHashed(df, idCol, textCol, n)
-    val packed = shiftleft(col("_id"), SizeBits) + col("_n")
-    val lists = post.groupBy("_sh")
-      .agg(sort_array(collect_list(packed)).as("_lst"))
-    // Optional stop-shingle cap: a shingle appearing in > maxDocFreq
-    // docs generates O(df²) pairs; real corpora cap df to bound skew
-    // (no-op below the cap, so exactness is preserved at test scale).
-    val capped = maxDocFreq.fold(lists)(m => lists.filter(size(col("_lst")) <= m))
+
+  /** Packed posting entry `id << SizeBits | setSize`, with the packing
+    * domain ENFORCED at runtime (shiftleft/add wrap silently, which
+    * would corrupt pair identities, so out-of-range inputs must fail
+    * loudly): 0 ≤ id < 2^43, setSize < 2^20. The assert is fused into
+    * the value via coalesce so column pruning can't drop it. */
+  private def packedEntry: Column = {
+    val ok = col("_n") < lit(1L << SizeBits) &&
+      col("_id") >= 0 && col("_id") < lit(1L << (63 - SizeBits))
+    coalesce(
+      assert_true(ok, lit(s"dedup packing domain: need 0 <= id < 2^${63 - SizeBits} " +
+        s"and shingle-set size < 2^$SizeBits")).cast("long"),
+      shiftleft(col("_id"), SizeBits) + col("_n"))
+  }
+
+  /** Explode every i<j pair of each packed posting list (PairExplode)
+    * and unpack both entries back to (ida, na, idb, nb). */
+  private def explodePackedPairs(lists: DataFrame): DataFrame = {
     val pairs = org.apache.spark.sql.graft.ColumnShim.column(
       org.apache.spark.sql.graft.PairExplode(
         org.apache.spark.sql.graft.ColumnShim.expression(col("_lst"))))
     val sizeMask = (1L << SizeBits) - 1
-    capped.filter(size(col("_lst")) >= 2)
+    lists.filter(size(col("_lst")) >= 2)
       .select(pairs.as(Seq("_pa", "_pb")))
       .select(shiftright(col("_pa"), SizeBits).as("ida"),
         col("_pa").bitwiseAND(lit(sizeMask)).as("na"),
         shiftright(col("_pb"), SizeBits).as("idb"),
         col("_pb").bitwiseAND(lit(sizeMask)).as("nb"))
+  }
+
+  private def coShinglePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Option[Int]): DataFrame = {
+    val post = postingsHashed(df, idCol, textCol, n)
+    val lists = post.groupBy("_sh")
+      .agg(sort_array(collect_list(packedEntry)).as("_lst"))
+    // Optional stop-shingle cap: a shingle appearing in > maxDocFreq
+    // docs generates O(df²) pairs; real corpora cap df to bound skew
+    // (no-op below the cap, so exactness is preserved at test scale).
+    val capped = maxDocFreq.fold(lists)(m => lists.filter(size(col("_lst")) <= m))
+    explodePackedPairs(capped)
   }
 
   // timing-dissection entry points (TimeOne x2post / x2pairs)
@@ -158,8 +178,7 @@ object Dedup {
     val tDec = lit(BigDecimal(threshold)).cast("decimal(10,6)")
     val plen = (col("_n") - ceil(col("_n").cast("decimal(20,6)") * tDec) +
       1).cast("int")
-    val packed = shiftleft(col("_id"), SizeBits) + col("_n")
-    val prefixPost = sized.select(packed.as("_p"),
+    val prefixPost = sized.select(packedEntry.as("_p"),
       explode(slice(col("_set"), lit(1), plen)).as("_sh"))
     val lists = prefixPost.groupBy("_sh")
       .agg(sort_array(collect_list(col("_p"))).as("_lst"))
@@ -167,16 +186,7 @@ object Dedup {
     // maxDocFreq docs generates O(df²) candidates; real corpora cap df
     // to bound skew (no-op below the cap — exactness preserved).
     val capped = maxDocFreq.fold(lists)(m => lists.filter(size(col("_lst")) <= m))
-    val pairs = org.apache.spark.sql.graft.ColumnShim.column(
-      org.apache.spark.sql.graft.PairExplode(
-        org.apache.spark.sql.graft.ColumnShim.expression(col("_lst"))))
-    val sizeMask = (1L << SizeBits) - 1
-    val cand = capped.filter(size(col("_lst")) >= 2)
-      .select(pairs.as(Seq("_pa", "_pb")))
-      .select(shiftright(col("_pa"), SizeBits).as("ida"),
-        col("_pa").bitwiseAND(lit(sizeMask)).as("na"),
-        shiftright(col("_pb"), SizeBits).as("idb"),
-        col("_pb").bitwiseAND(lit(sizeMask)).as("nb"))
+    val cand = explodePackedPairs(capped)
       // length filter: J ≥ t needs t·max(|a|,|b|) ≤ min(|a|,|b|)
       .filter(col("na") * tDec <= col("nb") && col("nb") * tDec <= col("na"))
       .select("ida", "idb").distinct()

@@ -61,6 +61,10 @@ object RangeJoin {
     val collisions = intervals.columns.toSet.intersect(points.columns.toSet)
     require(collisions.isEmpty,
       s"interval columns collide with points: ${collisions.mkString(",")}")
+    val reserved = Set("_bucket", "_hi1")
+      .intersect(points.columns.toSet ++ intervals.columns.toSet)
+    require(reserved.isEmpty,
+      s"reserved working columns present in input: ${reserved.mkString(",")}")
     val ivb = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("_hi1", col(hiCol) - 1)

@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** MINSTD multiplicative hash of a non-negative integral key —
-    * deterministic, engine-portable (plain * and % — no engine hash
-    * builtin), uniform enough for split assignment. Keys must stay
-    * below ~2^47 so the multiply cannot overflow a long. */
-  def minstdHash(key: Column): Column =
-    pmod(key.cast("long") * 48271L, lit(2147483647L))
+  /** MINSTD multiplicative hash of an integral key — deterministic,
+    * engine-portable (plain % and * — no engine hash builtin), uniform
+    * enough for split assignment. The key is reduced mod 2^31−1 BEFORE
+    * the multiply, so no long can overflow under ANSI mode (the
+    * CLAUDE.md raw-`a*x` trap: pmod < 2^31 times 48271 < 2^47); for
+    * keys already below 2^31−1 the value equals the textbook
+    * `(key·48271) mod M`, which is what the SQL oracles state. */
+  def minstdHash(key: Column): Column = {
+    val m = lit(2147483647L)
+    pmod(pmod(key.cast("long"), m) * 48271L, m)
+  }
 
   /** Keep rows whose hash falls in `residues` of `modulus` classes —
     * e.g. modulus=10, residues=Seq(0) is a reproducible 10% sample;

@@ -155,9 +155,12 @@ object Similarity {
       .cache()
     // a sample thinner than ~20 points per centroid trains bad (or,
     // below k distinct points, crashing) cells — small corpora just
-    // train on everything; the sample only exists to bound BIG fits
+    // train on everything; the sample only exists to bound BIG fits.
+    // The gate counts through a limit so it short-circuits instead of
+    // scanning the full sample when the corpus is large.
+    val floor = 20L * nLists
     val trainRows =
-      if (sampled.count() >= 20L * nLists) sampled
+      if (sampled.limit(floor.toInt).count() >= floor) sampled
       else featurized.select("features")
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .fit(trainRows)

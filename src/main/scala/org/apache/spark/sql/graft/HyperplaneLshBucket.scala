@@ -75,18 +75,24 @@ object LshUtil {
   }
 
   def bucket(vec: ArrayData, weights: Array[Double], dim: Int, nPlanes: Int): Long = {
-    val n = math.min(vec.numElements(), dim)
+    // HOF-parity edge: on a length mismatch zip_with pads with nulls,
+    // the fold turns null, `when(null >= 0, bit)` falls to the
+    // otherwise(0) branch for every plane → code 0. Mirror that
+    // instead of silently truncating to min(len, dim).
+    if (vec.numElements() != dim) return 0L
     var code = 0L
     var p = 0
     while (p < nPlanes) {
       var proj = 0.0
       val base = p * dim
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         proj += vec.getFloat(i).toDouble * weights(base + i)
         i += 1
       }
-      if (proj >= 0) code |= 1L << p
+      // Spark SQL orders NaN greater than every double (so NaN >= 0 is
+      // TRUE there); Java says false — follow Spark for bit parity.
+      if (proj >= 0 || java.lang.Double.isNaN(proj)) code |= 1L << p
       p += 1
     }
     code

@@ -78,6 +78,20 @@ class AsofJoinSpec extends SparkTestBase {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("null timestamps never match (SQL comparison semantics)") {
+    val nullQuotes = Seq((1, Option.empty[Long], 7.0), (1, Some(15L), 8.0))
+      .toDF("k", "q", "qv")
+    val nullTrades = Seq((9L, 1, Option.empty[Long], 0.0))
+      .toDF("trade_id", "k", "t", "tv")
+    // null-ts right row must not win for an early left row (backward)
+    val back = rows(AsofJoin.backward(trades, "t", nullQuotes, "q", "k"))
+    assert(back.contains((3L, None, None)), s"t=5 matched a null quote: $back")
+    // null-ts left row must get a null match, even under forward's
+    // descending sort (where nulls-last would otherwise see every row)
+    val fwd = rows(AsofJoin.forward(nullTrades, "t", quotes, "q", "k"))
+    assert(fwd === Set((9L, None, None)))
+  }
+
   test("colliding right column names are rejected") {
     intercept[IllegalArgumentException] {
       AsofJoin.backward(trades, "t", trades, "t", "k")

@@ -25,6 +25,14 @@ class SamplingSpec extends SparkTestBase {
     assert(parts.reduce(_ ++ _).size === 1000)
   }
 
+  test("hash accepts full-range long keys without ANSI overflow") {
+    val big = spark.range(3).select(
+      (col("id") * 1000000007L + 5000000000000000000L).as("doc_id"))
+    // would throw ArithmeticException under ANSI with raw key*48271
+    val out = big.select(Sampling.minstdHash(col("doc_id")).as("h")).collect()
+    out.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) < 2147483647L))
+  }
+
   test("stratifiedTopK caps every stratum at k, deterministically") {
     val out = Sampling.stratifiedTopK(docs, "lang", "doc_id", 5)
     val perLang = out.groupBy("lang").count().collect()

@@ -22,11 +22,14 @@ class HyperplaneLshBucketSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
-  test("edge vectors: zeros, negatives, single-dim") {
+  test("edge vectors: zeros, negatives, NaN, length mismatch") {
     val vecs = Seq(
       Array(0.0f, 0.0f, 0.0f),
       Array(-1.5f, 2.5f, -0.25f),
-      Array(1e-30f, -1e-30f, 0.0f)
+      Array(1e-30f, -1e-30f, 0.0f),
+      Array(Float.NaN, 1.0f, -1.0f), // NaN proj: Spark NaN >= 0 is true
+      Array(1.0f, 2.0f),             // shorter than dim → HOF null-fold
+      Array(1.0f, 2.0f, 3.0f, 4.0f)  // longer than dim
     ).toDF("v")
     val rows = vecs.select(
       Similarity.lshBucket(col("v"), 3, 8).as("native"),
