@@ -9,7 +9,9 @@ object PlanAudit {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("a1_po_totals", "j1_reconciliation", "j5_threeway_2key",
-        "w1_top1_per_key", "j3_knn_nearest", "x5_ann_cosine_topk")
+        "w1_top1_per_key", "j3_knn_nearest", "x5_ann_cosine_topk",
+        "j7_asof_join", "j8_range_join", "a5_rollup", "a8_pivot",
+        "c3_exists", "x9_hash_sample")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")

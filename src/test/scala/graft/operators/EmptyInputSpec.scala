@@ -29,6 +29,24 @@ class EmptyInputSpec extends SparkTestBase {
       .count() === 0)
   }
 
+  test("as-of, range join, sampling, fuzzy dedup on empty input") {
+    val noTrades = Seq.empty[(Long, Int, Long)].toDF("trade_id", "k", "t")
+    val noQuotes = Seq.empty[(Int, Long, Double)].toDF("k", "q", "qv")
+    assert(AsofJoin.backward(noTrades, "t", noQuotes, "q", "k").count() === 0)
+    val someTrades = Seq((1L, 1, 10L)).toDF("trade_id", "k", "t")
+    // empty right side: left-outer semantics keep the left rows
+    assert(AsofJoin.backward(someTrades, "t", noQuotes, "q", "k").count() === 1)
+
+    val noPts = Seq.empty[(Long, Long)].toDF("pid", "p")
+    val noIvs = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(noPts, "p", noIvs, "lo", "hi", 8L)
+      .count() === 0)
+
+    assert(Sampling.hashSample(noDocs, "doc_id", 10, Seq(0)).count() === 0)
+    assert(Sampling.stratifiedTopK(noDocs, "text", "doc_id", 5).count() === 0)
+    assert(Dedup.editDistancePairs(noDocs, "doc_id", "text", 3).count() === 0)
+  }
+
   test("top-per-key and sessionization on empty input") {
     val noLi = Seq.empty[(Long, Int, Double)]
       .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
