@@ -195,6 +195,37 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** The full corpus-curation pipeline in one composed query — the
+    * end-to-end shape this engine exists for: detect language and
+    * filter to English → quality-score floor → exact dedup (keep the
+    * smallest id per normalized fingerprint) → near-dup removal (drop
+    * any doc with an exact-Jaccard ≥ 0.8 neighbor of smaller id among
+    * the survivors; pair properties are per-pair, so the global pair
+    * set restricted to survivors equals pairs computed on survivors) →
+    * deterministic 80/20 hash split. Every stage is one of the
+    * operators proven individually; the oracle restates the chain. */
+  def x10CorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+    val scored = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.langId(col("text")).as("lang_detected"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    val filt = scored.filter(col("lang_detected") === "en" &&
+      col("quality") >= 0.3)
+    val keep1 = filt.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactDeduped = filt.join(keep1, Seq("doc_id"))
+    val dupPairs = Dedup.ngramJaccardPairs(exactDeduped, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select(col("idb").as("doc_id"))
+    val nearDeduped = exactDeduped.join(dupPairs, Seq("doc_id"), "left_anti")
+    nearDeduped.select(col("doc_id"), col("quality"),
+        when(pmod(operators.Sampling.minstdHash(col("doc_id")), lit(10)) < 8,
+          lit("train")).otherwise(lit("eval")).as("split"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- text analysis
 
   def t1TextStats(s: SparkSession, d: String): DataFrame = {
@@ -349,6 +380,35 @@ object ExtensionQueries {
         |WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
 
+    "x10_corpus_pipeline" ->
+      s"""WITH s AS ($langScoreSql),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN s_en > 0 AND s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en'
+        |         WHEN s_fr > 0 AND s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr'
+        |         WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
+        |         WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
+        |         ELSE 'und' END AS lang_detected,
+        |    ROUND(LEAST(len(string_split(text,' '))/100.0, 1.0) * 0.6 +
+        |      LEAST(CAST(s_en AS DOUBLE)/(len(string_split(text,' ')) + 1.0), 1.0)
+        |        * 0.4, 6) AS quality,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM s),
+        |filt AS (SELECT * FROM scored
+        |         WHERE lang_detected = 'en' AND quality >= 0.3),
+        |keep1 AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY fp),
+        |f2 AS (SELECT filt.* FROM filt JOIN keep1 USING (doc_id)),
+        |pairs AS (SELECT * FROM (${jaccardPairsCte.replace("%THRESH%", "0.8")}) t),
+        |drop2 AS (SELECT DISTINCT p.idb AS doc_id FROM pairs p
+        |          JOIN f2 a ON a.doc_id = p.ida
+        |          JOIN f2 b ON b.doc_id = p.idb)
+        |SELECT f2.doc_id, f2.quality,
+        |  CASE WHEN ((f2.doc_id * 48271) % 2147483647) % 10 < 8
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM f2 LEFT JOIN drop2 ON f2.doc_id = drop2.doc_id
+        |WHERE drop2.doc_id IS NULL
+        |ORDER BY f2.doc_id""".stripMargin,
+
     "x9_hash_sample" ->
       """WITH cut AS (
         |  SELECT doc_id, lang, (doc_id * 48271) % 2147483647 AS h
@@ -486,6 +546,7 @@ object ExtensionQueries {
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
     "x8_crossbatch_overlap"  -> (x8CrossBatchOverlap _),
     "x9_hash_sample"         -> (x9HashSample _),
+    "x10_corpus_pipeline"    -> (x10CorpusPipeline _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),
     "x6_embedding_neardup"   -> (x6EmbeddingNearDup _),
     "t1_text_stats"          -> (t1TextStats _),
