@@ -287,6 +287,31 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Real multimodal ingestion boundary: one opaque binary file per
+    * document written distributed (mapPartitions-style foreach, no
+    * driver collect), read back through Spark's `binaryFile` source —
+    * (path, length, content) per file, the way image/audio corpora
+    * actually arrive — with identity recovered from the filename and
+    * content integrity proven by sha256 against the original rows. */
+  def m2BinaryFileIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binfiles").toString
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%09d.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+          .cast("bigint").as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("sha256_hex"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------- streaming
 
   /** Tumbling-window stats — the transform shared verbatim with the
@@ -506,6 +531,12 @@ object ExtensionQueries {
         | CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT) AS n_resized_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "m2_binaryfile_ingest" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t4_json_props" ->
       """SELECT k_bucket, event_type, COUNT(*) AS n,
         |       CAST(SUM(k) AS BIGINT) AS sum_k FROM (
@@ -555,6 +586,7 @@ object ExtensionQueries {
     "t5_edit_pairs"          -> (t5EditPairs _),
     "t4_json_props"          -> (t4JsonProps _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
+    "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "st1_event_window"       -> (st1EventWindow _),
     "st2_sessionize"         -> (st2Sessionize _),
   )

@@ -198,8 +198,40 @@ object OlapQueries {
       .orderBy("event_type", "hour_start")
   }
 
+  /** A9 (extension) — ordered group concatenation (LISTAGG/STRING_AGG):
+    * formulated as sort_array(collect_list) + concat_ws, which is
+    * deterministic by construction (the per-group order is explicit,
+    * not an accumulation order) and partial-aggregatable. */
+  def a9GroupConcat(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .filter(col("s_suppkey") % 7 === 0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", sort_array(collect_list(col("s_name"))))
+          .as("names_csv"))
+      .orderBy("s_nationkey")
+
+  /** A10 (extension) — UNPIVOT (wide→long), the inverse of a8's pivot:
+    * melt per-type measure columns back into (event_type, sum_value)
+    * rows via stack(), dropping null cells like SQL UNPIVOT. */
+  def a10Unpivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, d)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", types)
+      .agg(round(sum(col("value").cast("decimal(18,2)")), 2)
+        .cast("double"))
+    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    wide.select(col("user_bucket"),
+        expr(s"stack(${types.length}, $stackArgs) AS (event_type, sum_value)"))
+      .filter(col("sum_value").isNotNull)
+      .orderBy("user_bucket", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a8_pivot"           -> (a8Pivot _),
+    "a9_group_concat"    -> (a9GroupConcat _),
+    "a10_unpivot"        -> (a10Unpivot _),
     "st3_gapfill"        -> (st3GapFill _),
     "j7_asof_join"       -> (j7AsofJoin _),
     "j8_range_join"      -> (j8RangeJoin _),
@@ -222,6 +254,21 @@ object OlapQueries {
                .map(cell).mkString(",\n ")}
          |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
     },
+
+    "a9_group_concat" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        | string_agg(s_name, ',' ORDER BY s_name) AS names_csv
+        |FROM supplier WHERE s_suppkey % 7 = 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "a10_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id % 10 AS user_bucket, event_type,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY user_id % 10, event_type)
+        |SELECT user_bucket, event_type, sum_value FROM wide
+        |WHERE sum_value IS NOT NULL
+        |ORDER BY user_bucket, event_type""".stripMargin,
 
     "st3_gapfill" ->
       """WITH hourly AS (
