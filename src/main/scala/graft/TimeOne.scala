@@ -38,7 +38,27 @@ object TimeOne {
     }
     def annQueries(c: org.apache.spark.sql.DataFrame) =
       c.filter(col("vec_id") % 2000 === 0) // 1000 query vectors
+    // ~5M-trade / ~1M-quote as-of stress: events replicated with
+    // deterministic per-copy time offsets (distinct users keep key
+    // cardinality realistic)
+    def asofStress = {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("event_type"), col("value"))
+      val rep = ev.select(col("*"), explode(sequence(lit(0), lit(49))).as("k"))
+        .select((col("event_id") * 100 + col("k")).as("event_id"),
+          col("user_id"), (col("t_us") + col("k") * 1000L).as("t_us"),
+          col("event_type"), col("value"))
+      val quotes = rep.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("quote"))
+        .select(col("user_id"), col("t_us").as("q_us"), col("quote"))
+      val trades = rep.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      operators.AsofJoin.backward(trades, "t_us", quotes, "q_us", "user_id")
+    }
     def dfFor(n: String) = n match {
+      case "asofstress" => asofStress
       case "annbrute" =>
         val c = embStress.cache()
         operators.Similarity.bruteForceTopK(c, annQueries(c), "vec_id", "embedding", 10)
