@@ -57,8 +57,28 @@ object TimeOne {
         .select(col("event_id"), col("user_id"), col("t_us"))
       operators.AsofJoin.backward(trades, "t_us", quotes, "q_us", "user_id")
     }
+    // ~6M-point range-join stress against 200 overlapping bands —
+    // "rangestress" is the bucketed rewrite, "rangenaive" the
+    // broadcast-nested-loop inequality join Catalyst plans unaided
+    def rangePoints = {
+      val li = Tables.lineitem(spark, sfDir).select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      li.select(col("cents"), explode(sequence(lit(0), lit(9))).as("k"))
+        .select((col("cents") + col("k")).as("cents"))
+    }
+    def rangeBands = spark.range(0, 200).select(col("id").as("band_id"),
+      (col("id") * 60000L).as("lo"), (col("id") * 60000L + 90000L).as("hi"))
     def dfFor(n: String) = n match {
       case "asofstress" => asofStress
+      case "rangestress" =>
+        operators.RangeJoin.pointInInterval(rangePoints, "cents",
+            rangeBands, "lo", "hi", 30000L)
+          .groupBy("band_id").agg(count(lit(1)).as("n"))
+      case "rangenaive" =>
+        rangePoints.join(rangeBands,
+            col("cents") >= col("lo") && col("cents") < col("hi"))
+          .groupBy("band_id").agg(count(lit(1)).as("n"))
       case "annbrute" =>
         val c = embStress.cache()
         operators.Similarity.bruteForceTopK(c, annQueries(c), "vec_id", "embedding", 10)
