@@ -69,6 +69,15 @@ object ExtensionQueries {
         maxHamming = 3)
       .orderBy("ida", "idb")
 
+  /** SimHash with the engine-portable md5-derived token hash (60 bits)
+    * — the variant whose bit-majority, banding, and Hamming logic the
+    * DuckDB oracle recomputes exactly, closing the rows-only gap x4's
+    * xxhash64 leaves. */
+  def x4bSimhashPortable(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupsWith(Tables.documents(s, d), "doc_id", "text",
+        Dedup.md5Hash60, nBits = 60, maxHamming = 3)
+      .orderBy("ida", "idb")
+
   /** Incremental dedup: an incoming batch is anti-joined against the
     * existing corpus on the content fingerprint — the shape of every
     * "only ingest what we haven't seen" pipeline step. Left-anti join
@@ -396,6 +405,34 @@ object ExtensionQueries {
 
     "x3_dedup_minhash_lsh" -> jaccardPairsSql.replace("%THRESH%", "0.8"),
 
+    "x4b_simhash_portable" -> {
+      val bitSums = (0 until 60)
+        .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n   ")
+      val code = (0 until 60)
+        .map(j => s"CASE WHEN b$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |sums AS (
+        |  SELECT doc_id,
+        |   $bitSums
+        |  FROM toks GROUP BY doc_id),
+        |codes AS (SELECT doc_id, $code AS simhash FROM sums),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS ck
+        |  FROM codes, (VALUES (0),(1),(2),(3)) t(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+        |         a.simhash AS sa, b.simhash AS sb
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+        |SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY ida, idb""".stripMargin
+    },
+
     "x7_incremental_dedup" ->
       """WITH inc AS (
         |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
@@ -574,6 +611,7 @@ object ExtensionQueries {
     "x2_dedup_ngram_jaccard" -> (x2NgramJaccard _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4_dedup_simhash"       -> (x4Simhash _),
+    "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
     "x8_crossbatch_overlap"  -> (x8CrossBatchOverlap _),
     "x9_hash_sample"         -> (x9HashSample _),

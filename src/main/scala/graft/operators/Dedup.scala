@@ -288,18 +288,36 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
     * token hashes, computed as 64 conditional sums in one aggregation. */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWith(df, idCol, textCol, xxhash64(_), 64)
+
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed base-16 — DuckDB computes identical bits, so the simhash
+    * pipeline built on it is differentially verifiable end to end
+    * (xxhash64 is the faster production hash but has no cross-engine
+    * twin). 15 hex chars keep the value < 2^60: positive, no overflow
+    * in either engine. */
+  def md5Hash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SimHash with a pluggable token hash and bit width: bits ≥ nBits
+    * are never set (every doc votes −1 there), so narrower hashes just
+    * leave the top bits zero — Hamming distances and chunk banding are
+    * unaffected. */
+  def simhashWith(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column, nBits: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 64)
     val toks = ensureParallelism(df)
       .select(col(idCol).as("_id"),
         explode(TextAnalysis.words(col(textCol))).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("_h", hashFn(col("_tok")))
+    val bitSums = (0 until nBits).map { j =>
       sum(when(shiftright(col("_h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"_b$j")
     }
     toks.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("_id"),
-        (0 until 64).map(j =>
+        (0 until nBits).map(j =>
           when(col(s"_b$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
@@ -311,8 +329,14 @@ object Dedup {
     * complete only for maxHamming ≤ 3; larger values still filter
     * correctly but may miss pairs whose codes differ in all 4 chunks. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash64(df, idCol, textCol)
+      maxHamming: Int = 3): DataFrame =
+    simhashNearDupsWith(df, idCol, textCol, xxhash64(_), 64, maxHamming)
+
+  /** [[simhashNearDups]] with a pluggable token hash / bit width (the
+    * md5Hash60 variant is the differentially-verifiable path). */
+  def simhashNearDupsWith(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column, nBits: Int, maxHamming: Int): DataFrame = {
+    val sh = simhashWith(df, idCol, textCol, hashFn, nBits)
     val chunks = sh.select(col("_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*))
