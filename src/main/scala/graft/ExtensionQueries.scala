@@ -303,7 +303,7 @@ object ExtensionQueries {
     * actually arrive — with identity recovered from the filename and
     * content integrity proven by sha256 against the original rows. */
   def m2BinaryFileIngest(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_binfiles").toString
+    val dir = Scratch.dir("graft_binfiles")
     Tables.documents(s, d).select(col("doc_id"), col("text"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>

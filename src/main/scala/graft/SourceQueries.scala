@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{CsvIngest, SchemaInference, XmlShred}
 
-import java.nio.file.Files
-
 /** Source/sink operator queries (SURVEY.md §2a): each runs a real
   * ingest path end-to-end — write a derived file/table, read it back
   * through the graft source implementation, and produce a result the
@@ -15,8 +13,7 @@ import java.nio.file.Files
   */
 object SourceQueries {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = Scratch.dir(prefix)
 
   /** S1/S4/P1 — option-rich CSV write+read roundtrip with positional
     * `$i` projection and TRY casts (the COPY INTO shape,
