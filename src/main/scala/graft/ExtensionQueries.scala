@@ -78,6 +78,18 @@ object ExtensionQueries {
         Dedup.md5Hash60, nBits = 60, maxHamming = 3)
       .orderBy("ida", "idb")
 
+  /** Near-dup clusters: connected components over the exact-Jaccard
+    * ≥ 0.8 pair graph — (doc_id, cluster_id=min id in component), the
+    * canonical-pick step after pairwise dedup. The oracle computes the
+    * same components with a recursive transitive-closure CTE. */
+  def x11DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+      "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental dedup: an incoming batch is anti-joined against the
     * existing corpus on the content fingerprint — the shape of every
     * "only ingest what we haven't seen" pipeline step. Left-anti join
@@ -433,6 +445,18 @@ object ExtensionQueries {
         |ORDER BY ida, idb""".stripMargin
     },
 
+    "x11_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT * FROM (${jaccardPairsCte.replace("%THRESH%", "0.8")}) t),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+        |          UNION SELECT idb, ida FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst)
+        |SELECT node AS doc_id, MIN(label) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
     "x7_incremental_dedup" ->
       """WITH inc AS (
         |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
@@ -616,6 +640,7 @@ object ExtensionQueries {
     "x8_crossbatch_overlap"  -> (x8CrossBatchOverlap _),
     "x9_hash_sample"         -> (x9HashSample _),
     "x10_corpus_pipeline"    -> (x10CorpusPipeline _),
+    "x11_dup_clusters"       -> (x11DupClusters _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),
     "x6_embedding_neardup"   -> (x6EmbeddingNearDup _),
     "t1_text_stats"          -> (t1TextStats _),

@@ -255,6 +255,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches into dedup CLUSTERS (pick one canonical
+    * doc per component; the greedy "drop larger id of each pair" rule
+    * over-drops on chains a–b–c). Returns (node, cluster_id) with
+    * cluster_id = the component's minimum node id.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own and its neighbors' labels; a round
+    * with zero changes means convergence (reached in ≤ diameter
+    * rounds, and real near-dup components are shallow). Each iteration
+    * is one join + one aggregation, fully distributed; labels persist
+    * per round and the previous round unpersists, so lineage stays
+    * bounded. maxIter caps pathological graphs — hitting it throws
+    * rather than silently returning unconverged labels. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "ida",
+      bCol: String = "idb", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("_nbr"))
+      val next = labels.join(nbrMin, col("node") === col("src"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
   /** Fuzzy (edit-distance) near-dup pairs: all (a,b) with
     * levenshtein(text_a, text_b) ≤ maxDist.
     *

@@ -93,6 +93,27 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents labels chains and separate components") {
+    // components: {1,2,3,4} (a chain), {10,11}, {20,21,22} (a star)
+    val pairs = Seq(
+      (2L, 3L), (1L, 2L), (3L, 4L),       // chain needs propagation depth
+      (11L, 10L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("ida", "idb")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents refuses to return unconverged labels") {
+    // a path of length 6 cannot converge in 1 iteration
+    val path = (1L until 7L).map(i => (i, i + 1)).toDF("ida", "idb")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(path, maxIter = 1)
+    }
+  }
+
   test("editDistancePairs equals the naive all-pairs levenshtein") {
     import org.apache.spark.sql.functions._
     // varied lengths so the length blocking actually prunes, plus
