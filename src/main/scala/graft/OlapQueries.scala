@@ -61,6 +61,27 @@ object OlapQueries {
       .orderBy("band_id")
   }
 
+  /** J10 (extension) — 2D spatial containment join: supplier points in
+    * nation bounding boxes via the per-dimension bucketed rewrite
+    * (RangeJoin.pointInBox), aggregated to a per-box census. Integer
+    * grid coordinates derived deterministically from keys (the j3/p17
+    * convention ×100 for sub-unit precision). */
+  def j10BboxJoin(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.supplier(s, d).select(col("s_suppkey"),
+      ((col("s_suppkey") * 7) % 12000 - 6000).as("px"),
+      ((col("s_suppkey") * 13) % 34000 - 17000).as("py"))
+    val boxes = Tables.nation(s, d).select(col("n_nationkey").as("box_id"),
+      ((col("n_nationkey") * 11) % 12000 - 6900).as("xlo"),
+      ((col("n_nationkey") * 11) % 12000 - 6900 + 1800).as("xhi"),
+      ((col("n_nationkey") * 17) % 34000 - 18500).as("ylo"),
+      ((col("n_nationkey") * 17) % 34000 - 18500 + 3000).as("yhi"))
+    RangeJoin.pointInBox(pts, "px", "py", boxes,
+        "xlo", "xhi", "ylo", "yhi", xBucket = 1800L, yBucket = 3000L)
+      .groupBy("box_id")
+      .agg(count(lit(1)).as("n_points"), min(col("s_suppkey")).as("min_supp"))
+      .orderBy("box_id")
+  }
+
   /** A5 (extension) — ROLLUP grouping sets with GROUPING_ID: detail,
     * per-flag subtotal, and grand total in one aggregation pass.
     * Spark's grouping_id bitmask matches DuckDB's GROUPING(). */
@@ -235,6 +256,7 @@ object OlapQueries {
     "st3_gapfill"        -> (st3GapFill _),
     "j7_asof_join"       -> (j7AsofJoin _),
     "j8_range_join"      -> (j8RangeJoin _),
+    "j10_bbox_join"      -> (j10BboxJoin _),
     "a5_rollup"          -> (a5Rollup _),
     "w3_lag_rolling"     -> (w3LagRolling _),
     "w4_rank_family"     -> (w4RankFamily _),
@@ -305,6 +327,20 @@ object OlapQueries {
         |SELECT band_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
         |FROM pts JOIN bands ON cents >= lo AND cents < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "j10_bbox_join" ->
+      """WITH pts AS (SELECT s_suppkey,
+        |   (s_suppkey*7) % 12000 - 6000 AS px,
+        |   (s_suppkey*13) % 34000 - 17000 AS py FROM supplier),
+        |boxes AS (SELECT n_nationkey AS box_id,
+        |   (n_nationkey*11) % 12000 - 6900 AS xlo,
+        |   (n_nationkey*11) % 12000 - 6900 + 1800 AS xhi,
+        |   (n_nationkey*17) % 34000 - 18500 AS ylo,
+        |   (n_nationkey*17) % 34000 - 18500 + 3000 AS yhi FROM nation)
+        |SELECT box_id, COUNT(*) AS n_points, MIN(s_suppkey) AS min_supp
+        |FROM pts JOIN boxes
+        |  ON px >= xlo AND px < xhi AND py >= ylo AND py < yhi
+        |GROUP BY box_id ORDER BY box_id""".stripMargin,
 
     "a5_rollup" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -68,6 +68,12 @@ object RangeJoin {
     val ivb = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("_hi1", col(hiCol) - 1)
+    pointInBucketedIntervals(points, pointCol, ivb, loCol, hiCol, bucketWidth)
+  }
+
+  private def pointInBucketedIntervals(points: DataFrame, pointCol: String,
+      ivb: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
     val ivb2 = ivb.withColumn("_bucket", explode(sequence(
         floorDiv(ivb, loCol, bucketWidth),
         floorDiv(ivb, "_hi1", bucketWidth)))).drop("_hi1")
@@ -75,5 +81,45 @@ object RangeJoin {
     pb.join(ivb2, Seq("_bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bucket")
+  }
+
+  /** 2D spatial containment join: points (x, y) ⋈ boxes on
+    * `xlo <= x < xhi AND ylo <= y < yhi` — the interval-bucketing
+    * rewrite applied per dimension (the grid-cell / geohash-style
+    * spatial join). Each box replicates to the cross product of the
+    * x- and y-bucket ranges it spans, each point maps to its single
+    * (bx, by) cell, and the hash equi join on the cell meets each true
+    * pair exactly once; the residual 2D containment filter keeps true
+    * hits. Replication per box is (⌈w/Wx⌉+1)·(⌈h/Wy⌉+1) ≤ 4 copies at
+    * cell ≈ box size, points never replicate — versus the
+    * O(|points|·|boxes|) nested loop the bare conjunction plans. */
+  def pointInBox(points: DataFrame, xCol: String, yCol: String,
+      boxes: DataFrame, xloCol: String, xhiCol: String,
+      yloCol: String, yhiCol: String,
+      xBucket: Long, yBucket: Long): DataFrame = {
+    require(xBucket > 0 && yBucket > 0, "bucket widths must be positive")
+    val collisions = boxes.columns.toSet.intersect(points.columns.toSet)
+    require(collisions.isEmpty,
+      s"box columns collide with points: ${collisions.mkString(",")}")
+    val reserved = Set("_bx", "_by", "_xh1", "_yh1")
+      .intersect(points.columns.toSet ++ boxes.columns.toSet)
+    require(reserved.isEmpty,
+      s"reserved working columns present in input: ${reserved.mkString(",")}")
+    val b1 = boxes
+      .filter(col(xhiCol) > col(xloCol) && col(yhiCol) > col(yloCol))
+      .withColumn("_xh1", col(xhiCol) - 1)
+      .withColumn("_yh1", col(yhiCol) - 1)
+    val b2 = b1.withColumn("_bx", explode(sequence(
+      floorDiv(b1, xloCol, xBucket), floorDiv(b1, "_xh1", xBucket))))
+    val b3 = b2.withColumn("_by", explode(sequence(
+      floorDiv(b2, yloCol, yBucket), floorDiv(b2, "_yh1", yBucket))))
+      .drop("_xh1", "_yh1")
+    val pb = points
+      .withColumn("_bx", floorDiv(points, xCol, xBucket))
+      .withColumn("_by", floorDiv(points, yCol, yBucket))
+    pb.join(b3, Seq("_bx", "_by"))
+      .filter(col(xCol) >= col(xloCol) && col(xCol) < col(xhiCol) &&
+        col(yCol) >= col(yloCol) && col(yCol) < col(yhiCol))
+      .drop("_bx", "_by")
   }
 }

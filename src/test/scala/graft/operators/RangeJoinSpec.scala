@@ -31,6 +31,24 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("NestedLoop"), s"nested loop in plan:\n$plan")
   }
 
+  test("2D box join equals the naive conjunction join, once per pair") {
+    val pts = spark.range(800).select(col("id").as("pid"),
+      ((col("id") * 97) % 500 - 100).as("x"),
+      ((col("id") * 61) % 700 - 300).as("y"))
+    val boxes = spark.range(60).select(col("id").as("bid"),
+      ((col("id") * 131) % 400 - 150).as("xlo"),
+      ((col("id") * 131) % 400 - 150 + (col("id") % 5) * 60).as("xhi"),
+      ((col("id") * 37) % 500 - 250).as("ylo"),
+      ((col("id") * 37) % 500 - 250 + (col("id") % 7) * 70).as("yhi"))
+    val fast = RangeJoin.pointInBox(pts, "x", "y", boxes,
+      "xlo", "xhi", "ylo", "yhi", 32L, 48L).select("pid", "bid")
+    val slow = pts.join(boxes,
+      col("x") >= col("xlo") && col("x") < col("xhi") &&
+        col("y") >= col("ylo") && col("y") < col("yhi")).select("pid", "bid")
+    assert(fast.count() === slow.count(), "pair multiplicity must match")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("colliding interval column names are rejected") {
     val df = spark.range(3).select(col("id").as("p"),
       col("id").as("lo"), (col("id") + 1).as("hi"))
