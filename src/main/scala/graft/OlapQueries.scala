@@ -219,6 +219,38 @@ object OlapQueries {
       .orderBy("event_type", "hour_start")
   }
 
+  /** P20 (extension) — date/time function breadth: day arithmetic,
+    * clamped month addition, month/week truncation, calendar fields —
+    * the everyday ETL surface. Engine deltas handled explicitly:
+    * Spark dayofweek is Sunday=1, DuckDB Sunday=0 (oracle adds 1);
+    * both clamp add_months at month end and truncate weeks to Monday. */
+  def p20DatetimeFuncs(s: SparkSession, d: String): DataFrame = {
+    val dt = col("o_orderdate").cast("date")
+    Tables.orders(s, d).select(col("o_orderkey"),
+        datediff(lit("1995-06-17").cast("date"), dt).as("days_to_ref"),
+        add_months(dt, 3).as("plus3m"),
+        last_day(dt).as("month_end"),
+        date_trunc("month", dt).cast("date").as("month_start"),
+        date_trunc("week", dt).cast("date").as("week_start"),
+        dayofweek(dt).as("dow"),
+        dayofyear(dt).as("doy"),
+        weekofyear(dt).as("woy"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P21 (extension) — string function breadth: field splitting,
+    * character translation, repetition/reversal, substring position,
+    * edge slicing, char codes. */
+  def p21StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+        call_function("split_part", col("c_name"), lit("#"), lit(2)).as("id_part"),
+        translate(col("c_name"), "Cu0", "cU-").as("translated"),
+        repeat(right(col("c_name"), lit(3)), 2).as("repeated"),
+        reverse(left(col("c_name"), lit(8))).as("reversed"),
+        instr(col("c_name"), "#").cast("int").as("hash_pos"),
+        ascii(col("c_name")).as("first_code"))
+      .orderBy("c_custkey")
+
   /** A9 (extension) — ordered group concatenation (LISTAGG/STRING_AGG):
     * formulated as sort_array(collect_list) + concat_ws, which is
     * deterministic by construction (the per-group order is explicit,
@@ -261,6 +293,8 @@ object OlapQueries {
     "w3_lag_rolling"     -> (w3LagRolling _),
     "w4_rank_family"     -> (w4RankFamily _),
     "a6_setops"          -> (a6SetOps _),
+    "p20_datetime_funcs" -> (p20DatetimeFuncs _),
+    "p21_string_funcs"   -> (p21StringFuncs _),
     "j9_outer_join"      -> (j9OuterJoin _),
     "a7_approx_distinct" -> (a7ApproxDistinct _),
   )
@@ -276,6 +310,28 @@ object OlapQueries {
                .map(cell).mkString(",\n ")}
          |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
     },
+
+    "p20_datetime_funcs" ->
+      """SELECT o_orderkey,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-06-17') AS days_to_ref,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        | CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start,
+        | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+        | CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+        | CAST(week(CAST(o_orderdate AS DATE)) AS INTEGER) AS woy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p21_string_funcs" ->
+      """SELECT c_custkey,
+        | split_part(c_name, '#', 2) AS id_part,
+        | translate(c_name, 'Cu0', 'cU-') AS translated,
+        | repeat(right(c_name, 3), 2) AS repeated,
+        | reverse(left(c_name, 8)) AS reversed,
+        | CAST(position('#' IN c_name) AS INTEGER) AS hash_pos,
+        | CAST(ascii(c_name) AS INTEGER) AS first_code
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "a9_group_concat" ->
       """SELECT s_nationkey, COUNT(*) AS n,
