@@ -251,6 +251,22 @@ object OlapQueries {
         ascii(col("c_name")).as("first_code"))
       .orderBy("c_custkey")
 
+  /** P22 (extension) — array function breadth over tokenized text:
+    * membership, position (0 when absent in BOTH engines), distinct
+    * cardinality, lexicographic extremes, sorted slicing — structural
+    * ops only (no float arithmetic), so values hash-match exactly. */
+  def p22ArrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(s, d).select(col("doc_id"),
+        array_contains(ws, "the").as("has_the"),
+        array_position(ws, "the").as("the_pos"),
+        size(array_distinct(ws)).as("n_distinct"),
+        array_max(ws).as("max_word"),
+        array_min(ws).as("min_word"),
+        concat_ws("|", slice(sort_array(ws), 1, 3)).as("first3_sorted"))
+      .orderBy("doc_id")
+  }
+
   /** A9 (extension) — ordered group concatenation (LISTAGG/STRING_AGG):
     * formulated as sort_array(collect_list) + concat_ws, which is
     * deterministic by construction (the per-group order is explicit,
@@ -295,6 +311,7 @@ object OlapQueries {
     "a6_setops"          -> (a6SetOps _),
     "p20_datetime_funcs" -> (p20DatetimeFuncs _),
     "p21_string_funcs"   -> (p21StringFuncs _),
+    "p22_array_funcs"    -> (p22ArrayFuncs _),
     "j9_outer_join"      -> (j9OuterJoin _),
     "a7_approx_distinct" -> (a7ApproxDistinct _),
   )
@@ -332,6 +349,16 @@ object OlapQueries {
         | CAST(position('#' IN c_name) AS INTEGER) AS hash_pos,
         | CAST(ascii(c_name) AS INTEGER) AS first_code
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "p22_array_funcs" ->
+      """SELECT doc_id,
+        | list_contains(string_split(text,' '), 'the') AS has_the,
+        | CAST(list_position(string_split(text,' '), 'the') AS BIGINT) AS the_pos,
+        | CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct,
+        | list_aggregate(string_split(text,' '), 'max') AS max_word,
+        | list_aggregate(string_split(text,' '), 'min') AS min_word,
+        | array_to_string(list_sort(string_split(text,' '))[1:3], '|') AS first3_sorted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "a9_group_concat" ->
       """SELECT s_nationkey, COUNT(*) AS n,
