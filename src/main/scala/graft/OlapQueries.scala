@@ -134,6 +134,26 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** A11 (extension) — conditional + argmax aggregates: count_if,
+    * filtered SUM, bool_and/bool_or, and max_by on a uniquified
+    * ordering key (price ties would make the argmax winner
+    * nondeterministic, so the key appends the unique line identity in
+    * exact decimal — same arithmetic in the oracle). */
+  def a11ConditionalAgg(s: SparkSession, d: String): DataFrame = {
+    val price = asMoney(col("l_extendedprice"))
+    val ukey = price * lit(1000000000L) +
+      col("l_orderkey") * 10 + col("l_linenumber")
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_big"),
+        round(sum(when(col("l_quantity") > 25, price)), 2)
+          .cast("double").as("sum_big"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_disc"),
+        max_by(col("l_orderkey"), ukey).as("top_price_order"))
+      .orderBy("l_returnflag")
+  }
+
   /** A6 (extension) — set operations with SQL set-distinct semantics:
     * nations of BUILDING-segment customers vs nations of well-funded
     * suppliers, under UNION / INTERSECT / EXCEPT, tagged per op. */
@@ -309,6 +329,7 @@ object OlapQueries {
     "w3_lag_rolling"     -> (w3LagRolling _),
     "w4_rank_family"     -> (w4RankFamily _),
     "a6_setops"          -> (a6SetOps _),
+    "a11_conditional_agg" -> (a11ConditionalAgg _),
     "p20_datetime_funcs" -> (p20DatetimeFuncs _),
     "p21_string_funcs"   -> (p21StringFuncs _),
     "p22_array_funcs"    -> (p22ArrayFuncs _),
@@ -327,6 +348,18 @@ object OlapQueries {
                .map(cell).mkString(",\n ")}
          |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
     },
+
+    "a11_conditional_agg" ->
+      """SELECT l_returnflag,
+        | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        | CAST(ROUND(SUM(CASE WHEN l_quantity > 25
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS sum_big,
+        | bool_and(l_quantity > 0) AS all_pos,
+        | bool_or(l_discount > 0.09) AS any_deep_disc,
+        | max_by(l_orderkey,
+        |   CAST(l_extendedprice AS DECIMAL(28,4)) * 1000000000
+        |     + l_orderkey * 10 + l_linenumber) AS top_price_order
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "p20_datetime_funcs" ->
       """SELECT o_orderkey,
