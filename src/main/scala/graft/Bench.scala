@@ -33,8 +33,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      all(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
     // warmup: touches parquet footers, spins up codegen + whole JVM
@@ -47,7 +48,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = all.keys.toSeq.sorted.map { name =>
       val a = timed(name)
       val b = if (a >= 0) timed(name) else -1.0
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))

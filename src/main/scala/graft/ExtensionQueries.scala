@@ -23,10 +23,10 @@ object ExtensionQueries {
     * DECIMAL(9,6) quantized — the relational dot-product layout. */
   private def expandDecimal(df: DataFrame): DataFrame = {
     // tiny single-row-group parquet scans as 1 task: fan the vectors
-    // out before the per-dimension explode (no-op on wide scans)
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val wide = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    wide.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+    // out before the per-dimension explode (no-op on wide scans;
+    // width judged from file metadata, no RDD probe — Tables.wide)
+    Tables.wide(df)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
       .select(col("vec_id"), (col("i0") + 1).as("i"),
         col("x").cast("double").cast("decimal(9,6)").as("v"))
   }
@@ -634,7 +634,6 @@ object ExtensionQueries {
     "x1_dedup_exact"         -> (x1DedupExact _),
     "x2_dedup_ngram_jaccard" -> (x2NgramJaccard _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
-    "x4_dedup_simhash"       -> (x4Simhash _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
     "x8_crossbatch_overlap"  -> (x8CrossBatchOverlap _),
@@ -652,5 +651,14 @@ object ExtensionQueries {
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "st1_event_window"       -> (st1EventWindow _),
     "st2_sessionize"         -> (st2Sessionize _),
+  )
+
+  /** Benchmarked but not oracle-checked: x4's xxhash64 token hash has
+    * no DuckDB equivalent, so its correctness signal is DedupSpec's
+    * parity assertion against exact Jaccard plus the fully
+    * oracle-matched x4b twin (identical banding/Hamming logic, portable
+    * md5 hash). Kept out of `queries` so the driver ledger stays N/N. */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x4_dedup_simhash" -> (x4Simhash _),
   )
 }

@@ -97,6 +97,105 @@ object SourceQueries {
       .orderBy("transaction_id")
   }
 
+  /** S2/S3/S5 — the staged-ingest chain end-to-end (PUT + filename
+    * partitioning + METADATA$ columns, BlueForty.py:64-75,106-107):
+    * orders are exported as one CSV per month named
+    * `purchases_<yyyy>_<mm>.csv` (the reference's landing-file naming),
+    * staged under `yyyy/mm/` by [[CsvIngest.stageFiles]]'s filename
+    * regex, read back through one glob with `_metadata` file columns,
+    * and aggregated per (year, month, source file). A hash match proves
+    * the stage layout routed every file, the glob found them all, and
+    * the metadata filename column round-trips — straight from parquet
+    * the oracle recomputes the same totals and states the filenames.
+    *
+    * Scale notes: the per-month export is driver-looped only in the
+    * rename step (one cheap FS move per file, mirroring the
+    * reference's per-file PUT); the data pass is a single partitionBy
+    * write, and the staged read is one glob scan whose `yyyy/mm/`
+    * layout lets a month-bounded variant prune at file-listing time. */
+  def s2StagedPartitions(s: SparkSession, d: String): DataFrame = {
+    import CsvIngest._
+    import java.nio.file.{Files, Path, Paths}
+    val exportDir = Paths.get(tmpDir("graft_stage_export"))
+    val landing   = Paths.get(tmpDir("graft_stage_landing"))
+    val stageRoot = Paths.get(tmpDir("graft_stage_root"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate").cast("date"), "yyyy_MM").as("ym"))
+      .repartition(col("ym"))                   // one file per month dir
+      .write.mode("overwrite").option("header", "true")
+      .partitionBy("ym").csv(exportDir.toString)
+    // landing rename: <export>/ym=1995_01/part-*.csv → purchases_1995_01.csv
+    val landed: Seq[Path] = {
+      val dirs = Files.list(exportDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        dirs.iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith("ym="))
+          .sortBy(_.toString)
+          .map { monthDir =>
+            val ym = monthDir.getFileName.toString.stripPrefix("ym=")
+            val part = Files.list(monthDir)
+            val src =
+              try {
+                import scala.jdk.CollectionConverters._
+                part.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".csv")).toSeq match {
+                  case Seq(one) => one
+                  case many => sys.error(s"expected 1 csv in $monthDir, got ${many.size}")
+                }
+              } finally part.close()
+            Files.move(src, landing.resolve(s"purchases_$ym.csv"))
+          }
+      } finally dirs.close()
+    }
+    stageFiles(landed, stageRoot)               // → <stage>/yyyy/mm/…
+    readPositionalWithMeta(s, s"$stageRoot/*/*/*.csv")
+      .select(
+        pos(1).try_cast("bigint").as("o_orderkey"),
+        pos(3).try_cast("decimal(18,4)").as("price"),
+        col("SRC_FILENAME").as("src_filename"))
+      .groupBy(
+        regexp_extract(col("src_filename"), raw"purchases_(\d{4})_(\d{2})", 1)
+          .cast("int").as("yr"),
+        regexp_extract(col("src_filename"), raw"purchases_(\d{4})_(\d{2})", 2)
+          .cast("int").as("mo"),
+        col("src_filename"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")), 2).cast("double").as("total"))
+      .orderBy("yr", "mo")
+  }
+
+  /** S10 — TSV gazetteer read (BlueForty.py:392-422): export a
+    * tab-separated zip/lat/lng/state file derived from supplier, read
+    * it back through the shared option-rich reader with `sep='\t'`,
+    * TRY-cast positionally, aggregate per state. */
+  def s10Tsv(s: SparkSession, d: String): DataFrame = {
+    import CsvIngest._
+    val dir = tmpDir("graft_tsv")
+    Tables.supplier(s, d)
+      .select(
+        lpad(pmod(col("s_suppkey"), lit(100000)).cast("string"), 5, "0").as("zip"),
+        (pmod(col("s_suppkey") * 7, lit(120)) - 60).cast("decimal(10,4)").as("lat"),
+        (pmod(col("s_suppkey") * 13, lit(340)) - 170).cast("decimal(10,4)").as("lng"),
+        concat(lit("ST"), lpad(col("s_nationkey").cast("string"), 2, "0")).as("state"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").option("sep", "\t")
+      .csv(dir)
+    readPositional(s, dir, Options(sep = "\t"))
+      .select(
+        pos(1).as("zip"),
+        pos(2).try_cast("decimal(10,4)").as("lat"),
+        pos(3).try_cast("decimal(10,4)").as("lng"),
+        pos(4).as("state"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_zips"),
+        round(sum(col("lat")), 4).cast("double").as("sum_lat"),
+        round(sum(col("lng")), 4).cast("double").as("sum_lng"),
+        min(col("zip")).as("min_zip"))
+      .orderBy("state")
+  }
+
   /** S9 — sampled schema inference (BlueForty.py:239-297): write a CSV
     * whose columns exercise every precedence rule (int, float, string,
     * 3-format dates, int/float mix, all-null-like), infer, and return

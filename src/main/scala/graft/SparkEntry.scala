@@ -36,12 +36,19 @@ object SparkEntry {
     "p17_haversine"     -> (CoreQueries.p17Haversine _),
     "j2_crosstype_join" -> (CoreQueries.j2CrossTypeJoin _),
     "s1_csv_roundtrip"  -> (SourceQueries.s1CsvRoundtrip _),
+    "s2_staged_partitions" -> (SourceQueries.s2StagedPartitions _),
+    "s10_tsv"           -> (SourceQueries.s10Tsv _),
     "s7_xml_shred"      -> (SourceQueries.s7XmlShred _),
     "s9_schema_inference" -> (SourceQueries.s9SchemaInference _),
     "s11_ctas_insert_view" -> (SourceQueries.s11CtasInsertView _),
     "s15_jsonl_roundtrip" -> (SourceQueries.s15JsonlRoundtrip _),
     "s16_orc_roundtrip"   -> (SourceQueries.s16OrcRoundtrip _),
   ) ++ ExtensionQueries.queries ++ OlapQueries.queries
+
+  /** Spec-verified queries timed by Bench but excluded from the driver's
+    * oracle ledger (no portable SQL equivalent). */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    ExtensionQueries.benchOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -214,6 +221,32 @@ object SparkEntry {
         | COUNT(l_shipdate) AS n_dates
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s2_staged_partitions" ->
+      """SELECT yr, mo,
+        | 'purchases_' || CAST(yr AS VARCHAR) || '_' ||
+        |   lpad(CAST(mo AS VARCHAR), 2, '0') || '.csv' AS src_filename,
+        | COUNT(*) AS n_rows,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM (SELECT
+        |        CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |        CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS INT) AS mo,
+        |        o_totalprice
+        |      FROM orders) t
+        |GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "s10_tsv" ->
+      """SELECT state, COUNT(*) AS n_zips,
+        | CAST(ROUND(SUM(lat), 4) AS DOUBLE) AS sum_lat,
+        | CAST(ROUND(SUM(lng), 4) AS DOUBLE) AS sum_lng,
+        | MIN(zip) AS min_zip
+        |FROM (SELECT
+        |        lpad(CAST(s_suppkey % 100000 AS VARCHAR), 5, '0') AS zip,
+        |        CAST((s_suppkey * 7) % 120 - 60 AS DECIMAL(10,4)) AS lat,
+        |        CAST((s_suppkey * 13) % 340 - 170 AS DECIMAL(10,4)) AS lng,
+        |        'ST' || lpad(CAST(s_nationkey AS VARCHAR), 2, '0') AS state
+        |      FROM supplier) t
+        |GROUP BY state ORDER BY state""".stripMargin,
 
     "s7_xml_shred" ->
       """SELECT transaction_id, supplier_id, invoice_number, transaction_date,

@@ -8,12 +8,36 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Total bytes of the files feeding a scan, from filesystem metadata
+    * only — no RDD conversion, no job, no content pass. Empty for
+    * non-file-backed plans (in-memory test data). */
+  def scanFileBytes(df: DataFrame): (Int, Long) = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val files = df.inputFiles
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen catch {
+        case _: java.io.IOException => 0L
+      }
+    }.sum
+    (files.length, bytes)
+  }
+
   /** Fan a narrow scan out to cluster parallelism before a map-heavy
     * stage: the corpus files are single-row-group parquet (one task).
-    * No-op when the scan is already wide. */
+    * Narrowness is decided from file-level metadata (file count +
+    * bytes vs maxPartitionBytes), not an RDD-partition probe — no
+    * RDD conversion, and at real scale (many files / large bytes) this
+    * is a guaranteed no-op so AQE stays in charge. */
   def wide(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val (nFiles, bytes) = scanFileBytes(df)
+    val maxPartitionBytes =
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .replaceAll("[^0-9]", "").toLong
+    val alreadyWide = nFiles >= p || bytes >= p * maxPartitionBytes
+    if (alreadyWide) df else df.repartition(p)
   }
 
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's

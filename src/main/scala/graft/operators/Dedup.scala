@@ -26,11 +26,10 @@ object Dedup {
     * file scans as one task (row-group granularity), which would run
     * the whole shingle/hash pipeline on one core. One cheap round-robin
     * shuffle of the raw rows unlocks every downstream map stage; a
-    * no-op when the scan is already wide (the 100 TB case). */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+    * no-op when the scan is already wide (the 100 TB case). Width is
+    * judged from file metadata (graft.Tables.wide) — no RDD probe. */
+  private def ensureParallelism(df: DataFrame): DataFrame =
+    graft.Tables.wide(df)
 
   /** Exact dedup: keep the smallest id per key, count copies.
     * Deterministic (unlike dropDuplicates' arbitrary winner). */

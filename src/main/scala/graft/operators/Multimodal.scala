@@ -68,13 +68,21 @@ object Multimodal {
 
   /** Partition sizing for decode stages: media payloads are wildly
     * variable-width, so row-count partitioning leaves some tasks with
-    * 10× the bytes. One cheap aggregate measures total payload bytes,
-    * then a round-robin repartition targets `targetBytes` per task —
-    * the knob that keeps codec stages balanced and spill-free. */
+    * 10× the bytes. Total bytes come from file-level metadata
+    * (filesystem status of the scan's input files — no content pass,
+    * no job), then a round-robin repartition targets `targetBytes` per
+    * task — the knob that keeps codec stages balanced and spill-free.
+    * Media payloads are already-compressed codec bytes, so compressed
+    * file size ≈ payload bytes; for non-file-backed inputs (tests,
+    * derived frames) the fallback is one scalar aggregate over the
+    * content column. */
   def repartitionByPayloadBytes(df: DataFrame, contentCol: String,
       targetBytes: Long = 128L << 20): DataFrame = {
-    val total = df.agg(sum(length(col(contentCol)).cast("bigint")))
-      .head().getLong(0)
+    val (nFiles, fileBytes) = graft.Tables.scanFileBytes(df)
+    val total =
+      if (nFiles > 0) fileBytes
+      else df.agg(sum(length(col(contentCol)).cast("bigint")))
+        .head().getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     df.repartition(parts)
   }

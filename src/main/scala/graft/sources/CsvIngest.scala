@@ -66,6 +66,32 @@ object CsvIngest {
   /** Positional `$i` accessor (1-based, like COPY INTO's `$1..$21`). */
   def pos(i: Int): Column = col(s"_c${i - 1}")
 
+  /** [[readPositional]] plus the file-metadata columns (the
+    * METADATA$FILENAME / FILE_LAST_MODIFIED projection of
+    * BlueForty.py:106-107) — the hidden `_metadata` struct must be
+    * selected while the plan is still the raw file scan, so the
+    * combined read lives here rather than composing the two. */
+  def readPositionalWithMeta(spark: SparkSession, pathGlob: String,
+      opts: Options = Options(),
+      filenameCol: String = "SRC_FILENAME",
+      mtimeCol: String = "SRC_FILE_TS"): DataFrame = {
+    val base = spark.read
+      .option("header", opts.header.toString)
+      .option("quote", opts.quote)
+      .option("sep", opts.sep)
+      .option("mode", if (opts.permissive) "PERMISSIVE" else "FAILFAST")
+      .option("ignoreLeadingWhiteSpace", opts.trimWhitespace.toString)
+      .option("ignoreTrailingWhiteSpace", opts.trimWhitespace.toString)
+      .option("inferSchema", "false")
+      .csv(pathGlob)
+    val dataCols = base.columns.indices.map(i =>
+      nullIfIn(col(base.columns(i)), opts.nullLikes).as(s"_c$i"))
+    base.select(dataCols :+
+      col("_metadata.file_name").as(filenameCol) :+
+      col("_metadata.file_modification_time").cast("timestamp_ntz")
+        .as(mtimeCol): _*)
+  }
+
   /** METADATA$FILENAME / METADATA$FILE_LAST_MODIFIED equivalents
     * (BlueForty.py:106-107) from the hidden `_metadata` struct. Must be
     * selected against a freshly-read file source DataFrame. */
@@ -77,8 +103,9 @@ object CsvIngest {
         col("_metadata.file_modification_time").cast("timestamp_ntz"))
 
   /** Stage-path partitioning (BlueForty.py:64-71): extract `yyyy[-_]mm`
-    * from a file name; unmatched files land in `misc/00`. */
-  val PartitionPattern: Regex = raw"(20\d{2})[-_](\d{1,2})".r.unanchored
+    * from a file name (19xx/20xx years); unmatched files land in
+    * `misc/00`. */
+  val PartitionPattern: Regex = raw"((?:19|20)\d{2})[-_](\d{1,2})".r.unanchored
 
   def stageSubdir(fileName: String): String = fileName match {
     case PartitionPattern(y, m) => f"$y/${m.toInt}%02d"

@@ -10,8 +10,19 @@ class CsvIngestSpec extends SparkTestBase {
   test("stageSubdir: yyyy-mm, yyyy_mm, misc fallback, 1-digit month") {
     assert(CsvIngest.stageSubdir("purchases_2013-01.csv") === "2013/01")
     assert(CsvIngest.stageSubdir("po_2020_7_extra.csv") === "2020/07")
+    assert(CsvIngest.stageSubdir("purchases_1995_03.csv") === "1995/03") // 19xx
     assert(CsvIngest.stageSubdir("nodate.csv") === "misc/00")
-    assert(CsvIngest.stageSubdir("199-12.csv") === "misc/00") // not 20xx
+    assert(CsvIngest.stageSubdir("199-12.csv") === "misc/00") // 3-digit year
+  }
+
+  test("readPositionalWithMeta: filename column + positional cols coexist") {
+    val dir = Files.createTempDirectory("graft_csvmeta")
+    Files.writeString(dir.resolve("po_2021_04.csv"), "h1,h2\n1,x\n2,y\n")
+    val df = CsvIngest.readPositionalWithMeta(spark, dir.toString + "/*.csv")
+    val rows = df.orderBy(CsvIngest.pos(1)).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[String]("SRC_FILENAME") == "po_2021_04.csv"))
+    assert(!rows.exists(_.isNullAt(df.columns.indexOf("SRC_FILE_TS"))))
   }
 
   test("readPositional: header skipped, positional addressing, null-likes") {
