@@ -177,6 +177,78 @@ object ExtensionQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Exact-decimal cosine restricted to a given pair set: dots and
+    * norms from the relational (vec_id, i, v) layout, computed ONLY on
+    * the `(aCol, bCol)` pairs — the rerank stage every approximate
+    * candidate generator shares. */
+  private def decimalCosOnPairs(e: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val ea = e.toDF("_pa", "ia", "_wa")
+    val eb = e.toDF("_pb", "ib", "_wb")
+    val dots = pairs
+      .join(ea, col(aCol) === col("_pa"))
+      .join(eb, col(bCol) === col("_pb") && col("ia") === col("ib"))
+      .groupBy(col(aCol), col(bCol))
+      .agg(sum(col("_wa") * col("_wb")).as("dot"))
+    val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+    dots
+      .join(norms.toDF("na_id", "na"), col(aCol) === col("na_id"))
+      .join(norms.toDF("nb_id", "nb"), col(bCol) === col("nb_id"))
+      .select(col(aCol), col(bCol),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos"))
+  }
+
+  /** The LSH ANN scale path, held to the exact answer: multi-table
+    * hyperplane LSH (r=4 planes × L=16 tables, radius-1 multiprobe)
+    * generates candidates, the exact-decimal rerank picks top-10 —
+    * and the oracle is x5's brute-force SQL, so a hash match proves
+    * the bucketed path reproduces the exact result on this corpus
+    * (recall measured 1.000 at sf0.001/0.01/0.1 — see AnnRecall;
+    * same contract shape as x3's MinHash-LSH vs exact Jaccard). */
+  def x5bAnnLshTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cand = Similarity.lshCandidatePairsMulti(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        dim = 64, nPlanes = 4, nTables = 16, multiProbe = true)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("vb"))
+    val scored = decimalCosOnPairs(expandDecimal(emb), cand, "qa", "vb")
+      .select(col("qa").as("query_id"), col("vb").as("neighbor_id"), col("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .drop("rn")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** The IVF ANN scale path under a recall contract: probed k-means
+    * cells (nLists=8, nProbe=5, fixed seed) against the brute-force
+    * top-10, reporting per-query truth size and a corpus-level
+    * recall ≥ 0.7 flag (measured 0.89–0.98 across sfs — AnnRecall;
+    * k-means cells are data-adaptive, so unlike x5b the result is not
+    * bit-reproducible from SQL and the contract is the floor, not the
+    * exact set). */
+  def x5cAnnIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+        nLists = 8, nProbe = 5)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    val hits = brute.join(ivf,
+      col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+      "left")
+    val perQuery = hits.groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"), count(col("n2")).as("_n_hit"))
+    val overall = perQuery.agg(
+      (sum(col("_n_hit")) >= sum(col("n_true")) * 0.7).as("recall_ok"))
+    perQuery.crossJoin(broadcast(overall))
+      .select(col("query_id"), col("n_true"), col("recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** Embedding near-dup pairs: originals (vec_id<200) ∪ perturbed
     * copies, all pairs with cosine ≥ 0.99 — exact decimal math. */
   def x6EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
@@ -200,6 +272,31 @@ object ExtensionQueries {
         round(col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
           .as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy("ida", "idb")
+  }
+
+  /** The near-dup scale path held to x6's exact answer: hyperplane-LSH
+    * bucketing (map-only, radius-1 probes) generates candidate pairs
+    * over the same originals ∪ perturbed-copies corpus, the
+    * exact-decimal rerank applies the 0.99 threshold — oracle is x6's
+    * SQL, so a hash match proves the bucketed equi-join path loses no
+    * pair that the O(n²) cartesian finds. Near-dup pairs are nearly
+    * parallel vectors (cos ≥ 0.99), so bucket agreement is near-certain
+    * and the candidate set is a true superset. */
+  def x6bNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+    val all = base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .union(copies)
+    val cand = Similarity.lshNearDupCandidates(
+      all.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12, multiProbe = true)
+    decimalCosOnPairs(expandDecimal(all), cand, "ida", "idb")
       .filter(col("cos") >= 0.99)
       .orderBy("ida", "idb")
   }
@@ -516,6 +613,45 @@ object ExtensionQueries {
         |WHERE fp IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
 
+    // x5b reruns x5's exact contract through the LSH candidate path:
+    // identical oracle, identical output — the match IS the recall proof
+    "x5b_ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) v FROM
+        |  (SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding,1) i
+        |   FROM embeddings)),
+        |seeds AS (SELECT * FROM e WHERE vec_id < 8),
+        |dots AS (SELECT s.vec_id qa, e.vec_id vb, SUM(s.v*e.v) dot
+        |  FROM seeds s JOIN e ON e.i = s.i AND e.vec_id <> s.vec_id GROUP BY 1,2),
+        |norms AS (SELECT vec_id, SUM(v*v) n2 FROM e GROUP BY 1),
+        |scored AS (SELECT qa AS query_id, vb AS neighbor_id,
+        |  ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id=qa JOIN norms nb ON nb.vec_id=vb)
+        |SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) rn FROM scored) t
+        |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // x5c: k-means cells are data-adaptive (not SQL-reproducible), so
+    // the contract is the truth size per query + the recall >= 0.7
+    // floor the Spark side computes against its own brute-force set
+    "x5c_ann_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) v FROM
+        |  (SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding,1) i
+        |   FROM embeddings)),
+        |seeds AS (SELECT * FROM e WHERE vec_id < 8),
+        |dots AS (SELECT s.vec_id qa, e.vec_id vb, SUM(s.v*e.v) dot
+        |  FROM seeds s JOIN e ON e.i = s.i AND e.vec_id <> s.vec_id GROUP BY 1,2),
+        |norms AS (SELECT vec_id, SUM(v*v) n2 FROM e GROUP BY 1),
+        |scored AS (SELECT qa AS query_id, vb AS neighbor_id,
+        |  ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id=qa JOIN norms nb ON nb.vec_id=vb),
+        |topk AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) rn FROM scored) t
+        |  WHERE rn <= 10)
+        |SELECT query_id, COUNT(*) AS n_true, true AS recall_ok
+        |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin,
+
     "x5_ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) v FROM
         |  (SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding,1) i
@@ -531,6 +667,26 @@ object ExtensionQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id ASC) rn FROM scored) t
         |WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // x6b shares x6's oracle verbatim: the bucketed path must find the
+    // identical pair set the exact cartesian finds
+    "x6b_neardup_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x + 0.001)
+        |  FROM embeddings WHERE vec_id < 200),
+        |e AS (SELECT vec_id, i, CAST(x AS DECIMAL(9,6)) v FROM
+        |  (SELECT vec_id, unnest(emb) x, generate_subscripts(emb,1) i FROM base)),
+        |dots AS (SELECT a.vec_id ida, b.vec_id idb, SUM(a.v*b.v) dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1,2),
+        |norms AS (SELECT vec_id, SUM(v*v) n2 FROM e GROUP BY 1)
+        |SELECT ida, idb, cos FROM (
+        |  SELECT ida, idb,
+        |    ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id=ida JOIN norms nb ON nb.vec_id=idb) t
+        |WHERE cos >= 0.99 ORDER BY ida, idb""".stripMargin,
 
     "x6_embedding_neardup" ->
       """WITH base AS (
@@ -641,7 +797,10 @@ object ExtensionQueries {
     "x10_corpus_pipeline"    -> (x10CorpusPipeline _),
     "x11_dup_clusters"       -> (x11DupClusters _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),
+    "x5b_ann_lsh_topk"       -> (x5bAnnLshTopK _),
+    "x5c_ann_ivf_recall"     -> (x5cAnnIvfRecall _),
     "x6_embedding_neardup"   -> (x6EmbeddingNearDup _),
+    "x6b_neardup_lsh"        -> (x6bNearDupLsh _),
     "t1_text_stats"          -> (t1TextStats _),
     "t2_langid"              -> (t2LangId _),
     "t3_fingerprint"         -> (t3Fingerprint _),

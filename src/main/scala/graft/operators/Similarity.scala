@@ -68,10 +68,12 @@ object Similarity {
     * codegen'd expression with the constant weight matrix hoisted out
     * of the per-row loop (the HOF form below recomputes it per row,
     * interpreted — see HyperplaneLshBucket). */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 12): Column =
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 12,
+      planeOffset: Int = 0): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
       org.apache.spark.sql.graft.HyperplaneLshBucket(
-        org.apache.spark.sql.graft.ColumnShim.expression(vec), dim, nPlanes))
+        org.apache.spark.sql.graft.ColumnShim.expression(vec), dim, nPlanes,
+        planeOffset))
 
   /** HOF reference formulation of [[lshBucket]] — bit-parity asserted
     * in HyperplaneLshBucketSpec; kept for differential testing only. */
@@ -112,6 +114,83 @@ object Similarity {
       .distinct()
     val scored = broadcast(qb)
       .join(cb, Seq("_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Multi-table LSH top-k — the recall workhorse. One table of r
+    * planes only recovers pairs that agree on (almost) every plane; at
+    * realistic neighbor angles (θ ≈ 50–70°, per-plane agreement
+    * p ≈ 0.6–0.75) a single 12-bit table misses nearly everything.
+    * The standard fix — exactly the banding trick MinHash-LSH uses —
+    * is L independent tables of r planes each: a pair is a candidate
+    * if it collides in ANY table, so recall = 1−(1−pʳ)ᴸ (with radius-1
+    * multiprobe, per-table collision improves to pʳ + r·pʳ⁻¹(1−p)).
+    * r=4, L=16 turns p=0.6 into ≈0.999 recall where one 12-bit table
+    * gives ≈0.02.
+    *
+    * Scale shape: corpus bucketing is map-only (nTables codes per row,
+    * each an independent codegen'd plane family via planeOffset); the
+    * join key packs (table, code) into one long, so candidates meet in
+    * a plain equi-join keyed long — shuffle volume is nTables× corpus
+    * ids, never pairs. Candidates dedupe before the exact rerank. */
+  private def multiTableKeys(vec: Column, dim: Int, nPlanes: Int,
+      nTables: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= 16, "nPlanes (r) must be in [1,16]")
+    require(nTables >= 1 && nTables * nPlanes <= 1024, "too many planes")
+    array((0 until nTables).map { t =>
+      lshBucket(vec, dim, nPlanes, planeOffset = t * nPlanes) +
+        lit(t.toLong << nPlanes)
+    }: _*)
+  }
+
+  /** The deduped (query_id, neighbor_id) candidate set of
+    * [[lshTopKMulti]], ids only — for callers that rerank through
+    * their own scoring (e.g. the exact-decimal oracle math). */
+  def lshCandidatePairsMulti(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nPlanes: Int = 4,
+      nTables: Int = 16, multiProbe: Boolean = true): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      explode(multiTableKeys(col(vecCol), dim, nPlanes, nTables)).as("_key"))
+    val qb = queries.select(col(idCol).as("query_id"),
+      explode(multiTableKeys(col(vecCol), dim, nPlanes, nTables)).as("_tk"))
+      .select(col("query_id"),
+        explode(
+          if (multiProbe)
+            array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))).map(m =>
+              col("_tk").bitwiseXOR(m)): _*)
+          else array(col("_tk"))).as("_key"))
+      .distinct()
+    broadcast(qb).join(cb, Seq("_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+  }
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nPlanes: Int = 4, nTables: Int = 16,
+      multiProbe: Boolean = true): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      explode(multiTableKeys(col(vecCol), dim, nPlanes, nTables)).as("_key"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      explode(multiTableKeys(col(vecCol), dim, nPlanes, nTables)).as("_tk"))
+      .select(col("query_id"), col("_qv"),
+        explode(
+          if (multiProbe)
+            array((lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))).map(m =>
+              col("_tk").bitwiseXOR(m)): _*)
+          else array(col("_tk"))).as("_key"))
+      .distinct()
+    // cosine before the dedupe agg: a few fused FMAs per duplicate beat
+    // shuffling the vectors through the groupBy
+    val scored = broadcast(qb)
+      .join(cb, Seq("_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("_qv"), col("_cv")).as("cos"))
@@ -219,6 +298,25 @@ object Similarity {
       .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
       .groupBy("ida", "idb").agg(first(col("cos")).as("cos"))
+  }
+
+  /** Candidate (ida, idb) pairs of [[lshNearDupPairs]], ids only and
+    * unthresholded — for callers that score through their own math
+    * (e.g. exact-decimal); the final threshold belongs with that
+    * scoring so the float prefilter can't clip boundary pairs. */
+  def lshNearDupCandidates(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int = 12, multiProbe: Boolean = true): DataFrame = {
+    val b0 = df.select(col(idCol).as("_id"),
+      lshBucket(col(vecCol), dim, nPlanes).as("_b0"))
+    val probed = b0.select(col("_id"),
+      explode(
+        if (multiProbe) probeRadius1(col("_b0"), nPlanes)
+        else array(col("_b0"))).as("_bucket"))
+    probed.toDF("ida", "bucket")
+      .join(b0.toDF("idb", "bucket2"),
+        col("bucket") === col("bucket2") && col("ida") < col("idb"))
+      .select("ida", "idb")
+      .distinct()
   }
 
   /** All pairs (a<b) with cosine ≥ threshold within `df` — embedding

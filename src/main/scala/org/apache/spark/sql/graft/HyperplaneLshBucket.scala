@@ -23,17 +23,19 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatT
   * codegen — what a map-only bucketing stage over 10⁹ embeddings must
   * cost. Measured ~100× per-row (see PERF.md ANN stress).
   */
-case class HyperplaneLshBucket(child: Expression, dim: Int, nPlanes: Int)
+case class HyperplaneLshBucket(child: Expression, dim: Int, nPlanes: Int,
+    planeOffset: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+  require(planeOffset >= 0, "planeOffset must be >= 0")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
   override def dataType: DataType = LongType
 
   @transient private lazy val weights: Array[Double] =
-    LshUtil.planeWeights(dim, nPlanes)
+    LshUtil.planeWeights(dim, nPlanes, planeOffset)
 
   override def nullSafeEval(input: Any): Any =
     LshUtil.bucket(input.asInstanceOf[ArrayData], weights, dim, nPlanes)
@@ -52,15 +54,16 @@ case class HyperplaneLshBucket(child: Expression, dim: Int, nPlanes: Int)
 
 object LshUtil {
 
-  /** weights(p*dim + i) = the (plane p, dimension i) weight, exactly
-    * the value `(pmod(xxhash64(p, i), 2000001) - 1e6) / 1e6` computes:
-    * xxhash64 of two int arguments is the seed-chained XXH64
-    * (42 → plane → index). */
-  def planeWeights(dim: Int, nPlanes: Int): Array[Double] = {
+  /** weights(p*dim + i) = the (plane p+offset, dimension i) weight,
+    * exactly the value `(pmod(xxhash64(p+offset, i), 2000001) - 1e6) /
+    * 1e6` computes: xxhash64 of two int arguments is the seed-chained
+    * XXH64 (42 → plane → index). `planeOffset` gives each LSH table its
+    * own independent plane family (table t uses planes t·r..t·r+r-1). */
+  def planeWeights(dim: Int, nPlanes: Int, planeOffset: Int = 0): Array[Double] = {
     val w = new Array[Double](nPlanes * dim)
     var p = 0
     while (p < nPlanes) {
-      val hp = XXH64.hashInt(p, 42L)
+      val hp = XXH64.hashInt(p + planeOffset, 42L)
       var i = 0
       while (i < dim) {
         val h = XXH64.hashInt(i, hp)

@@ -70,6 +70,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"ivf recall $recall; brute=$brute ivf=$ivf")
   }
 
+  test("lshTopKMulti: multi-table candidates recover brute-force top-k " +
+      "where one table cannot") {
+    // 4 loose clusters in 8 dims — loose enough that a single 12-bit
+    // table misses most neighbors (the x5b fixture regime)
+    val clustered = (0 until 40).map { i =>
+      val base = Array.tabulate(8)(j =>
+        if (j % 4 == i % 4) 1.0f else 0.3f * ((i * 7 + j) % 5 - 2))
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopKMulti(clustered, queries, "vec_id", "embedding",
+        dim = 8, k = 5, nPlanes = 3, nTables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect multi).size.toDouble / brute.size
+    assert(recall >= 0.9, s"multi-table recall $recall; brute=$brute multi=$multi")
+  }
+
+  test("lshCandidatePairsMulti: candidate ids cover the top-k pair set") {
+    val clustered = (0 until 20).map { i =>
+      val base = if (i < 10) Array.fill(8)(1.0f) else Array.fill(8)(-1.0f)
+      base(i % 8) = base(i % 8) + 0.1f * (i % 3)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter(col("vec_id").isin(0L, 10L))
+    val brute = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Similarity.lshCandidatePairsMulti(clustered, queries,
+        "vec_id", "embedding", dim = 8, nPlanes = 3, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(cand), s"missing=${brute diff cand}")
+    // sanity: no self pairs, no duplicates (collect returned a set of
+    // the same size as the frame)
+    assert(!cand.exists(p => p._1 == p._2))
+  }
+
   test("lshNearDupPairs: bucketed path recovers the exact near-dup pairs") {
     // two tight clusters: near-dups share sign-buckets with certainty
     val clustered = (0 until 16).map { i =>
