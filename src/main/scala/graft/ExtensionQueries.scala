@@ -430,6 +430,52 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** The corpus-scale batched layout next to m2's one-file-per-doc
+    * demo: payloads stay a parquet binary column, the writer packs
+    * many payloads per file with partition count derived from payload
+    * bytes (file-metadata sizing — repartitionByPayloadBytes), and the
+    * same sha256 integrity oracle proves losslessness. Write
+    * amplification is O(files), not O(rows) — the layout a 100 TB
+    * media corpus actually uses (m2's per-row files are a filesystem
+    * metadata scale-killer; this is the fix, oracle-checked). */
+  def m2bBatchedIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = Scratch.dir("graft_binbatch")
+    val media = Multimodal.asMedia(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "text", "text/fake")
+      .select(col("doc_id"), col("content"))
+    Multimodal.repartitionByPayloadBytes(media, "content",
+        targetBytes = 1L << 20)
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .select(col("doc_id"),
+        length(col("content")).cast("bigint").as("n_bytes"),
+        sha2(col("content"), 256).as("sha256_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** Skew-resistant join under oracle check: a deliberately Zipf-ish
+    * probe (40% of lineitem rows land on key 0) joined to a ~15×
+    * fan-out build side through the salted (key, salt) join — merge
+    * hint keeps the exchange real (broadcast would hide the skew), the
+    * salt spreads the hot key over 8 reducers. Result is the plain
+    * join's aggregate, so the oracle recomputes it directly; the
+    * salted-vs-naive wall-time ratio is measured in TimeOne/PERF.md. */
+  def j6bSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val probe = Tables.lineitem(s, d).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 4, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(997))).as("k"),
+      col("l_quantity").cast("decimal(18,4)").as("qty"))
+    val build = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(pmod(col("o_orderkey"), lit(997)).as("k"), col("o_orderkey"))
+    operators.Skew.saltedJoin(probe, build.hint("merge"), "k", factor = 8)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("qty")), 2).cast("double").as("sum_qty"))
+      .orderBy("k")
+  }
+
   // ----------------------------------------------------- streaming
 
   /** Tumbling-window stats — the transform shared verbatim with the
@@ -748,6 +794,28 @@ object ExtensionQueries {
         | CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT) AS n_resized_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // m2b shares m2's integrity oracle: batching payloads into few
+    // parquet files must lose nothing vs one file per row
+    "m2b_batched_ingest" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j6b_skew_salted" ->
+      """WITH probe AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 4 THEN 0
+        |              ELSE l_orderkey % 997 END AS k,
+        |         CAST(l_quantity AS DECIMAL(18,4)) AS qty
+        |  FROM lineitem),
+        |build AS (
+        |  SELECT o_orderkey % 997 AS k, o_orderkey
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT k, COUNT(*) AS n_pairs,
+        | CAST(ROUND(SUM(qty), 2) AS DOUBLE) AS sum_qty
+        |FROM probe JOIN build USING (k)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
     "m2_binaryfile_ingest" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -808,6 +876,8 @@ object ExtensionQueries {
     "t4_json_props"          -> (t4JsonProps _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
+    "m2b_batched_ingest"     -> (m2bBatchedIngest _),
+    "j6b_skew_salted"        -> (j6bSkewSalted _),
     "st1_event_window"       -> (st1EventWindow _),
     "st2_sessionize"         -> (st2Sessionize _),
   )

@@ -69,7 +69,40 @@ object TimeOne {
     }
     def rangeBands = spark.range(0, 200).select(col("id").as("band_id"),
       (col("id") * 60000L).as("lo"), (col("id") * 60000L + 90000L).as("hi"))
+    // j6b's Zipf-ish join pair (40% of probe rows on key 0, ~15×
+    // fan-out build, merge-hinted so the exchange is real), ×10
+    // replicated probe so the hot reducer dominates wall-time:
+    // "skewnaive*" joins raw, "skewsalted*" spreads the hot key 8 ways;
+    // *_noaqe variants turn off AQE's skew split (the rescue that
+    // masks the difference) — each TimeOne invocation is its own JVM,
+    // so the conf toggle can't leak across measurements.
+    def skewProbe = {
+      val li = Tables.lineitem(spark, sfDir).select(
+        when(pmod(col("l_orderkey"), lit(10)) < 4, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(997))).as("k"),
+        col("l_quantity").cast("decimal(18,4)").as("qty"))
+      li.select(col("k"), col("qty"),
+          explode(sequence(lit(0), lit(9))).as("_r")).drop("_r")
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    def skewBuild = Tables.orders(spark, sfDir)
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(pmod(col("o_orderkey"), lit(997)).as("k"), col("o_orderkey"))
+    def skewAgg(joined: org.apache.spark.sql.DataFrame) =
+      joined.groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("qty")), 2).cast("double").as("sum_qty"))
     def dfFor(n: String) = n match {
+      case "skewnaive" =>
+        skewAgg(skewProbe.join(skewBuild.hint("merge"), Seq("k")))
+      case "skewsalted" =>
+        skewAgg(operators.Skew.saltedJoin(skewProbe, skewBuild.hint("merge"), "k", 8))
+      case "skewnaive_noaqe" =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        skewAgg(skewProbe.join(skewBuild.hint("merge"), Seq("k")))
+      case "skewsalted_noaqe" =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        skewAgg(operators.Skew.saltedJoin(skewProbe, skewBuild.hint("merge"), "k", 8))
       case "asofstress" => asofStress
       case "rangestress" =>
         operators.RangeJoin.pointInInterval(rangePoints, "cents",

@@ -31,6 +31,16 @@ object ColumnFunctions {
   def tryToNumeric(c: Column, p: Int, s: Int): Column =
     c.try_cast(s"decimal($p,$s)")
 
+  /** Snowflake TRY_TO_NUMBER with a grouped numeric format
+    * ('9,999,999'): Snowflake only accepts thousands separators when
+    * the format says so — the plain form nulls them (pinned in
+    * ColumnFunctionsSpec). Spark's equivalent: strip the group
+    * separator, then the null-on-failure cast. A separator-position
+    * check is deliberately NOT applied ('1,23,4' parses) — Snowflake's
+    * own format matching is positionally lenient the same way. */
+  def tryToNumberGrouped(c: Column, p: Int = 38, s: Int = 0): Column =
+    regexp_replace(c, ",", "").try_cast(s"decimal($p,$s)")
+
   /** Format-free TRY_TO_DATE (BlueForty.py:190,195). */
   def tryToDate(c: Column): Column = try_to_date(c)
 

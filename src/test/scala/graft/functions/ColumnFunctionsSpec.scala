@@ -26,6 +26,66 @@ class ColumnFunctionsSpec extends SparkTestBase {
     assert(rows.drop(3).forall(_.isEmpty))
   }
 
+  test("TRY_TO_NUMBER corner semantics: leading +, spaces, thousands " +
+      "separators, fraction-into-int (SURVEY §7 risk list)") {
+    def num38(s: String): Option[java.math.BigDecimal] = {
+      val r = Seq(s).toDF("s").select(tryToNumber38(col("s"))).head()
+      Option(r.getDecimal(0))
+    }
+    // Snowflake TO_NUMBER accepts an explicit leading sign — so does
+    // Spark's cast
+    assert(num38("+12").map(_.longValueExact()) === Some(12L))
+    assert(num38("-12").map(_.longValueExact()) === Some(-12L))
+    // surrounding whitespace is trimmed before parsing (both engines)
+    assert(num38(" 42 ").map(_.longValueExact()) === Some(42L))
+    // thousands separators WITHOUT a grouped format are a parse error
+    // → NULL (Snowflake plain TRY_TO_NUMBER agrees; DuckDB TRY_CAST
+    // also nulls)
+    assert(num38("1,234") === None)
+    // double signs / stray text → NULL, never an ANSI error
+    assert(num38("++1") === None)
+    assert(num38("12abc") === None)
+    // fractional string into a scale-0 target: Spark TRY_CAST *rounds*
+    // to the target scale (12.5 → 13, half-up) — Snowflake
+    // TO_NUMBER(x) defaults to scale 0 and rounds the same way; DuckDB
+    // TRY_CAST(... AS INT) is the engine that rounds-to-even. Pinned
+    // here so oracle SQL never routes this pattern through DuckDB INT
+    // casts (CLAUDE.md invariant).
+    assert(num38("12.5").map(_.longValueExact()) === Some(13L))
+  }
+
+  test("tryToNumberGrouped: thousands separators parse only via the " +
+      "grouped form; overflow still nulls") {
+    def grouped(s: String, p: Int = 38, sc: Int = 0): Option[java.math.BigDecimal] = {
+      val r = Seq(s).toDF("s").select(tryToNumberGrouped(col("s"), p, sc)).head()
+      Option(r.getDecimal(0))
+    }
+    assert(grouped("1,234,567").map(_.longValueExact()) === Some(1234567L))
+    assert(grouped("12").map(_.longValueExact()) === Some(12L))
+    // positionally sloppy grouping is accepted (documented leniency)
+    assert(grouped("1,23,4").map(_.longValueExact()) === Some(1234L))
+    assert(grouped("nope") === None)
+    // TRY_TO_NUMERIC overflow: value exceeding DECIMAL(p,s) capacity
+    // → NULL, not an error (Snowflake and Spark try_cast agree)
+    assert(grouped("12345", p = 4, sc = 0) === None)
+    assert(grouped("9,999", p = 4, sc = 0).map(_.longValueExact()) === Some(9999L))
+  }
+
+  test("tryToNumeric: precision/scale overflow and rounding at scale " +
+      "boundaries") {
+    def numeric(s: String, p: Int, sc: Int): Option[String] = {
+      val r = Seq(s).toDF("s").select(tryToNumeric(col("s"), p, sc)).head()
+      Option(r.getDecimal(0)).map(_.toPlainString)
+    }
+    assert(numeric("123.4567", 18, 4) === Some("123.4567"))
+    // extra fractional digits round half-up into the target scale
+    assert(numeric("1.00005", 18, 4) === Some("1.0001"))
+    assert(numeric("1.00004", 18, 4) === Some("1.0000"))
+    // integer part wider than p-s → NULL (no truncation, no error)
+    assert(numeric("100000", 7, 4) === None)
+    assert(numeric("999.9999", 7, 4) === Some("999.9999"))
+  }
+
   test("nullIfIn + nullifEmpty + intFlag corner cases") {
     val out = Seq(("\\N", "", "2"), ("ok", "x", "1"), ("N/A", "y", "0"))
       .toDF("a", "b", "f")

@@ -60,6 +60,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.count() === 3)
   }
 
+  test("repartitionByPayloadBytes: file-backed input sizes from file " +
+      "metadata (no content pass) and the batched write is O(files)") {
+    val src = graft.Scratch.dir("graft_mm_src")
+    spark.range(200)
+      .select(col("id"), expr("cast(repeat('x', 1000) as binary)").as("content"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val back = spark.read.parquet(src)
+    val (nFiles, bytes) = graft.Tables.scanFileBytes(back)
+    assert(nFiles === 1 && bytes > 0)
+    val out = Multimodal.repartitionByPayloadBytes(back, "content",
+      targetBytes = (bytes + 3) / 4) // ceil-div so ceil(bytes/target) = 4
+    assert(out.rdd.getNumPartitions === 4)
+    // the m2b layout property: the write lands one file per sized
+    // partition — O(files), never O(rows)
+    val dst = graft.Scratch.dir("graft_mm_dst")
+    out.write.mode("overwrite").parquet(dst)
+    val parts = new java.io.File(dst).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts === 4, s"expected 4 part files, got $parts")
+  }
+
   test("decodeBatch: mapPartitions plumbing appends decoded_len") {
     val out = Multimodal.decodeBatch(media, "content")
     assert(out.schema.fieldNames.contains("decoded_len"))
