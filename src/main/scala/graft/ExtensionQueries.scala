@@ -387,6 +387,95 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("k_bucket", "event_type")
 
+  /** PII scrubbing under a hash oracle: deterministic synthetic PII
+    * (an email on every doc_id%3==0, a phone on %3==1) appended to the
+    * corpus, redacted by the RE2-simple pattern bank, with per-doc
+    * match counts and the scrubbed text's md5 — map-only, the
+    * pre-training privacy pass. */
+  def t6PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val withPii = Tables.wide(Tables.documents(s, d)).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+    withPii.select(
+        col("doc_id"),
+        TextAnalysis.countPattern(col("text"), TextAnalysis.EmailPattern)
+          .as("n_emails"),
+        TextAnalysis.countPattern(col("text"), TextAnalysis.PhonePattern)
+          .as("n_phones"),
+        md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-window document chunking with overlap (32-word windows,
+    * 24-word stride) — the context-window packing/RAG-chunking shape:
+    * one explode per doc, chunk count scales with words not documents,
+    * chunk identity pinned by md5 so the oracle proves exact window
+    * boundaries and overlap. */
+  def t7Chunking(s: SparkSession, d: String): DataFrame = {
+    val chunkW = 32
+    val stride = 24
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nChunks =
+      (floor(greatest(size(col("ws")) - 1, lit(0)).cast("double") / stride)
+        .cast("int") + 1)
+    docs
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("ws"), col("chunk_id") * stride + 1, lit(chunkW)).as("ch"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ch")).cast("bigint").as("n_words"),
+        md5(array_join(col("ch"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Boilerplate n-gram report: word-3-grams appearing in ≥5 distinct
+    * documents (the CCNet/RefinedWeb repeated-boilerplate detection
+    * step). Per-doc-distinct grams aggregate to document frequency in
+    * one shuffle. At 100 TB the df count runs on the native shingle
+    * HASHES with the string form joined back only for qualifying grams
+    * — here the string gram IS the report, so the string path is the
+    * honest fixture-scale form. */
+  def x12BoilerplateNgrams(s: SparkSession, d: String): DataFrame =
+    Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordShingles(col("text"), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= 5)
+      .orderBy("gram")
+
+  /** Benchmark decontamination (the GPT-3/PaLM 13-gram rule): flag any
+    * corpus document sharing a 13-gram with the benchmark set
+    * (doc_id%97==0 plus synthesized verbatim quotes of it, so the
+    * signal is non-trivially exercised). Benchmark grams broadcast —
+    * eval sets are tiny next to the corpus — and grams travel as
+    * native 64-bit shingle hashes, never strings. */
+  def x13Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val quoted = bench.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(lit("quoth "), col("text")).as("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0).union(quoted)
+    val benchGrams = bench
+      .select(explode(
+        TextAnalysis.wordShingleHashesNative(col("text"), 13)).as("h"))
+      .distinct()
+    corpus
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordShingleHashesNative(col("text"), 13)).as("h"))
+      .join(broadcast(benchGrams), Seq("h"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- multimodal
 
   /** Binary-payload plumbing: byte length, content hash, frame-sample
@@ -752,6 +841,62 @@ object ExtensionQueries {
         |  FROM dots JOIN norms na ON na.vec_id=ida JOIN norms nb ON nb.vec_id=idb) t
         |WHERE cos >= 0.99 ORDER BY ida, idb""".stripMargin,
 
+    "t6_pii_scrub" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |         WHEN doc_id % 3 = 1 THEN
+        |           text || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(
+        |   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+        |FROM withpii ORDER BY doc_id""".stripMargin,
+
+    "t7_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |        ws[CAST(k*24+1 AS BIGINT) : CAST(k*24+32 AS BIGINT)] AS ch
+        |      FROM w, unnest(range(0, greatest(len(ws)-1, 0)//24 + 1)) t(k))
+        |SELECT doc_id, chunk_id,
+        | CAST(len(ch) AS BIGINT) AS n_words,
+        | md5(array_to_string(ch, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "x12_boilerplate_ngrams" ->
+      """WITH words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM documents)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2)
+        |SELECT gram, COUNT(*) AS doc_freq FROM sh
+        |GROUP BY gram HAVING COUNT(*) >= 5 ORDER BY gram""".stripMargin,
+
+    "x13_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'quoth ' || text FROM d WHERE doc_id % 97 = 0),
+        |cw AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
+        |cg AS (SELECT DISTINCT doc_id, array_to_string(ws[CAST(i AS BIGINT):CAST(i+12 AS BIGINT)],' ') AS g
+        |       FROM cw, unnest(range(1, greatest(len(ws)-11, 1))) t(i)),
+        |bw AS (SELECT string_split(text,' ') AS ws FROM d WHERE doc_id % 97 = 0),
+        |bg AS (SELECT DISTINCT array_to_string(ws[CAST(i AS BIGINT):CAST(i+12 AS BIGINT)],' ') AS g
+        |       FROM bw, unnest(range(1, greatest(len(ws)-11, 1))) t(i))
+        |SELECT doc_id, COUNT(DISTINCT cg.g) AS n_shared_grams
+        |FROM cg JOIN bg ON cg.g = bg.g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t1_text_stats" ->
       s"""SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_measured,
@@ -874,6 +1019,10 @@ object ExtensionQueries {
     "t3_fingerprint"         -> (t3Fingerprint _),
     "t5_edit_pairs"          -> (t5EditPairs _),
     "t4_json_props"          -> (t4JsonProps _),
+    "t6_pii_scrub"           -> (t6PiiScrub _),
+    "t7_chunking"            -> (t7Chunking _),
+    "x12_boilerplate_ngrams" -> (x12BoilerplateNgrams _),
+    "x13_decontaminate"      -> (x13Decontaminate _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "m2b_batched_ingest"     -> (m2bBatchedIngest _),

@@ -132,6 +132,23 @@ object TextAnalysis {
     round(lengthFactor * lit(0.6) + stopDensity * lit(0.4), 6)
   }
 
+  /** PII patterns kept RE2-simple (no lookarounds, ASCII classes) so
+    * Java and RE2-family engines match identically — the contract a
+    * cross-engine scrub audit needs. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phones — map-only, codegen'd, the shape of
+    * every pre-training PII scrub pass (real deployments swap in their
+    * full pattern bank; the engine contract is identical). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  def countPattern(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("bigint")
+
   /** Normalized-text MD5 fingerprint (stable content address). */
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

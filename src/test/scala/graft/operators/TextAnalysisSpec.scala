@@ -15,6 +15,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2).isEmpty)
   }
 
+  test("scrubPii: every email and phone redacted, counts match, " +
+      "clean text untouched") {
+    val rows = Seq(
+      "mail a@b.com and c.d+e@f.co.uk twice",
+      "call 555-123-4567 or 555-987-6543",
+      "nothing sensitive here",
+      "mixed x@y.io and 111-222-3333").toDF("t")
+      .select(scrubPii(col("t")).as("s"),
+        countPattern(col("t"), EmailPattern).as("ne"),
+        countPattern(col("t"), PhonePattern).as("np"))
+      .collect()
+    assert(rows(0).getString(0) === "mail [EMAIL] and [EMAIL] twice")
+    assert(rows(0).getLong(1) === 2 && rows(0).getLong(2) === 0)
+    assert(rows(1).getString(0) === "call [PHONE] or [PHONE]")
+    assert(rows(1).getLong(2) === 2)
+    assert(rows(2).getString(0) === "nothing sensitive here")
+    assert(rows(3).getString(0) === "mixed [EMAIL] and [PHONE]")
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val out = Seq("the quick-brown fox 42 !").toDF("t")
       .select(wordCount(col("t")), tokenCountBpeIsh(col("t"))).head()
