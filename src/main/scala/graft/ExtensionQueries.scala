@@ -445,7 +445,7 @@ object ExtensionQueries {
   def x12BoilerplateNgrams(s: SparkSession, d: String): DataFrame =
     Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"),
-        explode(TextAnalysis.wordShingles(col("text"), 3)).as("gram"))
+        explode(TextAnalysis.wordShinglesNative(col("text"), 3)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= 5)
       .orderBy("gram")

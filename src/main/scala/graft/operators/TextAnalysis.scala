@@ -60,6 +60,17 @@ object TextAnalysis {
       org.apache.spark.sql.graft.WordShingleHashes(
         org.apache.spark.sql.graft.ColumnShim.expression(text), n))
 
+  /** [[wordShingles]] as a native codegen'd expression — one fused
+    * byte scan instead of the HOF's per-window re-split (same trade as
+    * [[wordShingleHashesNative]]; parity in WordShingleStringsSpec).
+    * For operators whose OUTPUT is the gram string (boilerplate
+    * reports, decontamination audits); dedup shuffles should keep
+    * using the hashed form. */
+  def wordShinglesNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.WordShingleStrings(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), n))
+
   /** Count non-overlapping occurrences of ` word ` in the padded text —
     * the classic length-delta trick, identical across engines. */
   def paddedHits(text: Column, word: String): Column = {
