@@ -476,6 +476,34 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary build + document encoding — the tokenize-to-ids step
+    * of every pretraining pipeline: global word counts → top-30 vocab
+    * (rank by count desc, word asc; everything else is UNK=0) →
+    * each document re-encoded as its id sequence, integrity-pinned by
+    * an md5 over the ordered ids. Vocab construction is a distributed
+    * top-K (sort+limit, tiny result) so the single-partition ranking
+    * window only ever sees K rows; the encode join broadcasts the
+    * vocab — at 100 TB this is one explode + one broadcast join. */
+  def x14VocabEncode(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val top = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(30)
+    val vocab = top.withColumn("id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)))
+    words.join(broadcast(vocab.select("w", "id")), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"), lit(0)).as("id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_unk"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id")))).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- multimodal
 
   /** Binary-payload plumbing: byte length, content hash, frame-sample
@@ -897,6 +925,23 @@ object ExtensionQueries {
         |FROM cg JOIN bg ON cg.g = bg.g
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "x14_vocab_encode" ->
+      """WITH words AS (
+        |  SELECT doc_id, i, w FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM documents)),
+        |counts AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+        |vocab AS (
+        |  SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS INT) AS id
+        |  FROM counts QUALIFY id <= 30),
+        |enc AS (SELECT doc_id, i, COALESCE(v.id, 0) AS id
+        |        FROM words LEFT JOIN vocab v USING (w))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        | md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_md5
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t1_text_stats" ->
       s"""SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_measured,
@@ -1023,6 +1068,7 @@ object ExtensionQueries {
     "t7_chunking"            -> (t7Chunking _),
     "x12_boilerplate_ngrams" -> (x12BoilerplateNgrams _),
     "x13_decontaminate"      -> (x13Decontaminate _),
+    "x14_vocab_encode"       -> (x14VocabEncode _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "m2b_batched_ingest"     -> (m2bBatchedIngest _),
