@@ -84,6 +84,23 @@ object CoreQueries {
         round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"))
       .orderBy("l_returnflag")
 
+  /** a4's scale path: sketch-based percentiles + HLL distinct count —
+    * one streaming aggregation pass, no sort, mergeable partials (the
+    * shape exact order statistics can't take at 100 TB). No DuckDB
+    * oracle (sketch internals aren't reproducible cross-engine):
+    * accuracy vs the exact a4 is asserted in CoreQueriesSpec, and the
+    * driver times it per round. */
+  def a4bQuantileSketch(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("dc"),
+        round(approx_percentile(col("l_quantity"), lit(0.5), lit(10000)), 6)
+          .as("p50"),
+        round(approx_percentile(col("l_quantity"), lit(0.95), lit(10000)), 6)
+          .as("p95"))
+      .orderBy("l_returnflag")
+
   /** A3 — SELECT DISTINCT (BlueForty.py:427-433). */
   def a3Distinct(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)

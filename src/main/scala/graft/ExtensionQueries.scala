@@ -1083,6 +1083,7 @@ object ExtensionQueries {
     * oracle-matched x4b twin (identical banding/Hamming logic, portable
     * md5 hash). Kept out of `queries` so the driver ledger stays N/N. */
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x4_dedup_simhash" -> (x4Simhash _),
+    "x4_dedup_simhash"   -> (x4Simhash _),
+    "a4b_quantile_sketch" -> (CoreQueries.a4bQuantileSketch _),
   )
 }

@@ -118,6 +118,13 @@ object TimeOne {
       case "annlsh" =>
         val c = embStress.cache()
         operators.Similarity.lshTopK(c, annQueries(c), "vec_id", "embedding", 64, 10)
+      case "annlshmulti" =>
+        // multi-table at corpus scale: r grows with corpus size (2^r
+        // buckets/table bounds candidates), L buys recall — r=10, L=8
+        // ≈ 1k buckets/table over 1M vectors
+        val c = embStress.cache()
+        operators.Similarity.lshTopKMulti(c, annQueries(c), "vec_id", "embedding",
+          64, 10, nPlanes = 10, nTables = 8)
       case "annivf" =>
         val c = embStress.cache()
         operators.Similarity.ivfTopK(c, annQueries(c), "vec_id", "embedding", 10)
@@ -127,7 +134,8 @@ object TimeOne {
       case "x2post"   => operators.Dedup.postingsHashedForTiming(Tables.documents(spark, sfDir), "doc_id", "text", 3)
       case "x2pairs"  => operators.Dedup.coShinglePairsForTiming(Tables.documents(spark, sfDir), "doc_id", "text", 3)
       case "x3stress" => operators.Dedup.minhashLshPairs(docs20x, "doc_id", "text", 3, 128, 32, 0.8)
-      case other    => SparkEntry.queries(other)(spark, sfDir)
+      case other    =>
+        (SparkEntry.queries ++ SparkEntry.benchOnly)(other)(spark, sfDir)
     }
     SparkEntry.queries("a1_po_totals")(spark, sfDir).write.format("noop").mode("overwrite").save()
     (1 to reps).foreach { r =>
