@@ -476,6 +476,43 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style per-document quality signals: mean word length
+    * (closed-form from text length — single-space corpus, no explode),
+    * long-word fraction, and 2-/3-gram repetition ratios
+    * (1 − distinct/total, the repeated-text detector). The n-gram
+    * distinct counts ride the native shingle hasher (map-only); only
+    * the word-length histogram pays an explode, aggregated in the same
+    * shuffle. Every ratio is a single rounded division so any engine
+    * reproduces it bit-for-bit. */
+  def t8QualitySignals(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+    val n = TextAnalysis.wordCount(col("text"))
+    val base = docs.select(col("doc_id"), n.as("n"),
+      round((length(col("text")) - n + 1).cast("double") / n.cast("double"), 6)
+        .as("mean_word_len"),
+      size(TextAnalysis.wordShingleHashesNative(col("text"), 2)).cast("bigint")
+        .as("d2"),
+      size(TextAnalysis.wordShingleHashesNative(col("text"), 3)).cast("bigint")
+        .as("d3"))
+    val longWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(when(length(col("w")) > 7, 1L).otherwise(0L)).as("n_long"))
+    base.join(longWords, Seq("doc_id"))
+      .select(col("doc_id"), col("mean_word_len"),
+        round(col("n_long").cast("double") / col("n").cast("double"), 6)
+          .as("frac_long_words"),
+        when(col("n") > 1,
+          round(lit(1.0) - col("d2").cast("double") /
+            (col("n") - 1).cast("double"), 6)).otherwise(lit(0.0))
+          .as("rep_2gram"),
+        when(col("n") > 2,
+          round(lit(1.0) - col("d3").cast("double") /
+            (col("n") - 2).cast("double"), 6)).otherwise(lit(0.0))
+          .as("rep_3gram"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary build + document encoding — the tokenize-to-ids step
     * of every pretraining pipeline: global word counts → top-30 vocab
     * (rank by count desc, word asc; everything else is UNK=0) →
@@ -925,6 +962,39 @@ object ExtensionQueries {
         |FROM cg JOIN bg ON cg.g = bg.g
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "t8_quality_signals" ->
+      """WITH words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM documents)),
+        |wstats AS (
+        |  SELECT doc_id, COUNT(*) AS n,
+        |         SUM(CASE WHEN length(w) > 7 THEN 1 ELSE 0 END) AS n_long
+        |  FROM words GROUP BY doc_id),
+        |p2 AS (
+        |  SELECT a.doc_id, COUNT(DISTINCT a.w || ' ' || b.w) AS d2, COUNT(*) AS t2
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |  GROUP BY a.doc_id),
+        |p3 AS (
+        |  SELECT a.doc_id, COUNT(DISTINCT a.w || ' ' || b.w || ' ' || c.w) AS d3,
+        |         COUNT(*) AS t3
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2
+        |  GROUP BY a.doc_id)
+        |SELECT d.doc_id,
+        | ROUND(CAST(length(d.text) - w.n + 1 AS DOUBLE) / w.n, 6) AS mean_word_len,
+        | ROUND(CAST(w.n_long AS DOUBLE) / w.n, 6) AS frac_long_words,
+        | CASE WHEN w.n > 1 THEN ROUND(1.0 - CAST(p2.d2 AS DOUBLE)/p2.t2, 6)
+        |      ELSE 0.0 END AS rep_2gram,
+        | CASE WHEN w.n > 2 THEN ROUND(1.0 - CAST(p3.d3 AS DOUBLE)/p3.t3, 6)
+        |      ELSE 0.0 END AS rep_3gram
+        |FROM documents d
+        |JOIN wstats w ON w.doc_id = d.doc_id
+        |LEFT JOIN p2 ON p2.doc_id = d.doc_id
+        |LEFT JOIN p3 ON p3.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "x14_vocab_encode" ->
       """WITH words AS (
         |  SELECT doc_id, i, w FROM (
@@ -1069,6 +1139,7 @@ object ExtensionQueries {
     "x12_boilerplate_ngrams" -> (x12BoilerplateNgrams _),
     "x13_decontaminate"      -> (x13Decontaminate _),
     "x14_vocab_encode"       -> (x14VocabEncode _),
+    "t8_quality_signals"     -> (t8QualitySignals _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "m2b_batched_ingest"     -> (m2bBatchedIngest _),
