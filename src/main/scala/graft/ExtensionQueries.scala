@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.{EventSessions, EventWindows}
 
 /** LLM-training-data pipeline extension queries (BASELINE.json
@@ -541,6 +541,50 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing manifest — concat-and-chunk at seqLen=256: each
+    * document's global token offset (distributed two-pass prefix scan,
+    * NOT a single-task global window — see [[Packing.globalOffsets]])
+    * and the range of fixed-length training sequences it spans. The
+    * oracle states the same running sum as a plain window, which DuckDB
+    * can afford at fixture scale; the Spark side must produce identical
+    * offsets from the bucketed scan, which is exactly the property
+    * worth pinning. */
+  def x15SequencePack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), TextAnalysis.wordCount(col("text")).as("n_tok"))
+    Packing.packManifest(docs, "n_tok", "doc_id", 256)
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixture up/down-sampling — reweighting a corpus by per-language
+    * target ratios (en 0.4×, de 1.0×, es 1.7×, fr 2.0×, zh 2.5×): the
+    * integer part replicates, the fractional part keeps a deterministic
+    * hash share of documents (minstd mod 1000 — engine-portable,
+    * reproducible across runs/cluster sizes, membership joinable).
+    * Map-only: a `when` ladder for the weights, one `explode(sequence)`
+    * for the copies — no shuffle at all until a consumer asks for one,
+    * which is what lets the reweight ride along with the scan at
+    * 100 TB. */
+  def x16MixtureUpsample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+    val base = when(col("lang") === "en", 0)
+      .when(col("lang") === "de", 1).when(col("lang") === "es", 1)
+      .when(col("lang") === "fr", 2).when(col("lang") === "zh", 2)
+      .otherwise(1)
+    val fracThousand = when(col("lang") === "en", 400)
+      .when(col("lang") === "es", 700).when(col("lang") === "zh", 500)
+      .otherwise(0)
+    val h = pmod(Sampling.minstdHash(col("doc_id")), lit(1000L))
+    docs.withColumn("repeats",
+        (base + when(h < fracThousand, 1).otherwise(0)).cast("bigint"))
+      .filter(col("repeats") > 0)
+      .select(col("doc_id"), col("lang"), col("repeats"),
+        explode(sequence(lit(1L), col("repeats"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   // ---------------------------------------------------- multimodal
 
   /** Binary-payload plumbing: byte length, content hash, frame-sample
@@ -1012,6 +1056,43 @@ object ExtensionQueries {
         | md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_md5
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // x15's oracle states the packing offsets as the naive global
+    // window; the Spark side must reproduce them from the distributed
+    // two-pass prefix scan — same numbers, cluster-safe plan.
+    "x15_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, n_tok, start_off,
+        |       CAST(start_off // 256 AS BIGINT) AS first_seq,
+        |       CAST((start_off + n_tok - 1) // 256 AS BIGINT) AS last_seq,
+        |       CAST((start_off + n_tok - 1) // 256 - start_off // 256 + 1
+        |            AS BIGINT) AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "x16_mixture_upsample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+        |                   WHEN 'es' THEN 1 WHEN 'fr' THEN 2
+        |                   WHEN 'zh' THEN 2 ELSE 1 END
+        |      + CASE WHEN ((doc_id * 48271) % 2147483647) % 1000 <
+        |               CASE lang WHEN 'en' THEN 400 WHEN 'es' THEN 700
+        |                         WHEN 'zh' THEN 500 ELSE 0 END
+        |             THEN 1 ELSE 0 END AS BIGINT) AS repeats
+        |  FROM documents)
+        |SELECT doc_id, lang, repeats,
+        |       unnest(generate_series(1, repeats)) AS copy_idx
+        |FROM r WHERE repeats > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+
     "t1_text_stats" ->
       s"""SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_measured,
@@ -1139,6 +1220,8 @@ object ExtensionQueries {
     "x12_boilerplate_ngrams" -> (x12BoilerplateNgrams _),
     "x13_decontaminate"      -> (x13Decontaminate _),
     "x14_vocab_encode"       -> (x14VocabEncode _),
+    "x15_sequence_pack"      -> (x15SequencePack _),
+    "x16_mixture_upsample"   -> (x16MixtureUpsample _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),

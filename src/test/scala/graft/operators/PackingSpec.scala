@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // sparse, unordered, negative-heavy keys — exercises bucket math
+  private def corpus = Seq(
+    (-500L, 17L), (3L, 1L), (9999L, 256L), (7L, 300L), (0L, 5L),
+    (42L, 255L), (-2L, 1L), (100L, 1024L), (101L, 1L), (55L, 128L)
+  ).toDF("id", "n_tok")
+
+  test("globalOffsets matches the naive single-partition global window") {
+    val got = Packing.globalOffsets(corpus, "n_tok", "id")
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    val want = corpus
+      .withColumn("start_off",
+        coalesce(sum($"n_tok").over(
+          Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("globalOffsets is deterministic across invocations and bucket counts") {
+    val a = Packing.globalOffsets(corpus, "n_tok", "id", numBuckets = 2)
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    val b = Packing.globalOffsets(corpus, "n_tok", "id", numBuckets = 7)
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    val c = Packing.globalOffsets(corpus, "n_tok", "id", numBuckets = 7)
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    assert(a == b && b == c)
+  }
+
+  test("packManifest spans cut boundaries correctly") {
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 400L), (4L, 56L))
+      .toDF("id", "n_tok")
+    val m = Packing.packManifest(df, "n_tok", "id", 256)
+      .select("id", "start_off", "first_seq", "last_seq", "n_seqs")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // offsets: 0, 100, 200, 600; doc 3 spans tokens [200,600) → seqs 0..2
+    assert(m.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 100L, 0L, 0L, 1L),
+      (3L, 200L, 0L, 2L, 3L),
+      (4L, 600L, 2L, 2L, 1L)))
+  }
+
+  test("globalOffsets on empty input yields empty output") {
+    val empty = corpus.filter($"id" > 100000L)
+    assert(Packing.globalOffsets(empty, "n_tok", "id").count() == 0L)
+  }
+
+  test("plan has no single-partition global window") {
+    val plan = Packing.globalOffsets(corpus, "n_tok", "id")
+      .queryExecution.executedPlan.toString
+    // a global Window.orderBy would show an empty partition spec with
+    // a SinglePartition exchange feeding it
+    assert(!plan.contains("SinglePartition"))
+  }
+}
