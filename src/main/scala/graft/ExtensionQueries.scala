@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.{EventSessions, EventWindows}
 
 /** LLM-training-data pipeline extension queries (BASELINE.json
@@ -463,16 +463,24 @@ object ExtensionQueries {
     val quoted = bench.select((col("doc_id") + 1000000).as("doc_id"),
       concat(lit("quoth "), col("text")).as("text"))
     val corpus = docs.filter(col("doc_id") % 97 =!= 0).union(quoted)
-    val benchGrams = bench
-      .select(explode(
-        TextAnalysis.wordShingleHashesNative(col("text"), 13)).as("h"))
-      .distinct()
-    corpus
-      .select(col("doc_id"),
-        explode(TextAnalysis.wordShingleHashesNative(col("text"), 13)).as("h"))
-      .join(broadcast(benchGrams), Seq("h"))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("h")).as("n_shared_grams"))
+    Decontaminate.overlapCounts(corpus, bench).orderBy("doc_id")
+  }
+
+  /** x13's exact result through the Bloom-prefilter scale path
+    * ([[Decontaminate.overlapCountsBloom]]): benchmark grams shipped
+    * as an O(bits) sketch, corpus grams dropped map-side, survivors
+    * exact-verified by a (non-broadcast) join — so the same oracle
+    * holds bit-for-bit while the shuffled volume is O(matches), the
+    * posture that survives a benchmark set too large to broadcast. */
+  def x13bDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val quoted = bench.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(lit("quoth "), col("text")).as("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0).union(quoted)
+    Decontaminate.overlapCountsBloom(corpus, bench,
+        expectedGrams = 1L << 16, fpp = 0.01)
       .orderBy("doc_id")
   }
 
@@ -737,6 +745,22 @@ object ExtensionQueries {
        |FROM documents""".stripMargin
   }
 
+  private val x13OracleSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, text FROM d WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'quoth ' || text FROM d WHERE doc_id % 97 = 0),
+      |cw AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
+      |cg AS (SELECT DISTINCT doc_id, array_to_string(ws[CAST(i AS BIGINT):CAST(i+12 AS BIGINT)],' ') AS g
+      |       FROM cw, unnest(range(1, greatest(len(ws)-11, 1))) t(i)),
+      |bw AS (SELECT string_split(text,' ') AS ws FROM d WHERE doc_id % 97 = 0),
+      |bg AS (SELECT DISTINCT array_to_string(ws[CAST(i AS BIGINT):CAST(i+12 AS BIGINT)],' ') AS g
+      |       FROM bw, unnest(range(1, greatest(len(ws)-11, 1))) t(i))
+      |SELECT doc_id, COUNT(DISTINCT cg.g) AS n_shared_grams
+      |FROM cg JOIN bg ON cg.g = bg.g
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x1_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id_kept, COUNT(*) AS n_copies,
@@ -990,21 +1014,10 @@ object ExtensionQueries {
         |SELECT gram, COUNT(*) AS doc_freq FROM sh
         |GROUP BY gram HAVING COUNT(*) >= 5 ORDER BY gram""".stripMargin,
 
-    "x13_decontaminate" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |corpus AS (
-        |  SELECT doc_id, text FROM d WHERE doc_id % 97 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, 'quoth ' || text FROM d WHERE doc_id % 97 = 0),
-        |cw AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
-        |cg AS (SELECT DISTINCT doc_id, array_to_string(ws[CAST(i AS BIGINT):CAST(i+12 AS BIGINT)],' ') AS g
-        |       FROM cw, unnest(range(1, greatest(len(ws)-11, 1))) t(i)),
-        |bw AS (SELECT string_split(text,' ') AS ws FROM d WHERE doc_id % 97 = 0),
-        |bg AS (SELECT DISTINCT array_to_string(ws[CAST(i AS BIGINT):CAST(i+12 AS BIGINT)],' ') AS g
-        |       FROM bw, unnest(range(1, greatest(len(ws)-11, 1))) t(i))
-        |SELECT doc_id, COUNT(DISTINCT cg.g) AS n_shared_grams
-        |FROM cg JOIN bg ON cg.g = bg.g
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x13_decontaminate" -> x13OracleSql,
+
+    // identical contract: the Bloom prefilter is result-invisible
+    "x13b_decontaminate_bloom" -> x13OracleSql,
 
     "t8_quality_signals" ->
       """WITH words AS (
@@ -1219,6 +1232,7 @@ object ExtensionQueries {
     "t7_chunking"            -> (t7Chunking _),
     "x12_boilerplate_ngrams" -> (x12BoilerplateNgrams _),
     "x13_decontaminate"      -> (x13Decontaminate _),
+    "x13b_decontaminate_bloom" -> (x13bDecontaminateBloom _),
     "x14_vocab_encode"       -> (x14VocabEncode _),
     "x15_sequence_pack"      -> (x15SequencePack _),
     "x16_mixture_upsample"   -> (x16MixtureUpsample _),
