@@ -549,6 +549,63 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality scoring — the fasttext-classifier shape every
+    * production quality filter takes: hashed bag-of-words features
+    * (4096 buckets, portable md5-60 bucketing) × per-bucket weights,
+    * mean-pooled into a document score and thresholded into a
+    * keep/drop label. Weights here are a deterministic function of the
+    * bucket (stand-ins for trained ones) and stay INTEGER MILLIS
+    * through the aggregation — exact, order-free partial sums, one
+    * double division at the end. Explode + single hash-agg: the same
+    * map-side-combine plan a trained scorer would run at 100 TB. */
+  def t9QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    toks.select(col("doc_id"),
+        TextAnalysis.weightMilli(
+          TextAnalysis.featureBucket(col("w"), 4096)).as("wm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("wm")).as("sum_milli"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_milli").cast("double") /
+          (col("n_tok") * 1000L).cast("double"), 6).as("score"),
+        when(col("sum_milli") > 0, 1).otherwise(0).as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** Keep-best-of-cluster — the dedup finale real pipelines run
+    * instead of keep-min-id: near-dup clusters (connected components
+    * over the Jaccard ≥ 0.8 pair graph, as x11) each elect the member
+    * with the highest model quality score (t9's exact integer-milli
+    * sum; ties → smallest doc_id). Election is a per-cluster top-1
+    * window — WindowGroupLimit keeps it map-bounded, and clusters are
+    * small by construction (near-dup cliques), so no partition can
+    * blow up. */
+  def x17ClusterCanonical(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+    val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.8))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val quality = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        TextAnalysis.weightMilli(
+          TextAnalysis.featureBucket(col("w"), 4096)).as("wm"))
+      .groupBy("doc_id").agg(sum(col("wm")).as("sum_milli"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("sum_milli").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("sum_milli").as("kept_quality_milli"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Sequence packing manifest — concat-and-chunk at seqLen=256: each
     * document's global token offset (distributed two-pass prefix scan,
     * NOT a single-task global window — see [[Packing.globalOffsets]])
@@ -1069,6 +1126,58 @@ object ExtensionQueries {
         | md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_md5
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "x17_cluster_canonical" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT * FROM (${jaccardPairsCte.replace("%THRESH%", "0.8")}) t),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+        |          UNION SELECT idb, ida FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+        |clusters AS (
+        |  SELECT node AS doc_id, MIN(label) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |toks AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096 AS feat
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(((feat * 48271) % 2147483647) % 2001 - 1000)
+        |              AS BIGINT) AS sum_milli
+        |  FROM toks GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT c.cluster_id, c.doc_id, q.sum_milli,
+        |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |           ORDER BY q.sum_milli DESC, c.doc_id ASC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |  FROM clusters c JOIN q USING (doc_id))
+        |SELECT cluster_id, doc_id AS kept_doc_id,
+        |       sum_milli AS kept_quality_milli,
+        |       CAST(n_members AS BIGINT) AS n_members
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "t9_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096 AS feat
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |wts AS (
+        |  SELECT doc_id,
+        |         ((feat * 48271) % 2147483647) % 2001 - 1000 AS wm
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(wm) AS BIGINT) AS sum_milli
+        |  FROM wts GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |       ROUND(CAST(sum_milli AS DOUBLE) / (n_tok * 1000), 6) AS score,
+        |       CAST(CASE WHEN sum_milli > 0 THEN 1 ELSE 0 END AS INT) AS label
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     // x15's oracle states the packing offsets as the naive global
     // window; the Spark side must reproduce them from the distributed
     // two-pass prefix scan — same numbers, cluster-safe plan.
@@ -1236,7 +1345,9 @@ object ExtensionQueries {
     "x14_vocab_encode"       -> (x14VocabEncode _),
     "x15_sequence_pack"      -> (x15SequencePack _),
     "x16_mixture_upsample"   -> (x16MixtureUpsample _),
+    "x17_cluster_canonical"  -> (x17ClusterCanonical _),
     "t8_quality_signals"     -> (t8QualitySignals _),
+    "t9_quality_classifier"  -> (t9QualityClassifier _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "m2b_batched_ingest"     -> (m2bBatchedIngest _),

@@ -183,4 +183,20 @@ object TextAnalysis {
       i => xxhash64(substring(text, i + 1, lit(k))))
     array_distinct(filter(grams, h => pmod(h, lit(p)) === 0))
   }
+
+  /** Hashed bag-of-words feature bucket — the fasttext-style trick
+    * that makes a linear text classifier vocabulary-free: any word
+    * maps to one of `buckets` weight slots via a portable content
+    * hash (md5-60, so an external engine reproduces the bucketing). */
+  def featureBucket(word: Column, buckets: Int): Column =
+    pmod(Dedup.md5Hash60(word), lit(buckets.toLong))
+
+  /** Deterministic pseudo-weight for a feature bucket, in integer
+    * MILLIS (−1000..1000): stands in for trained classifier weights
+    * while keeping partial sums exact and order-independent (BIGINT
+    * all the way; one double division at the end of the consumer).
+    * The minstd reduction is pmod'd before the multiply, so nothing
+    * can overflow under ANSI mode. */
+  def weightMilli(feat: Column): Column =
+    pmod(pmod(feat, lit(2147483647L)) * 48271L, lit(2147483647L)) % 2001L - 1000L
 }
