@@ -134,6 +134,25 @@ object TimeOne {
       case "x2post"   => operators.Dedup.postingsHashedForTiming(Tables.documents(spark, sfDir), "doc_id", "text", 3)
       case "x2pairs"  => operators.Dedup.coShinglePairsForTiming(Tables.documents(spark, sfDir), "doc_id", "text", 3)
       case "x3stress" => operators.Dedup.minhashLshPairs(docs20x, "doc_id", "text", 3, 128, 32, 0.8)
+      // ~6M-row global running offset: "packscan" is the two-pass
+      // bucketed prefix scan, "packnaive" the single-partition global
+      // window it replaces
+      case "packscan" | "packnaive" =>
+        val rows = Tables.lineitem(spark, sfDir)
+          .select((col("l_orderkey") * 100 + col("l_linenumber") * 10).as("id0"),
+            col("l_quantity").cast("long").as("n_tok"))
+          .select(col("id0"), col("n_tok"),
+            explode(sequence(lit(0), lit(9))).as("k"))
+          .select((col("id0") + col("k")).as("id"), col("n_tok"))
+        val off =
+          if (name == "packscan")
+            operators.Packing.globalOffsets(rows, "n_tok", "id")
+          else rows.withColumn("start_off",
+            coalesce(sum(col("n_tok")).over(
+              org.apache.spark.sql.expressions.Window.orderBy("id")
+                .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        off.groupBy().agg(count(lit(1)).as("n"), max(col("start_off")).as("mx"),
+          sum(col("start_off")).as("ck"))
       case other    =>
         (SparkEntry.queries ++ SparkEntry.benchOnly)(other)(spark, sfDir)
     }

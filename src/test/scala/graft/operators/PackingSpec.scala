@@ -35,6 +35,15 @@ class PackingSpec extends SparkTestBase {
     assert(a == b && b == c)
   }
 
+  test("caller-supplied bounds skip the probe pass but keep the values") {
+    val probed = Packing.globalOffsets(corpus, "n_tok", "id")
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    val given = Packing.globalOffsets(corpus, "n_tok", "id",
+        bounds = Some((-500L, 9999L)))
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    assert(given == probed)
+  }
+
   test("packManifest spans cut boundaries correctly") {
     val df = Seq((1L, 100L), (2L, 100L), (3L, 400L), (4L, 56L))
       .toDF("id", "n_tok")
