@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import graft.streaming.{EventSessions, EventWindows}
+import graft.streaming.{EventSessions, EventWindows, StreamCurate}
 
 /** LLM-training-data pipeline extension queries (BASELINE.json
   * north-star: dedup, similarity search, multimodal columns, text
@@ -755,6 +755,17 @@ object ExtensionQueries {
   def st2Sessionize(s: SparkSession, d: String): DataFrame =
     EventSessions.sessionizeBatch(Tables.events(s, d), gapMinutes = 720)
 
+  /** Ingest curation (batch form of the streaming pipeline): map-only
+    * quality gate → content fingerprint → keep-min-id dedup with dup
+    * counts. The streaming twin (same `StreamCurate.scored` stage +
+    * `dropDuplicatesWithinWatermark`) is parity-checked in
+    * StreamCurateSpec — this row pins the batch semantics the stream
+    * must converge to. */
+  def st4StreamCurate(s: SparkSession, d: String): DataFrame =
+    StreamCurate.batch(Tables.wide(Tables.documents(s, d)),
+        "doc_id", "text", 0.3)
+      .orderBy("doc_id")
+
   // ======================================================== oracles
 
   /** Exact word-3-gram Jaccard pair set as a composable CTE body
@@ -1159,6 +1170,19 @@ object ExtensionQueries {
         |       CAST(n_members AS BIGINT) AS n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
+    "st4_stream_curate" ->
+      s"""WITH s AS ($langScoreSql),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ROUND(LEAST(len(string_split(text,' '))/100.0, 1.0) * 0.6 +
+        |      LEAST(CAST(s_en AS DOUBLE)/(len(string_split(text,' ')) + 1.0), 1.0)
+        |        * 0.4, 6) AS q,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM s),
+        |filt AS (SELECT * FROM scored WHERE q >= 0.3)
+        |SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS n_dups
+        |FROM filt GROUP BY fp ORDER BY doc_id""".stripMargin,
+
     "t9_quality_classifier" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1354,6 +1378,7 @@ object ExtensionQueries {
     "j6b_skew_salted"        -> (j6bSkewSalted _),
     "st1_event_window"       -> (st1EventWindow _),
     "st2_sessionize"         -> (st2Sessionize _),
+    "st4_stream_curate"      -> (st4StreamCurate _),
   )
 
   /** Benchmarked but not oracle-checked: x4's xxhash64 token hash has
