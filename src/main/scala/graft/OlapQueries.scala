@@ -97,6 +97,37 @@ object OlapQueries {
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** A5b (extension) — full CUBE over (lang, source): all four
+    * grouping combinations in one pass (Spark expands them in a
+    * single Expand + hash aggregate, no re-scan per combination),
+    * disambiguated by grouping_id; integer totals so partial sums are
+    * exact. */
+  def a5bCube(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("gid"), col("lang"), col("source"), col("n"),
+        col("sum_chars"))
+      .orderBy(col("gid"),
+        col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** W5 (extension) — distribution-rank window family for curriculum
+    * bucketing: per-language size deciles (ntile), percent_rank and
+    * cume_dist, ordered on the unique (n_chars desc, doc_id) pair so
+    * every rank is tie-free and deterministic; each ratio is one
+    * double division rounded to 6 dp. */
+  def w5QualityDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(10).over(w).cast("bigint").as("decile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("doc_id")
+  }
+
   /** W3 (extension) — analytic window frames: lag(1) and a 4-row
     * rolling sum over each user's event sequence, ordered on the
     * unique (ts, event_id) pair so frames are deterministic. */
@@ -326,6 +357,8 @@ object OlapQueries {
     "j8_range_join"      -> (j8RangeJoin _),
     "j10_bbox_join"      -> (j10BboxJoin _),
     "a5_rollup"          -> (a5Rollup _),
+    "a5b_cube"           -> (a5bCube _),
+    "w5_quality_deciles" -> (w5QualityDeciles _),
     "w3_lag_rolling"     -> (w3LagRolling _),
     "w4_rank_family"     -> (w4RankFamily _),
     "a6_setops"          -> (a6SetOps _),
@@ -464,6 +497,22 @@ object OlapQueries {
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a5b_cube" ->
+      """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        | lang, source, COUNT(*) AS n,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "w5_quality_deciles" ->
+      """SELECT doc_id, lang, n_chars,
+        | CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+        | ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        | ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
+        |ORDER BY doc_id""".stripMargin,
 
     "w3_lag_rolling" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
