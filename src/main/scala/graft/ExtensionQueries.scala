@@ -739,6 +739,33 @@ object ExtensionQueries {
       .orderBy("k")
   }
 
+  /** Incremental corpus upsert: the stored snapshot merged with a CDC
+    * change batch (revised docs, brand-new docs, tombstones) under
+    * latest-revision-wins — one `max_by` hash aggregate, shuffle
+    * O(keys), no join, no per-group sort (operators.Upsert). The
+    * change batch is derived deterministically from the corpus: every
+    * 5th doc gets a rev-2 rewrite, every 20th of those a tombstone,
+    * every 7th doc a brand-new twin. */
+  def x18IncrementalUpsert(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val base = docs
+      .select(col("doc_id"), lit(1).as("rev"), col("text"),
+        lit(false).as("deleted"))
+    val changes = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(2).as("rev"),
+        concat(lit("rev2 "), col("text")).as("text"),
+        (col("doc_id") % 20 === 0).as("deleted"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), lit(1).as("rev"),
+          concat(lit("new "), col("text")).as("text"),
+          lit(false).as("deleted")))
+    operators.Upsert.mergeLatest(base, changes, "doc_id", "rev",
+        tombstoneCol = Some("deleted"))
+      .select(col("doc_id"), col("rev"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------- streaming
 
   /** Tumbling-window stats — the transform shared verbatim with the
@@ -889,6 +916,25 @@ object ExtensionQueries {
         |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst)
         |SELECT node AS doc_id, MIN(label) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "x18_incremental_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id, 1 AS rev, text, FALSE AS deleted, 0 AS src
+        |  FROM documents),
+        |changes AS (
+        |  SELECT doc_id, 2 AS rev, 'rev2 ' || text AS text,
+        |         (doc_id % 20 = 0) AS deleted, 1 AS src
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 1, 'new ' || text, FALSE, 1
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |merged AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY rev DESC, src DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes))
+        |SELECT doc_id, rev, md5(text) AS fp FROM merged
+        |WHERE rn = 1 AND NOT deleted
+        |ORDER BY doc_id""".stripMargin,
 
     "x7_incremental_dedup" ->
       """WITH inc AS (
@@ -1370,6 +1416,7 @@ object ExtensionQueries {
     "x15_sequence_pack"      -> (x15SequencePack _),
     "x16_mixture_upsample"   -> (x16MixtureUpsample _),
     "x17_cluster_canonical"  -> (x17ClusterCanonical _),
+    "x18_incremental_upsert" -> (x18IncrementalUpsert _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
