@@ -650,6 +650,77 @@ object ExtensionQueries {
       .orderBy("doc_id", "copy_idx")
   }
 
+  /** Duplicated-passage removal — exact substring dedup at fixed
+    * 16-word chunk granularity (the RefinedWeb/CCNet step that strips
+    * passages repeated ACROSS documents, which whole-document dedup
+    * cannot see). Every chunk md5 is grouped once, the global first
+    * occurrence (smallest (doc_id, chunk_id)) survives, later copies
+    * drop; per-document counts plus an order-preserving digest of the
+    * kept chunk stream come back. Scale shape: one explode, one
+    * hash-partitioned groupBy on the chunk hash, one join back on the
+    * same hash — no corpus-wide window, no driver state. The ordered
+    * digest sorts a per-document array of a few chunks (collect_list →
+    * array_sort → transform), not the corpus: the interpreted-HOF cost
+    * is O(chunks-per-doc) once per group, off the hot path. */
+  def x19PassageDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 16
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nChunks =
+      (floor(greatest(size(col("ws")) - 1, lit(0)).cast("double") / W)
+        .cast("int") + 1)
+    val chunks = docs
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(array_join(slice(col("ws"), col("chunk_id") * W + 1, lit(W)), " "))
+          .as("h"))
+    val first = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+    chunks.join(first, Seq("h"))
+      .withColumn("kept",
+        col("doc_id") === col("f.doc_id") &&
+          col("chunk_id") === col("f.chunk_id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("chunk_id"), col("h"))))),
+            x => x.getField("h")),
+          ",")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token-budget cap — the mixture step that caps every
+    * source at 50% of its token mass, admitting documents in
+    * deterministic minstd-hash order (a reproducible shuffle: reruns,
+    * engines, and cluster sizes all agree, unlike rand()). The running
+    * token total is a window partitioned BY SOURCE, so per-task window
+    * state is one source's rows, never the corpus (the keyless case
+    * needs [[graft.operators.Packing.globalOffsets]] instead); source
+    * totals are one agg broadcast back (O(sources) rows). */
+  def x20SourceBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.wordCount(col("text")).as("n_tok"),
+        Sampling.minstdHash(col("doc_id")).as("h"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = docs.groupBy("source").agg(sum("n_tok").as("total_tokens"))
+    docs.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("kept", col("cum_tok") * 2 <= col("total_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        max(col("total_tokens")).as("total_tokens"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------- multimodal
 
   /** Binary-payload plumbing: byte length, content hash, frame-sample
@@ -857,6 +928,38 @@ object ExtensionQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x19_passage_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |        md5(array_to_string(
+        |          ws[CAST(k*16+1 AS BIGINT) : CAST(k*16+16 AS BIGINT)], ' ')) AS h
+        |      FROM w, unnest(range(0, greatest(len(ws)-1, 0)//16 + 1)) t(k)),
+        |f AS (SELECT doc_id, chunk_id, h,
+        |        ROW_NUMBER() OVER (PARTITION BY h
+        |          ORDER BY doc_id, chunk_id) AS rn
+        |      FROM c)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN h END, ','
+        |       ORDER BY chunk_id), '')) AS kept_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x20_source_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |        (doc_id * 48271) % 2147483647 AS h
+        |      FROM documents),
+        |c AS (SELECT *,
+        |        SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+        |        SUM(n_tok) OVER (PARTITION BY source) AS total_tokens
+        |      FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        | CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
     "x1_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id_kept, COUNT(*) AS n_copies,
         |       md5(text) AS text_md5
@@ -1417,6 +1520,8 @@ object ExtensionQueries {
     "x16_mixture_upsample"   -> (x16MixtureUpsample _),
     "x17_cluster_canonical"  -> (x17ClusterCanonical _),
     "x18_incremental_upsert" -> (x18IncrementalUpsert _),
+    "x19_passage_dedup"      -> (x19PassageDedup _),
+    "x20_source_budget"      -> (x20SourceBudget _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the round-3 curation queries (value-level
+  * correctness is the driver's DuckDB oracle; these pin the properties
+  * the oracle can't state). */
+class CurationQueriesSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("x19: every distinct chunk is kept exactly once, globally") {
+    val out = ExtensionQueries.x19PassageDedup(spark, d)
+    val totalKept = out.agg(sum("n_kept")).head().getLong(0)
+    // independent recount of distinct chunk hashes (different plan
+    // shape: no join-back, just the distinct aggregate)
+    val W = 16
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nChunks =
+      (floor(greatest(size(col("ws")) - 1, lit(0)).cast("double") / W)
+        .cast("int") + 1)
+    val distinctChunks = docs
+      .select(col("ws"), explode(sequence(lit(0), nChunks - 1)).as("k"))
+      .select(md5(array_join(slice(col("ws"), col("k") * W + 1, lit(W)), " "))
+        .as("h"))
+      .agg(countDistinct(col("h"))).head().getLong(0)
+    assert(totalKept === distinctChunks)
+    // and nobody keeps more chunks than they have
+    assert(out.filter(col("n_kept") > col("n_chunks")).isEmpty)
+  }
+
+  test("x20: the cap binds per source and the admit order is stable") {
+    val out = ExtensionQueries.x20SourceBudget(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDocs, nKept) = (r.getLong(1), r.getLong(2))
+      val (kept, total) = (r.getLong(3), r.getLong(4))
+      assert(kept * 2 <= total, s"${r.getString(0)}: kept $kept over cap of $total")
+      assert(nKept > 0 && nKept < nDocs,
+        s"${r.getString(0)}: 50% cap should bind strictly ($nKept of $nDocs)")
+    }
+    // deterministic: a rerun admits the identical document set
+    val again = ExtensionQueries.x20SourceBudget(spark, d).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
