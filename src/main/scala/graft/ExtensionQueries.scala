@@ -658,10 +658,16 @@ object ExtensionQueries {
     * drop; per-document counts plus an order-preserving digest of the
     * kept chunk stream come back. Scale shape: one explode, one
     * hash-partitioned groupBy on the chunk hash, one join back on the
-    * same hash — no corpus-wide window, no driver state. The ordered
-    * digest sorts a per-document array of a few chunks (collect_list →
-    * array_sort → transform), not the corpus: the interpreted-HOF cost
-    * is O(chunks-per-doc) once per group, off the hot path. */
+    * same hash — no corpus-wide window, no driver state. The first
+    * occurrence is min over (doc_id, chunk_id) packed into one long
+    * (doc_id << 32 | chunk_id — lexicographic for doc_id < 2^31,
+    * chunks-per-doc < 2^32, both honest id-space bounds): min(struct)
+    * would force SortAggregate with a full map-side sort of the chunk
+    * stream, min(long) stays a HashAggregate with map-side combine.
+    * The ordered digest sorts a per-document array of a few chunks
+    * (collect_list → array_sort → transform), not the corpus: the
+    * interpreted-HOF cost is O(chunks-per-doc) once per group, off the
+    * hot path. */
   def x19PassageDedup(s: SparkSession, d: String): DataFrame = {
     val W = 16
     val docs = Tables.wide(Tables.documents(s, d))
@@ -675,12 +681,11 @@ object ExtensionQueries {
       .select(col("doc_id"), col("chunk_id"),
         md5(array_join(slice(col("ws"), col("chunk_id") * W + 1, lit(W)), " "))
           .as("h"))
-    val first = chunks.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+      .withColumn("packed",
+        shiftleft(col("doc_id"), 32).bitwiseOR(col("chunk_id").cast("long")))
+    val first = chunks.groupBy("h").agg(min(col("packed")).as("fmin"))
     chunks.join(first, Seq("h"))
-      .withColumn("kept",
-        col("doc_id") === col("f.doc_id") &&
-          col("chunk_id") === col("f.chunk_id"))
+      .withColumn("kept", col("packed") === col("fmin"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
