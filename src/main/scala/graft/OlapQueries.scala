@@ -165,6 +165,58 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** W6 (extension) — SCD type-2 history build from a CDC change
+    * stream: per business key (user), order attribute observations by
+    * time, drop no-op changes (attribute equal to its predecessor —
+    * the step naive SCD2 builders skip, inflating history), then close
+    * each surviving version with the next one's start (half-open
+    * [valid_from, valid_to) intervals; the open version is current.
+    * Both windows share one partitioning+ordering, so Catalyst plans a
+    * single shuffle+sort and reuses it — per-task state is one user's
+    * rows. Complements x18's latest-value merge: x18 keeps the head,
+    * this keeps the full auditable timeline. */
+  def w6Scd2History(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+      .select(col("user_id"), col("event_id"), col("t_us"),
+        col("event_type").as("attr"))
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    val changes = ev
+      .withColumn("prev_attr", lag(col("attr"), 1).over(w))
+      .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+    changes
+      .withColumn("valid_to_us", lead(col("t_us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("version"), col("attr"),
+        col("t_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** A12 (extension) — one-pass table profile: per column count /
+    * nulls / exact distinct / min / max, unpivoted to one row per
+    * column. Exact multi-column distinct plans as a single scan with
+    * an Expand (input ×(k+1)) — the honest exact plan; at 100 TB swap
+    * countDistinct for approx_count_distinct and the Expand collapses
+    * back to one streaming pass (a7 proves that path). */
+  def a12TableProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d).select(cols.map(col): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("double").as(s"${c}_mn"),
+        max(col(c)).cast("double").as(s"${c}_mx"))
+    }
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${cols.size}, $stacked) as (col_name, n_null, n_distinct, min_val, max_val)")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("col_name")
+  }
+
   /** A11 (extension) — conditional + argmax aggregates: count_if,
     * filtered SUM, bool_and/bool_or, and max_by on a uniquified
     * ordering key (price ties would make the argmax winner
@@ -368,9 +420,54 @@ object OlapQueries {
     "p22_array_funcs"    -> (p22ArrayFuncs _),
     "j9_outer_join"      -> (j9OuterJoin _),
     "a7_approx_distinct" -> (a7ApproxDistinct _),
+    "w6_scd2_history"    -> (w6Scd2History _),
+    "a12_table_profile"  -> (a12TableProfile _),
   )
 
   val oracles: Map[String, String] = Map(
+    "w6_scd2_history" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |        event_type AS attr FROM events),
+        |ch AS (SELECT *, LAG(attr) OVER (PARTITION BY user_id
+        |         ORDER BY t_us, event_id) AS prev_attr FROM ev),
+        |f AS (SELECT user_id, event_id, t_us, attr FROM ch
+        |      WHERE prev_attr IS NULL OR attr <> prev_attr)
+        |SELECT user_id,
+        | CAST(ROW_NUMBER() OVER w AS INT) AS version, attr,
+        | t_us AS valid_from_us,
+        | LEAD(t_us) OVER w AS valid_to_us,
+        | (LEAD(t_us) OVER w IS NULL) AS is_current
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "a12_table_profile" ->
+      """SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val
+        |FROM (
+        | SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+        |  CAST(MAX(l_quantity) AS DOUBLE) AS max_val FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', COUNT(*),
+        |  CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+        |  CAST(MIN(l_extendedprice) AS DOUBLE),
+        |  CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_discount', COUNT(*),
+        |  CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+        |  CAST(MIN(l_discount) AS DOUBLE),
+        |  CAST(MAX(l_discount) AS DOUBLE) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_tax', COUNT(*),
+        |  CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+        |  CAST(MIN(l_tax) AS DOUBLE),
+        |  CAST(MAX(l_tax) AS DOUBLE) FROM lineitem) t
+        |ORDER BY col_name""".stripMargin,
+
     "a8_pivot" -> {
       def cell(t: String) =
         s"""CAST(ROUND(SUM(CASE WHEN event_type = '$t'
