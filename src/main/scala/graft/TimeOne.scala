@@ -137,6 +137,40 @@ object TimeOne {
       // ~6M-row global running offset: "packscan" is the two-pass
       // bucketed prefix scan, "packnaive" the single-partition global
       // window it replaces
+      // passage-dedup machinery on the 20×-replicated corpus (every
+      // chunk is a 20-way hot key): "passagescan" is the shipped
+      // agg+join shape (map-side combine collapses hot chunks before
+      // the shuffle), "passagescan_nobc" forces the non-broadcast join
+      // (the regime where distinct chunks exceed the broadcast budget),
+      // "passagewin" the row_number-over-chunk-hash alternative that
+      // must ship every occurrence of a hot chunk to one reducer
+      case "passagescan" | "passagescan_nobc" | "passagewin" =>
+        if (name == "passagescan_nobc")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val W = 16
+        val pdocs = docs20x.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val nCh = (floor(greatest(size(col("ws")) - 1, lit(0)).cast("double") / W)
+          .cast("int") + 1)
+        val chunks = pdocs
+          .select(col("doc_id"), col("ws"),
+            explode(sequence(lit(0), nCh - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            md5(array_join(slice(col("ws"), col("chunk_id") * W + 1, lit(W)), " ")).as("h"))
+          .withColumn("packed",
+            shiftleft(col("doc_id"), 32).bitwiseOR(col("chunk_id").cast("long")))
+        val marked =
+          if (name == "passagewin") {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("h").orderBy("packed")
+            chunks.withColumn("kept", row_number().over(w) === 1)
+          } else {
+            val first = chunks.groupBy("h").agg(min(col("packed")).as("fmin"))
+            chunks.join(first, Seq("h"))
+              .withColumn("kept", col("packed") === col("fmin"))
+          }
+        marked.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
       case "packscan" | "packnaive" =>
         val rows = Tables.lineitem(spark, sfDir)
           .select((col("l_orderkey") * 100 + col("l_linenumber") * 10).as("id0"),
