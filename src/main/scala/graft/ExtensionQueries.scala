@@ -726,6 +726,29 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Record-linkage name matching — Jaro-Winkler scoring (native
+    * codegen'd expression, DuckDB-pinned semantics) over the DISTINCT
+    * name vocabulary with first-token blocking: the classic
+    * dedupe-entities shape — never all-pairs on rows, distinct first
+    * (names repeat heavily), then pairs only within a block (equi join
+    * on the block key — a shuffle Catalyst plans like any other),
+    * transposition-aware scoring on the survivors. Complements t5's
+    * levenshtein (edit count) with the similarity measure linkage
+    * pipelines actually rank by. */
+  def t10NameMatch(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("sim",
+        round(TextAnalysis.jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("sim") >= 0.5)
+      .select(col("name_a"), col("name_b"), col("sim"))
+      .orderBy("name_a", "name_b")
+  }
+
   // ---------------------------------------------------- multimodal
 
   /** Binary-payload plumbing: byte length, content hash, frame-sample
@@ -964,6 +987,15 @@ object ExtensionQueries {
         | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
         | CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "t10_name_match" ->
+      """WITH n AS (SELECT DISTINCT p_name,
+        |             string_split(p_name, ' ')[1] AS blk FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.5
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "x1_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id_kept, COUNT(*) AS n_copies,
@@ -1527,6 +1559,7 @@ object ExtensionQueries {
     "x18_incremental_upsert" -> (x18IncrementalUpsert _),
     "x19_passage_dedup"      -> (x19PassageDedup _),
     "x20_source_budget"      -> (x20SourceBudget _),
+    "t10_name_match"         -> (t10NameMatch _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),

@@ -71,6 +71,16 @@ object TextAnalysis {
       org.apache.spark.sql.graft.WordShingleStrings(
         org.apache.spark.sql.graft.ColumnShim.expression(text), n))
 
+  /** Jaro-Winkler similarity (native codegen'd expression, DuckDB-
+    * pinned semantics — see org.apache.spark.sql.graft.JaroWinkler).
+    * O(|a|·|b|) worst case: block candidates first, same contract as
+    * thresholded levenshtein. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.JaroWinkler(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
   /** Count non-overlapping occurrences of ` word ` in the padded text —
     * the classic length-delta trick, identical across engines. */
   def paddedHits(text: Column, word: String): Column = {

@@ -17,6 +17,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         org.apache.spark.sql.graft.CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.graft.JaroWinkler(children(0), children(1))))
     // Opt-in top-1-window → min_by rewrite (see RewriteTop1Window;
     // inert unless spark.graft.rewriteTop1Window=true).
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteTop1Window)

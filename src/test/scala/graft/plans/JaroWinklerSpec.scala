@@ -1,0 +1,54 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class JaroWinklerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // textbook values, identical to DuckDB's jaro_winkler_similarity
+  // (probed directly against DuckDB 1.x while pinning the semantics)
+  private val cases = Seq(
+    ("MARTHA", "MARHTA", 0.961111),
+    ("DWAYNE", "DUANE", 0.840000),
+    ("DIXON", "DICKSONX", 0.813333),
+    ("abc", "abc", 1.0),
+    ("", "abc", 0.0),
+    ("", "", 1.0),
+    ("xy", "yx", 0.0),             // window 0: no matches
+    ("abcdxxxx", "abcdyyyy", 0.666667) // jaro ≤ 0.7 → no prefix boost
+  )
+
+  test("scorer matches textbook / DuckDB values") {
+    cases.foreach { case (a, b, want) =>
+      val got = org.apache.spark.sql.graft.JaroWinkler.similarity(a, b)
+      assert(math.abs(got - want) < 5e-7, s"jw($a,$b)=$got want $want")
+    }
+  }
+
+  test("expression evaluates through codegen and matches the scorer") {
+    val df = cases.toDF("a", "b", "want")
+    val rows = df.select(
+      TextAnalysis.jaroWinkler(col("a"), col("b")).as("sim"),
+      col("want")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 5e-7))
+  }
+
+  test("null inputs propagate null; symmetric") {
+    val out = Seq((Option.empty[String], Option("abc")))
+      .toDF("a", "b")
+      .select(TextAnalysis.jaroWinkler(col("a"), col("b"))).head()
+    assert(out.isNullAt(0))
+    val sym = Seq(("DIXON", "DICKSONX")).toDF("a", "b").select(
+      TextAnalysis.jaroWinkler(col("a"), col("b")).as("ab"),
+      TextAnalysis.jaroWinkler(col("b"), col("a")).as("ba")).head()
+    assert(sym.getDouble(0) === sym.getDouble(1))
+  }
+
+  test("registered as SQL function via GraftExtensions") {
+    val out = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA')").head()
+    assert(math.abs(out.getDouble(0) - 0.961111) < 5e-7)
+  }
+}
