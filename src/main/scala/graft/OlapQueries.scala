@@ -217,6 +217,65 @@ object OlapQueries {
       .orderBy("col_name")
   }
 
+  /** W7 (extension) — 3-stage event funnel (view → click → purchase):
+    * per user take the FIRST view, the first click strictly after it,
+    * and the first purchase strictly after that click, all within 7
+    * days of the first view; report per-cohort-day stage survivor
+    * counts. Every stage is a groupBy or equi join on user_id — one
+    * key, no self-cross, no window over the event stream — so the
+    * funnel re-plans to hash joins AQE can size, and per-stage state
+    * is one row per user. */
+  def w7Funnel(s: SparkSession, d: String): DataFrame = {
+    val week7us = 7L * 24 * 3600 * 1000000
+    val ev = eventsUs(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t_us")).as("v_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("t_us") > col("v_us") &&
+        col("t_us") <= col("v_us") + week7us)
+      .groupBy("user_id", "v_us").agg(min(col("t_us")).as("c_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("t_us") > col("c_us") &&
+        col("t_us") <= col("v_us") + week7us)
+      .groupBy("user_id").agg(min(col("t_us")).as("p_us"))
+    views
+      .join(clicks.select(col("user_id"), col("c_us")), Seq("user_id"), "left")
+      .join(buys, Seq("user_id"), "left")
+      .groupBy(timestamp_micros(col("v_us")).cast("date").as("cohort_day"))
+      .agg(count(lit(1)).as("n_viewed"),
+        count(col("c_us")).as("n_clicked"),
+        count(col("p_us")).as("n_purchased"))
+      .orderBy("cohort_day")
+  }
+
+  /** A13 (extension) — incremental aggregate refresh (materialized-
+    * view maintenance): the historic batch is held only as its
+    * per-group partial state (sum, count), and a delta batch merges by
+    * unioning partials and re-aggregating — no re-scan of history.
+    * Works because sum/count are commutative monoids (the same
+    * property Spark's own partial aggregation exploits per-task); the
+    * oracle recomputes from ALL raw rows, proving merge ≡ recompute
+    * exactly (DECIMAL partials, one double division at the end). */
+  def a13IncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_orderkey"), col("l_quantity").cast("decimal(18,4)").as("q"))
+    def partials(df: DataFrame) = df.groupBy("l_returnflag")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+    val state = partials(li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0))
+    val delta = partials(li.filter(pmod(col("l_orderkey"), lit(10)) === 0))
+    state.unionByName(delta)
+      .groupBy("l_returnflag")
+      .agg(sum(col("s")).as("s2"), sum(col("c")).as("n_rows"))
+      .select(col("l_returnflag"),
+        round(col("s2"), 2).cast("double").as("sum_qty"),
+        col("n_rows"),
+        round(col("s2").cast("double") / col("n_rows").cast("double"), 6)
+          .as("avg_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** A11 (extension) — conditional + argmax aggregates: count_if,
     * filtered SUM, bool_and/bool_or, and max_by on a uniquified
     * ordering key (price ties would make the argmax winner
@@ -422,9 +481,41 @@ object OlapQueries {
     "a7_approx_distinct" -> (a7ApproxDistinct _),
     "w6_scd2_history"    -> (w6Scd2History _),
     "a12_table_profile"  -> (a12TableProfile _),
+    "w7_funnel"          -> (w7Funnel _),
+    "a13_incremental_refresh" -> (a13IncrementalRefresh _),
   )
 
   val oracles: Map[String, String] = Map(
+    "w7_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us, event_type FROM events),
+        |v AS (SELECT user_id, MIN(t_us) AS v_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.v_us, MIN(e.t_us) AS c_us
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.t_us > v.v_us
+        |        AND e.t_us <= v.v_us + 604800000000
+        |      GROUP BY e.user_id, v.v_us),
+        |p AS (SELECT e.user_id, MIN(e.t_us) AS p_us
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.t_us > c.c_us
+        |        AND e.t_us <= c.v_us + 604800000000
+        |      GROUP BY e.user_id)
+        |SELECT CAST(make_timestamp(v.v_us) AS DATE) AS cohort_day,
+        | COUNT(*) AS n_viewed,
+        | COUNT(c.c_us) AS n_clicked,
+        | COUNT(p.p_us) AS n_purchased
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |GROUP BY 1 ORDER BY cohort_day""".stripMargin,
+
+    "a13_incremental_refresh" ->
+      """SELECT l_returnflag,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "w6_scd2_history" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
         |        event_type AS attr FROM events),
