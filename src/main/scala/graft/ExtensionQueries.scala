@@ -567,9 +567,18 @@ object ExtensionQueries {
           TextAnalysis.featureBucket(col("w"), 4096)).as("wm"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum(col("wm")).as("sum_milli"))
+      // mean-pooled score as an EXACT integer at micro precision:
+      // floor(sum_milli/(n_tok·1000)·1e6) via integer division on a
+      // positive-shifted numerator (|score| ≤ 1, so +10 clears the
+      // sign; floor == truncate for positives, so Spark's `div` and
+      // DuckDB's `//` agree). A rounded double here is a trap: the
+      // exact rational lands ON the 6-dp rounding boundary whenever
+      // n_tok is 2-5-smooth, and Spark (decimal HALF_UP) and DuckDB
+      // (binary nearbyint) break those ties differently — found at
+      // sf0.1, invisible at smaller fixtures.
       .select(col("doc_id"), col("n_tok"),
-        round(col("sum_milli").cast("double") /
-          (col("n_tok") * 1000L).cast("double"), 6).as("score"),
+        expr("(sum_milli * 1000 + n_tok * 10000000) div n_tok - 10000000")
+          .as("score_micro"),
         when(col("sum_milli") > 0, 1).otherwise(0).as("label"))
       .orderBy("doc_id")
   }
@@ -1384,7 +1393,8 @@ object ExtensionQueries {
         |         CAST(SUM(wm) AS BIGINT) AS sum_milli
         |  FROM wts GROUP BY doc_id)
         |SELECT doc_id, n_tok,
-        |       ROUND(CAST(sum_milli AS DOUBLE) / (n_tok * 1000), 6) AS score,
+        |       (sum_milli * 1000 + n_tok * 10000000) // n_tok - 10000000
+        |         AS score_micro,
         |       CAST(CASE WHEN sum_milli > 0 THEN 1 ELSE 0 END AS INT) AS label
         |FROM agg ORDER BY doc_id""".stripMargin,
 
