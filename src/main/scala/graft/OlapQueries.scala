@@ -381,6 +381,52 @@ object OlapQueries {
       .orderBy("event_type", "hour_start")
   }
 
+  /** ST3b (extension) — linear interpolation over the gap-filled
+    * hourly series: each empty hour takes the line between its nearest
+    * observed neighbours. Neighbour lookup is two frame-bounded
+    * windows (last-non-null preceding / first-non-null following) on
+    * the same partitioning — per-task state is one series, and both
+    * windows reuse one shuffle+sort pair. All math is EXACT integer
+    * micros (value sums DECIMAL-quantized then scaled; interpolation
+    * is a positive-shifted integer division — see the t9 lesson:
+    * rounded doubles of exact rationals tie-break differently across
+    * engines). Within the span every gap has both neighbours, so no
+    * null legs. */
+  def st3bInterpolate(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000")
+          .as("hr_id"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("v_dec"))
+      .select(col("event_type"), col("hr_id"),
+        (col("v_dec") * 1000000).cast("long").as("v_micro"))
+    val span = hourly.groupBy("event_type")
+      .agg(min("hr_id").as("h0"), max("hr_id").as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1")))
+        .as("hr_id"))
+    val dense = span.join(hourly, Seq("event_type", "hr_id"), "left_outer")
+    val wPrev = Window.partitionBy("event_type").orderBy("hr_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("hr_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    dense
+      .withColumn("pv", last(col("v_micro"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt",
+        last(when(col("v_micro").isNotNull, col("hr_id")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("nv", first(col("v_micro"), ignoreNulls = true).over(wNext))
+      .withColumn("nt",
+        first(when(col("v_micro").isNotNull, col("hr_id")), ignoreNulls = true)
+          .over(wNext))
+      .withColumn("v_interp_micro",
+        when(col("v_micro").isNotNull, col("v_micro"))
+          .otherwise(expr(
+            "(pv * (nt - pt) + (nv - pv) * (hr_id - pt)) div (nt - pt)")))
+      .select(col("event_type"), col("hr_id"), col("v_micro"),
+        col("v_interp_micro"))
+      .orderBy("event_type", "hr_id")
+  }
+
   /** P20 (extension) — date/time function breadth: day arithmetic,
     * clamped month addition, month/week truncation, calendar fields —
     * the everyday ETL surface. Engine deltas handled explicitly:
@@ -483,9 +529,43 @@ object OlapQueries {
     "a12_table_profile"  -> (a12TableProfile _),
     "w7_funnel"          -> (w7Funnel _),
     "a13_incremental_refresh" -> (a13IncrementalRefresh _),
+    "st3b_interpolate"   -> (st3bInterpolate _),
   )
 
   val oracles: Map[String, String] = Map(
+    "st3b_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |           AS v_micro
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(hr_id) AS h0, MAX(hr_id) AS h1
+        |         FROM hourly GROUP BY 1),
+        |allh AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr_id
+        |         FROM span),
+        |dense AS (SELECT a.event_type, a.hr_id, hourly.v_micro
+        |          FROM allh a LEFT JOIN hourly
+        |            ON a.event_type = hourly.event_type
+        |           AND a.hr_id = hourly.hr_id),
+        |w AS (SELECT *,
+        |   last_value(v_micro IGNORE NULLS) OVER wp AS pv,
+        |   last_value(CASE WHEN v_micro IS NOT NULL THEN hr_id END
+        |     IGNORE NULLS) OVER wp AS pt,
+        |   first_value(v_micro IGNORE NULLS) OVER wn AS nv,
+        |   first_value(CASE WHEN v_micro IS NOT NULL THEN hr_id END
+        |     IGNORE NULLS) OVER wn AS nt
+        |  FROM dense
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hr_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY event_type ORDER BY hr_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hr_id, v_micro,
+        |  CASE WHEN v_micro IS NOT NULL THEN v_micro
+        |       ELSE (pv * (nt - pt) + (nv - pv) * (hr_id - pt)) // (nt - pt)
+        |  END AS v_interp_micro
+        |FROM w ORDER BY event_type, hr_id""".stripMargin,
+
     "w7_funnel" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us, event_type FROM events),
         |v AS (SELECT user_id, MIN(t_us) AS v_us FROM ev
