@@ -36,4 +36,25 @@ object Layout {
     * directories before any file is opened. */
   def readMonthPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a small-file dataset to ~`targetBytes` output files —
+    * the maintenance job every streaming/incremental sink needs, or
+    * file-listing cost alone eventually dominates query time (the m2
+    * one-file-per-row lesson at corpus scale). Partition count is
+    * derived from the dataset's FILE METADATA total (no content
+    * scan — the repartitionByPayloadBytes lesson), and the rewrite is
+    * one round-robin shuffle: no key assumptions, deterministic file
+    * count, every row preserved. Returns the compacted-read handle. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val df = spark.read.parquet(inPath)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    df.repartition(parts).write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
 }

