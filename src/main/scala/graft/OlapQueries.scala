@@ -312,6 +312,28 @@ object OlapQueries {
       .orderBy("op", "nationkey")
   }
 
+  /** P23 (extension) — map-typed column breadth: build a per-user
+    * map(event_type → count) from grouped entries, then the read-side
+    * surface — size, keyed lookup (try_element_at: null on miss, the
+    * ANSI-safe form), ordered key list. Map construction sorts the
+    * entry list so key order is deterministic in both engines;
+    * lookups COALESCE to 0 so present/absent keys hash identically. */
+  def p23MapFuncs(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("user_id")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(try_element_at(col("m"), lit("view")), lit(0L)).as("n_view"),
+        coalesce(try_element_at(col("m"), lit("error")), lit(0L)).as("n_error"),
+        array_join(map_keys(col("m")), ",").as("types"))
+      .orderBy("user_id")
+  }
+
   /** J9 (extension) — left outer join with null handling: every order,
     * extended with its large-line (qty > 45) totals where they exist;
     * COALESCE defaults + an explicit has_big flag on the null probe. */
@@ -530,9 +552,24 @@ object OlapQueries {
     "w7_funnel"          -> (w7Funnel _),
     "a13_incremental_refresh" -> (a13IncrementalRefresh _),
     "st3b_interpolate"   -> (st3bInterpolate _),
+    "p23_map_funcs"      -> (p23MapFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
+    "p23_map_funcs" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id,
+        |        map_from_entries(list_sort(
+        |          list(struct_pack(k := event_type, v := n)))) AS m
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id,
+        | CAST(cardinality(m) AS INT) AS n_types,
+        | COALESCE(m['view'][1], 0) AS n_view,
+        | COALESCE(m['error'][1], 0) AS n_error,
+        | array_to_string(map_keys(m), ',') AS types
+        |FROM m ORDER BY user_id""".stripMargin,
+
     "st3b_interpolate" ->
       """WITH hourly AS (
         |  SELECT event_type,
