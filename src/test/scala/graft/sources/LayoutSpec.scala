@@ -59,6 +59,39 @@ class LayoutSpec extends SparkTestBase {
     assert(fine.count() === nRows)
   }
 
+  test("dynamic partition overwrite backfills one month idempotently") {
+    val dir = Files.createTempDirectory("graft_backfill").toString
+    val orders = Tables.orders(spark, sf)
+    Layout.writeMonthPartitioned(orders, "o_orderdate", dir)
+    val before = Layout.readMonthPartitioned(spark, dir)
+    val othersBefore = before.filter(!(col("yyyy") === 1995 && col("mm") === 3))
+      .count()
+    val targetBefore = before.filter(col("yyyy") === 1995 && col("mm") === 3)
+      .count()
+    assert(targetBefore > 0, "fixture must cover 1995-03")
+
+    // corrected recompute of JUST 1995-03 (half the rows survive the fix)
+    val corrected = orders
+      .filter(year(col("o_orderdate").cast("date")) === 1995 &&
+        month(col("o_orderdate").cast("date")) === 3 &&
+        col("o_orderkey") % 2 === 0)
+      .withColumn("yyyy", lit(1995)).withColumn("mm", lit(3))
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      // dynamic mode: overwrite ONLY the partitions present in the
+      // write — the idempotent-backfill primitive (static mode would
+      // drop every other month)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      corrected.write.mode("overwrite").partitionBy("yyyy", "mm").parquet(dir)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    val after = Layout.readMonthPartitioned(spark, dir)
+    assert(after.filter(!(col("yyyy") === 1995 && col("mm") === 3)).count()
+      === othersBefore, "untouched months must survive the backfill")
+    assert(after.filter(col("yyyy") === 1995 && col("mm") === 3).count()
+      === corrected.count(), "target month must hold exactly the recompute")
+  }
+
   test("month-partitioned layout prunes at file-listing time") {
     val dir = Files.createTempDirectory("graft_part").toString
     Layout.writeMonthPartitioned(Tables.orders(spark, sf), "o_orderdate", dir)
