@@ -1,0 +1,35 @@
+package graft
+
+/** Plan lint over EVERY SparkEntry query — the two shapes that kill a
+  * 100 TB job must never silently appear in a future change:
+  *
+  *  - `CartesianProduct`: an unkeyed shuffled cross join (the j3/p17
+  *    nearest-neighbour queries are BroadcastNestedLoop with a
+  *    25-row broadcast side — a different, bounded node).
+  *  - `Exchange SinglePartition`: the whole dataset funnelled through
+  *    one task. Allowed ONLY as the final merge of a global aggregate
+  *    (partials are distributed; the merge holds one row per metric),
+  *    which is what the whitelisted queries do.
+  */
+class PlanLintSpec extends SparkTestBase {
+
+  // single-row global-aggregate merges: distributed partials, O(1)
+  // final state — the one legitimate SinglePartition
+  private val globalAggWhitelist = Set(
+    "a12_table_profile",   // table-wide profile: one row per column
+    "x5c_ann_ivf_recall")  // corpus-wide recall counters: one row
+
+  test("no query plans a cartesian product or an unbounded single-partition stage") {
+    val d = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, d).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val sp = plan.contains("SinglePartition") &&
+        !globalAggWhitelist.contains(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (sp) Some(s"$name: SinglePartition outside the global-agg whitelist")
+      else None
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
