@@ -735,6 +735,51 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** Topic balancing (SemDeDup-lite) — assign every embedding to its
+    * nearest deterministic centroid (every 20th vector), then cap each
+    * topic cluster at 50% membership in reproducible minstd order: the
+    * step that keeps one topic from dominating a training mix. Scoring
+    * is the proven exact-DECIMAL relational dot product (order-
+    * independent sums, engine-identical); assignment is a top-1 window
+    * per vector, the cap a count window per cluster — same-partitioned,
+    * one shuffle. At 100 TB the relational O(n·K·dim) scorer gives way
+    * to the native CosineSimilarity against broadcast centroids and
+    * k-means-fitted centers (Similarity.ivfTopK is that machinery,
+    * spec-tested + stress-measured); this query pins the SEMANTICS both
+    * paths must produce. */
+  def x22TopicBalance(s: SparkSession, d: String): DataFrame = {
+    val e = expandDecimal(Tables.embeddings(s, d))
+    val cents = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("c_id"), col("i"), col("v").as("cv"))
+    val dots = e.join(cents, Seq("i"))
+      .groupBy(col("vec_id"), col("c_id"))
+      .agg(sum(col("v") * col("cv")).as("dot"))
+    val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+    val cnorms = norms.select(col("vec_id").as("c_id"), col("n2").as("cn2"))
+    val scored = dots.join(norms, "vec_id").join(cnorms, "c_id")
+      .select(col("vec_id"), col("c_id"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))),
+          6).as("cos"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster_id"))
+    val wCap = Window.partitionBy("cluster_id")
+      .orderBy(Sampling.minstdHash(col("vec_id")), col("vec_id"))
+    assigned.withColumn("pos", row_number().over(wCap))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("pos") * 2 <= col("n_members"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("pos") * 2 <= col("n_members"), col("vec_id"))
+          .otherwise(0L)).as("kept_id_sum"))
+      .orderBy("cluster_id")
+  }
+
   /** Record-linkage name matching — Jaro-Winkler scoring (native
     * codegen'd expression, DuckDB-pinned semantics) over the DISTINCT
     * name vocabulary with first-token blocking: the classic
@@ -996,6 +1041,34 @@ object ExtensionQueries {
         | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
         | CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "x22_topic_balance" ->
+      """WITH e AS (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) v FROM
+        |  (SELECT vec_id, unnest(embedding) x, generate_subscripts(embedding,1) i
+        |   FROM embeddings)),
+        |cents AS (SELECT vec_id AS c_id, i, v AS cv FROM e WHERE vec_id % 20 = 0),
+        |dots AS (SELECT e.vec_id, c.c_id, SUM(e.v*c.cv) AS dot
+        |  FROM e JOIN cents c ON c.i = e.i GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, SUM(v*v) AS n2 FROM e GROUP BY 1),
+        |scored AS (SELECT d.vec_id, d.c_id,
+        |  ROUND(CAST(d.dot AS DOUBLE) /
+        |    (SQRT(CAST(n.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE))), 6) AS cos
+        |  FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        |              JOIN norms cn ON cn.vec_id = d.c_id),
+        |assigned AS (SELECT vec_id, c_id AS cluster_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored) t WHERE rn = 1),
+        |capped AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY (vec_id * 48271) % 2147483647, vec_id) AS pos,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM assigned)
+        |SELECT cluster_id, COUNT(*) AS n_members,
+        | CAST(SUM(CASE WHEN pos*2 <= n_members THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept,
+        | CAST(SUM(CASE WHEN pos*2 <= n_members THEN vec_id ELSE 0 END) AS BIGINT)
+        |   AS kept_id_sum
+        |FROM capped GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "t10_name_match" ->
       """WITH n AS (SELECT DISTINCT p_name,
@@ -1570,6 +1643,7 @@ object ExtensionQueries {
     "x19_passage_dedup"      -> (x19PassageDedup _),
     "x20_source_budget"      -> (x20SourceBudget _),
     "t10_name_match"         -> (t10NameMatch _),
+    "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
