@@ -286,4 +286,41 @@ object SourceQueries {
         |FROM graft_ctas_orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
+
+  /** V1 (extension) — native VARIANT semi-structured path. The
+    * reference stores whole XML/JSON payloads in a Snowflake VARIANT
+    * column and extracts typed fields with `doc:path::type` + the
+    * TRY_ family (BlueForty.py:130-201); graft's `t4` covers the
+    * string-path form (get_json_object), this covers Spark 4's real
+    * `VariantType`: build a nested JSON doc per event, `parse_json` it
+    * into a VARIANT, then pull typed paths back out with `variant_get`
+    * (strict, `:` + `::type`) and `try_variant_get` (missing path and
+    * failed cast → null, the TRY_ shape). Per-row output: a hash match
+    * proves the JSON→VARIANT→typed-path chain is bit-lossless
+    * (including double round-trip) because the oracle recomputes every
+    * extracted value straight from the base columns. Map-only — no
+    * shuffle but the final ORDER BY — so it scales as a pure scan. */
+  def v1VariantShred(s: SparkSession, d: String): DataFrame = {
+    val doc = to_json(struct(
+      col("event_id").as("id"),
+      col("event_type").as("type"),
+      struct(
+        col("value").as("value"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .as("metrics"),
+      array(length(col("event_type")).cast("bigint"),
+        pmod(col("user_id"), lit(7)).cast("bigint")).as("tags")))
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(doc).as("v"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.type", "string").as("etype"),
+        variant_get(col("v"), "$.metrics.value", "double").as("val_back"),
+        variant_get(col("v"), "$.metrics.k", "bigint").as("k"),
+        variant_get(col("v"), "$.tags[0]", "bigint").as("type_len"),
+        variant_get(col("v"), "$.tags[1]", "bigint").as("user_mod7"),
+        try_variant_get(col("v"), "$.metrics.absent", "bigint").as("absent"),
+        try_variant_get(col("v"), "$.type", "bigint").as("type_as_num"))
+      .orderBy("event_id")
+  }
 }

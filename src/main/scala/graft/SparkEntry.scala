@@ -43,6 +43,7 @@ object SparkEntry {
     "s11_ctas_insert_view" -> (SourceQueries.s11CtasInsertView _),
     "s15_jsonl_roundtrip" -> (SourceQueries.s15JsonlRoundtrip _),
     "s16_orc_roundtrip"   -> (SourceQueries.s16OrcRoundtrip _),
+    "v1_variant_shred"    -> (SourceQueries.v1VariantShred _),
   ) ++ ExtensionQueries.queries ++ OlapQueries.queries
 
   /** Spec-verified queries timed by Bench but excluded from the driver's
@@ -276,6 +277,21 @@ object SparkEntry {
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // v1: oracle recomputes every VARIANT-extracted value straight from
+    // the base columns — a hash match proves the JSON→VARIANT→typed-path
+    // chain (incl. double round-trip) is lossless. The two try_ columns
+    // are null by construction (missing path; 'click'→bigint cast fail).
+    "v1_variant_shred" ->
+      """SELECT event_id,
+        | event_type AS etype,
+        | value AS val_back,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(LENGTH(event_type) AS BIGINT) AS type_len,
+        | user_id % 7 AS user_mod7,
+        | CAST(NULL AS BIGINT) AS absent,
+        | CAST(NULL AS BIGINT) AS type_as_num
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "s16_orc_roundtrip" ->
       """SELECT source, COUNT(*) AS n,
