@@ -583,6 +583,56 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** T11 — BM25 top-k retrieval over the corpus for a fixed term
+    * query: the text-retrieval shape (quality-biased selection,
+    * hard-negative mining, dedup-aux search) of a training-data
+    * pipeline. Okapi BM25 with k1 = 6/5, b = 3/4 and the log-free
+    * rational idf (N − df + ½)/(df + ½); with those fractions each
+    * per-(doc, term) score collapses to ONE exact integer ratio
+    *   44·tf·total·(2N−2df+1) / ((2df+1)·(20·total·tf + 6·total + 18·dl·N))
+    * emitted at micro precision via positive integer division in
+    * DECIMAL(38,0) — floor == truncate, bit-identical in Spark and
+    * DuckDB; no log, no doubles, no rounding ties. The doc score is
+    * the exact integer sum of per-term micro scores.
+    *
+    * Scale shape: tokenize → postings explode (the one big shuffle,
+    * keyed doc_id), doc lengths from the same postings, corpus stats
+    * as a 1-row broadcast, df computed over the 5 query terms only
+    * (tiny, broadcast), score join keyed on doc_id, top-20 through a
+    * deterministic sort+limit (TakeOrderedAndProject — per-partition
+    * top-k then a 20-row merge, never a global sort). */
+  def t11Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "window", "stream", "hash")
+    val tok = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+    val qtf = tok.filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    qtf
+      .join(broadcast(docFreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (big(lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)) *
+          big(lit(44) * col("tf")) * big(col("total")) * big(lit(1000000L)))
+          .as("a"),
+        (big(lit(2) * col("df") + lit(1)) *
+          (big(lit(20)) * big(col("total")) * big(col("tf")) +
+            big(lit(6)) * big(col("total")) +
+            big(lit(18)) * big(col("dl")) * big(col("n_docs")))).as("b"))
+      .select(col("doc_id"), expr("a DIV b").as("score_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("terms_hit"),
+        sum(col("score_micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Keep-best-of-cluster — the dedup finale real pipelines run
     * instead of keep-min-id: near-dup clusters (connected components
     * over the Jaccard ≥ 0.8 pair graph, as x11) each elect the member
@@ -1471,6 +1521,37 @@ object ExtensionQueries {
         |       CAST(CASE WHEN sum_milli > 0 THEN 1 ELSE 0 END AS INT) AS label
         |FROM agg ORDER BY doc_id""".stripMargin,
 
+    // t11: all-integer BM25 — HUGEINT products stay exact (≤ ~1e21),
+    // `//` on positives == Spark's DIV on DECIMAL(38,0)
+    "t11_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
+        |    AS term FROM documents),
+        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total
+        |          FROM dl),
+        |qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokf
+        |        WHERE term IN ('spark','join','window','stream','hash')
+        |        GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+        |scored AS (
+        |  SELECT q.doc_id,
+        |    CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+        |          * CAST(44*q.tf AS HUGEINT)
+        |          * CAST(s.total AS HUGEINT) * CAST(1000000 AS HUGEINT))
+        |      // (CAST(2*f.df + 1 AS HUGEINT)
+        |          * (CAST(20 AS HUGEINT)*CAST(s.total AS HUGEINT)*CAST(q.tf AS HUGEINT)
+        |             + CAST(6 AS HUGEINT)*CAST(s.total AS HUGEINT)
+        |             + CAST(18 AS HUGEINT)*CAST(d.dl AS HUGEINT)*CAST(s.n_docs AS HUGEINT)))
+        |      AS BIGINT) AS score_micro
+        |  FROM qtf q JOIN df f USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s)
+        |SELECT doc_id, COUNT(*) AS terms_hit,
+        |       CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     // x15's oracle states the packing offsets as the naive global
     // window; the Spark side must reproduce them from the distributed
     // two-pass prefix scan — same numbers, cluster-safe plan.
@@ -1643,6 +1724,7 @@ object ExtensionQueries {
     "x19_passage_dedup"      -> (x19PassageDedup _),
     "x20_source_budget"      -> (x20SourceBudget _),
     "t10_name_match"         -> (t10NameMatch _),
+    "t11_bm25_topk"          -> (t11Bm25TopK _),
     "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),
