@@ -313,6 +313,23 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** X23 — quality-weighted Bernoulli sampling with Horvitz-Thompson
+    * reweighting: each document keeps with probability ∝ a length-based
+    * quality weight (milli-units, clamped [1,999]), decided by the same
+    * engine-portable minstd hash as x9 so the cut is reproducible on
+    * any engine and any partitioning; kept rows carry the exact-integer
+    * inverse-probability weight for unbiased token accounting. The
+    * weighted-mixture cousin of x9's uniform split — map-only. */
+  def x23WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    operators.Sampling
+      .weightedBernoulli(docs, "doc_id", expr("n_chars DIV 3"))
+      .select(col("doc_id"), col("lang"), col("w_milli"),
+        col("inv_w_micro"))
+      .orderBy("doc_id")
+  }
+
   /** The full corpus-curation pipeline in one composed query — the
     * end-to-end shape this engine exists for: detect language and
     * filter to English → quality-score floor → exact dedup (keep the
@@ -1246,6 +1263,19 @@ object ExtensionQueries {
         |WHERE drop2.doc_id IS NULL
         |ORDER BY f2.doc_id""".stripMargin,
 
+    // x23: same minstd form as x9; all-integer weights, `//` == DIV on
+    // positives, so the kept set and HT weights are bit-identical
+    "x23_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEAST(999, GREATEST(1, n_chars // 3)) AS BIGINT) AS w_milli
+        |  FROM documents)
+        |SELECT doc_id, lang, w_milli,
+        |       CAST(1000000000 // w_milli AS BIGINT) AS inv_w_micro
+        |FROM w
+        |WHERE (doc_id * 48271) % 2147483647 % 1000 < w_milli
+        |ORDER BY doc_id""".stripMargin,
+
     "x9_hash_sample" ->
       """WITH cut AS (
         |  SELECT doc_id, lang, (doc_id * 48271) % 2147483647 AS h
@@ -1699,6 +1729,7 @@ object ExtensionQueries {
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
     "x8_crossbatch_overlap"  -> (x8CrossBatchOverlap _),
     "x9_hash_sample"         -> (x9HashSample _),
+    "x23_weighted_sample"    -> (x23WeightedSample _),
     "x10_corpus_pipeline"    -> (x10CorpusPipeline _),
     "x11_dup_clusters"       -> (x11DupClusters _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),

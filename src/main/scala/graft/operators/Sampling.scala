@@ -42,6 +42,22 @@ object Sampling {
     df.filter(pmod(minstdHash(col(keyCol)), lit(modulus.toLong))
       .isin(residues.map(_.toLong): _*))
 
+  /** Weighted Bernoulli sample: keep a row iff its deterministic
+    * per-key uniform (minstd hash reduced to milli-units) falls below
+    * the row's weight, given in milli-units and clamped to [1, 999] —
+    * the quality-weighted corpus cut ("keep good documents with high
+    * probability, bad ones rarely") with the same engine-portable
+    * reproducibility story as hashSample. Emits the Horvitz-Thompson
+    * inverse-probability weight `inv_w_micro` = floor(1e9 / w_milli)
+    * as an exact integer so downstream token accounting can unbias
+    * the sample. Map-only — scales as a pure scan, no shuffle. */
+  def weightedBernoulli(df: DataFrame, keyCol: String,
+      weightMilli: Column): DataFrame =
+    df.withColumn("w_milli",
+        least(lit(999L), greatest(lit(1L), weightMilli.cast("long"))))
+      .filter(pmod(minstdHash(col(keyCol)), lit(1000L)) < col("w_milli"))
+      .withColumn("inv_w_micro", expr("1000000000 DIV w_milli"))
+
   /** Per-stratum cap: the k rows with smallest (hash, key) per
     * stratum — a deterministic stratified sample (equal quota per
     * class, the "balance languages/sources" step). Emits the rank as

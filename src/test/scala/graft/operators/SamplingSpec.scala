@@ -41,4 +41,26 @@ class SamplingSpec extends SparkTestBase {
     val again = Sampling.stratifiedTopK(docs.repartition(7), "lang", "doc_id", 5)
     assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
   }
+
+  test("weightedBernoulli keeps ≈w/1000 of rows, clamps, and is exact") {
+    // weight 500 milli on every row → expect ~half kept, invariant
+    // under repartitioning, with the exact HT inverse weight
+    val w500 = Sampling.weightedBernoulli(docs, "doc_id", lit(500L))
+    val kept = w500.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size > 400 && kept.size < 600, s"~500 of 1000, got ${kept.size}")
+    val again = Sampling
+      .weightedBernoulli(docs.repartition(11), "doc_id", lit(500L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === again)
+    assert(w500.select("inv_w_micro").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(2000000L))
+    // clamp: weight ≤ 0 → floor 1 milli (near-never kept, HT = 1e9);
+    // weight ≥ 999 → cap 999 (kept unless hash lands in the top bin)
+    val lo = Sampling.weightedBernoulli(docs, "doc_id", lit(-5L))
+    assert(lo.count() <= 5)
+    val hi = Sampling.weightedBernoulli(docs, "doc_id", lit(5000L))
+    assert(hi.count() >= 990)
+    assert(hi.select("w_milli").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(999L))
+  }
 }
