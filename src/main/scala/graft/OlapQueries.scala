@@ -276,6 +276,31 @@ object OlapQueries {
       .orderBy("l_returnflag")
   }
 
+  /** A14 (extension) — equi-width histogram / data-profiling: bucket
+    * document lengths into 10 fixed 50-char bins (last bin open),
+    * with per-bin counts, bounds, exact sums, and exact distinct
+    * language counts. All-integer bucket math (DIV) so bin membership
+    * is engine-exact; one hash aggregate keyed on the bin — the
+    * profiling shape that feeds range-partitioning decisions and data
+    * diet dashboards at corpus scale. */
+  def a14Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        least(lit(9L), expr("n_chars DIV 50")).as("bucket"),
+        col("n_chars"), col("lang"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+      .select(col("bucket"), (col("bucket") * 50).as("lo_chars"),
+        when(col("bucket") < 9, (col("bucket") + 1) * 50)
+          .otherwise(lit(null).cast("long")).as("hi_chars"),
+        col("n_docs"), col("min_chars"), col("max_chars"),
+        col("sum_chars"), col("n_langs"))
+      .orderBy("bucket")
+
   /** A11 (extension) — conditional + argmax aggregates: count_if,
     * filtered SUM, bool_and/bool_or, and max_by on a uniquified
     * ordering key (price ties would make the argmax winner
@@ -553,9 +578,24 @@ object OlapQueries {
     "a13_incremental_refresh" -> (a13IncrementalRefresh _),
     "st3b_interpolate"   -> (st3bInterpolate _),
     "p23_map_funcs"      -> (p23MapFuncs _),
+    "a14_histogram"      -> (a14Histogram _),
   )
 
   val oracles: Map[String, String] = Map(
+    "a14_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(9, n_chars // 50) AS BIGINT) AS bucket,
+        |         n_chars, lang
+        |  FROM documents)
+        |SELECT bucket, bucket * 50 AS lo_chars,
+        |       CASE WHEN bucket < 9 THEN (bucket + 1) * 50
+        |            ELSE CAST(NULL AS BIGINT) END AS hi_chars,
+        |       COUNT(*) AS n_docs,
+        |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "p23_map_funcs" ->
       """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
         |           FROM events GROUP BY 1, 2),
