@@ -330,6 +330,52 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** X24 — PageRank as a corpus quality signal: the classic
+    * link-authority score web-scale training pipelines attach to every
+    * crawled page (a Common-Crawl-style quality feature). Graph:
+    * deterministic 3-out-regular links over the doc-id universe
+    * (dst = (a·id + b) mod N for three (a,b) pairs). Rank arithmetic
+    * is ALL integer at 1e15 scale — damping 85/100 and the per-edge
+    * share p/3 via integer division — so four unrolled power
+    * iterations are bit-identical in any engine; no doubles, no
+    * convergence nondeterminism.
+    *
+    * Scale shape: each iteration is one shuffled equi-join
+    * (edges ⋈ ranks on src) + one hash aggregate on dst + a left join
+    * back to the node set — PageRank's canonical distributed cost. At
+    * real scale the edge list is persisted pre-partitioned by src and
+    * ranks checkpoint every few rounds (lineage bound, as
+    * Dedup.connectedComponents does); with a fixed 4 rounds the plan
+    * chain is linear and needs neither. Corpus stats (N) are a 1-row
+    * broadcast. */
+  def x24Pagerank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+    val nodes = docs.crossJoin(broadcast(stats))
+    val edges = Seq((2L, 1L), (3L, 7L), (5L, 13L)).map { case (a, b) =>
+      nodes.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * a + b, col("n")).as("dst"))
+    }.reduce(_ unionByName _)
+    var ranks = nodes.select(col("doc_id"),
+      expr("1000000000000000 DIV n").as("p"))
+    for (_ <- 1 to 4) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy("dst").agg(sum(expr("p DIV 3")).as("c"))
+      ranks = nodes
+        .join(contrib, nodes("doc_id") === contrib("dst"), "left")
+        .select(nodes("doc_id"),
+          (expr("150000000000000 DIV n") +
+            expr("(85 * coalesce(c, 0)) DIV 100")).as("p"))
+    }
+    val indeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    ranks.join(indeg, ranks("doc_id") === indeg("dst"), "left")
+      .select(ranks("doc_id"), col("p").as("rank_scaled"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("rank_scaled").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** The full corpus-curation pipeline in one composed query — the
     * end-to-end shape this engine exists for: detect language and
     * filter to English → quality-score floor → exact dedup (keep the
@@ -1263,6 +1309,38 @@ object ExtensionQueries {
         |WHERE drop2.doc_id IS NULL
         |ORDER BY f2.doc_id""".stripMargin,
 
+    // x24: four unrolled power iterations with the same integer
+    // arithmetic; `//` == DIV on positives, so ranks are bit-identical
+    "x24_pagerank" -> {
+      val iters = (1 to 4).map { k =>
+        s"""|r$k AS (
+            |  SELECT n.doc_id,
+            |    150000000000000 // s.n + (85 * COALESCE(c.c, 0)) // 100 AS p
+            |  FROM nodes n CROSS JOIN stats s
+            |  LEFT JOIN (SELECT e.dst, SUM(r.p // 3) AS c
+            |             FROM edges e JOIN r${k - 1} r ON r.doc_id = e.src
+            |             GROUP BY e.dst) c ON c.dst = n.doc_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH stats AS (SELECT COUNT(*) AS n FROM documents),
+         |nodes AS (SELECT doc_id FROM documents),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id*2+1) % s.n AS dst
+         |  FROM nodes, stats s
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*3+7) % s.n FROM nodes, stats s
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id*5+13) % s.n FROM nodes, stats s),
+         |r0 AS (SELECT doc_id, 1000000000000000 // s.n AS p
+         |       FROM nodes, stats s),
+         |$iters,
+         |indeg AS (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+         |SELECT r.doc_id, CAST(r.p AS BIGINT) AS rank_scaled,
+         |       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+         |FROM r4 r LEFT JOIN indeg i ON i.dst = r.doc_id
+         |ORDER BY rank_scaled DESC, doc_id LIMIT 20""".stripMargin
+    },
+
     // x23: same minstd form as x9; all-integer weights, `//` == DIV on
     // positives, so the kept set and HT weights are bit-identical
     "x23_weighted_sample" ->
@@ -1730,6 +1808,7 @@ object ExtensionQueries {
     "x8_crossbatch_overlap"  -> (x8CrossBatchOverlap _),
     "x9_hash_sample"         -> (x9HashSample _),
     "x23_weighted_sample"    -> (x23WeightedSample _),
+    "x24_pagerank"           -> (x24Pagerank _),
     "x10_corpus_pipeline"    -> (x10CorpusPipeline _),
     "x11_dup_clusters"       -> (x11DupClusters _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),
