@@ -287,6 +287,33 @@ object SourceQueries {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** S17 (extension) — Z-order clustering layout: quantize order-key
+    * points to a 12-bit grid (the j10 coordinate convention), compute
+    * the Morton z-value (Layout.zValue), and bucket rows by the z
+    * prefix (top 6 bits → 64 cells). The per-cell aggregates emit the
+    * min/max of BOTH dimensions and the exact bbox area — the file
+    * skipping stats a z-clustered write would give every file. All
+    * integer bit math, map-only + one hash aggregate; LayoutSpec
+    * additionally proves the clustering claim (z-cells bound ~64× less
+    * area than key-ordered cells on the same points). */
+  def s17ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Layout
+    val pts = Tables.orders(s, d).select(
+      (col("o_orderkey") * 7 % 4096).as("px"),
+      (col("o_orderkey") * 13 % 4096).as("py"))
+    pts.select(col("px"), col("py"),
+        Layout.zValue(col("px"), col("py"), bits = 12).as("z"))
+      .groupBy(shiftrightunsigned(col("z"), 18).as("cell"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+        min(col("py")).as("min_py"), max(col("py")).as("max_py"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .withColumn("bbox_area",
+        (col("max_px") - col("min_px") + 1) *
+          (col("max_py") - col("min_py") + 1))
+      .orderBy("cell")
+  }
+
   /** V1 (extension) — native VARIANT semi-structured path. The
     * reference stores whole XML/JSON payloads in a Snowflake VARIANT
     * column and extracts typed fields with `doc:path::type` + the

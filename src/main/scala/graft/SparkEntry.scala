@@ -44,6 +44,7 @@ object SparkEntry {
     "s15_jsonl_roundtrip" -> (SourceQueries.s15JsonlRoundtrip _),
     "s16_orc_roundtrip"   -> (SourceQueries.s16OrcRoundtrip _),
     "v1_variant_shred"    -> (SourceQueries.v1VariantShred _),
+    "s17_zorder_layout"   -> (SourceQueries.s17ZorderLayout _),
   ) ++ ExtensionQueries.queries ++ OlapQueries.queries
 
   /** Spec-verified queries timed by Bench but excluded from the driver's
@@ -277,6 +278,24 @@ object SparkEntry {
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // s17: the oracle restates the Morton interleave as a literal
+    // bit-arithmetic sum — all integers, so cells and stats are exact
+    "s17_zorder_layout" -> {
+      val zTerms = (0 until 12).map(i =>
+        s"((px >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((py >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH pts AS (SELECT (o_orderkey*7) % 4096 AS px,
+         |  (o_orderkey*13) % 4096 AS py FROM orders),
+         |z AS (SELECT px, py, $zTerms AS z FROM pts)
+         |SELECT z >> 18 AS cell, COUNT(*) AS n_points,
+         | MIN(px) AS min_px, MAX(px) AS max_px,
+         | MIN(py) AS min_py, MAX(py) AS max_py,
+         | MIN(z) AS min_z, MAX(z) AS max_z,
+         | (MAX(px)-MIN(px)+1) * (MAX(py)-MIN(py)+1) AS bbox_area
+         |FROM z GROUP BY cell ORDER BY cell""".stripMargin
+    },
 
     // v1: oracle recomputes every VARIANT-extracted value straight from
     // the base columns — a hash match proves the JSON→VARIANT→typed-path

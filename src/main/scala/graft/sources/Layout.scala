@@ -37,6 +37,28 @@ object Layout {
   def readMonthPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-order (Morton) value: bit-interleave of two bounded
+    * non-negative integer columns — the multi-dimensional clustering
+    * key. Sorting/partitioning a table by z instead of a single column
+    * keeps BOTH dimensions locally dense inside every file, so
+    * per-file min/max stats prune 2-D range predicates (the
+    * Delta/Iceberg OPTIMIZE ZORDER story): a query on (x BETWEEN …,
+    * y BETWEEN …) skips every file whose z-contiguous cell misses the
+    * box, instead of reading all files as a single-column sort on x
+    * would for tight y ranges. Pure bit arithmetic (shift/and/add of
+    * disjoint bits) — codegen'd, engine-portable, no UDF. `bits` caps
+    * each input at 2^bits; callers quantize first. */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)),
+        2 * i) +
+        shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)),
+          2 * i + 1)
+    }.reduce(_ + _) // bit positions are disjoint, so + ≡ bitwise OR
+  }
+
   /** Compact a small-file dataset to ~`targetBytes` output files —
     * the maintenance job every streaming/incremental sink needs, or
     * file-listing cost alone eventually dominates query time (the m2

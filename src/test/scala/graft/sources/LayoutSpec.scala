@@ -105,4 +105,37 @@ class LayoutSpec extends SparkTestBase {
         month(col("o_orderdate").cast("date")) === 3).count()
     assert(pruned.count() === want)
   }
+
+  test("z-order cells skip a 2-D box query that row-order cells hit") {
+    // 4096 points on a 64×64 grid, 64 cells of 64 points each. Under
+    // z-order a cell is an aligned 8×8 tile; under row-major order a
+    // cell is a 64-wide stripe. For an 8×8 box query, min/max file
+    // stats skip to exactly ONE z tile but must touch EIGHT stripes —
+    // the data-skipping claim, measured on the stats a writer records.
+    val pts = spark.range(4096).select(col("id"),
+      (col("id") % 64).as("px"), (col("id") / 64).cast("long").as("py"))
+    def cellsTouching(cellCol: org.apache.spark.sql.Column): Long =
+      pts.select(col("px"), col("py"), cellCol.as("cell"))
+        .groupBy("cell")
+        .agg(min("px").as("x0"), max("px").as("x1"),
+          min("py").as("y0"), max("py").as("y1"))
+        .filter(col("x0") <= 23 && col("x1") >= 16 &&
+          col("y0") <= 23 && col("y1") >= 16)
+        .count()
+    val zCells = cellsTouching(
+      shiftrightunsigned(Layout.zValue(col("px"), col("py"), bits = 6), 6))
+    val rowCells = cellsTouching((col("id") / 64).cast("long"))
+    assert(zCells === 1L, s"box must hit exactly one aligned z tile, got $zCells")
+    assert(rowCells === 8L, s"row-major stripes hit should be 8, got $rowCells")
+  }
+
+  test("zValue interleaves bits exactly (known vectors)") {
+    val rows = spark.createDataFrame(Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L), (63L, 0L),
+      (0L, 63L))).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), bits = 6).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // morton(5,3): x=101b → bits 0,4; y=011b → bits 1,3 → 11011b = 27
+    assert(rows === Seq(0L, 1L, 2L, 3L, 27L, 1365L, 2730L))
+  }
 }
