@@ -144,6 +144,57 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** W8 (extension) — VALUE-based window frames (RANGE BETWEEN): per
+    * user, the count and exact-decimal sum of events inside the
+    * trailing one-hour interval of each event's timestamp — the
+    * rate-limit / rolling-rate shape ROWS frames can't express (the
+    * frame must follow the time AXIS, not row positions). RANGE frames
+    * are deterministic even under timestamp ties: every peer row is in
+    * the frame regardless of physical order, so no tie-break key is
+    * needed. One shuffle+sort per user partition, frame evaluation is
+    * a sliding two-pointer over the sorted run. */
+  def w8RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val hour = Window.partitionBy("user_id").orderBy(col("t_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("t_us"),
+        count(lit(1)).over(hour).as("n_1h"),
+        round(sum(col("v")).over(hour), 2).cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** A15 (extension) — robust outlier detection (median/MAD): per
+    * return flag, the median quantity, the median absolute deviation,
+    * and the rows beyond 3 MAD — the data-quality screen that, unlike
+    * mean/stddev z-scores, a few extreme rows cannot drag. Quantities
+    * are small exact decimals, so the interpolated medians land on
+    * .0/.5 values both engines represent exactly — comparisons are
+    * deterministic, no rounding. Two percentile aggregates (sort-based,
+    * the a4 trade-off; sketch twin a4b is the scale path) + one
+    * broadcast join back. */
+  def a15RobustZscore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(q, 0.5)").as("med"))
+    val mad = li.join(broadcast(med), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(abs(q - med), 0.5)").as("mad"),
+        max(col("med")).as("med"))
+    li.join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_if(abs(col("q") - col("med")) > col("mad") * 3)
+          .as("n_outliers"),
+        sum(when(abs(col("q") - col("med")) > col("mad") * 3, col("q"))
+          .otherwise(lit(0.0))).as("outlier_mass"))
+      .select(col("l_returnflag"), col("med"), col("mad"), col("n_rows"),
+        col("n_outliers"), col("outlier_mass"))
+      .orderBy("l_returnflag")
+  }
+
   /** W4 (extension) — the ranking-function family under ties: rank /
     * dense_rank / percent_rank / cume_dist over a NON-unique order key
     * (deterministic by definition under ties), ntile over the
@@ -579,6 +630,8 @@ object OlapQueries {
     "st3b_interpolate"   -> (st3bInterpolate _),
     "p23_map_funcs"      -> (p23MapFuncs _),
     "a14_histogram"      -> (a14Histogram _),
+    "w8_range_frame"     -> (w8RangeFrame _),
+    "a15_robust_zscore"  -> (a15RobustZscore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -858,6 +911,36 @@ object OlapQueries {
         |FROM documents
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
         |ORDER BY doc_id""".stripMargin,
+
+    "w8_range_frame" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT event_id, user_id, t_us,
+        | COUNT(*) OVER w AS n_1h,
+        | CAST(ROUND(SUM(v) OVER w, 2) AS DOUBLE) AS sum_1h
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // a15: quantile_cont == Spark's interpolated percentile; small
+    // exact values make every median/MAD comparison tie-free
+    "a15_robust_zscore" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q
+        |            FROM lineitem),
+        |med AS (SELECT l_returnflag, quantile_cont(q, 0.5) AS med
+        |        FROM li GROUP BY 1),
+        |mad AS (SELECT li.l_returnflag,
+        |          quantile_cont(abs(q - med), 0.5) AS mad, MAX(med) AS med
+        |        FROM li JOIN med USING (l_returnflag)
+        |        GROUP BY li.l_returnflag)
+        |SELECT li.l_returnflag, m.med, m.mad, COUNT(*) AS n_rows,
+        | CAST(COUNT(*) FILTER (abs(q - m.med) > m.mad * 3) AS BIGINT)
+        |   AS n_outliers,
+        | SUM(CASE WHEN abs(q - m.med) > m.mad * 3 THEN q ELSE 0.0 END)
+        |   AS outlier_mass
+        |FROM li JOIN mad m USING (l_returnflag)
+        |GROUP BY li.l_returnflag, m.med, m.mad
+        |ORDER BY l_returnflag""".stripMargin,
 
     "w3_lag_rolling" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,

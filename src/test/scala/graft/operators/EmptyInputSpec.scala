@@ -45,6 +45,13 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Sampling.hashSample(noDocs, "doc_id", 10, Seq(0)).count() === 0)
     assert(Sampling.stratifiedTopK(noDocs, "text", "doc_id", 5).count() === 0)
     assert(Dedup.editDistancePairs(noDocs, "doc_id", "text", 3).count() === 0)
+    assert(Sampling.weightedBernoulli(noDocs, "doc_id", lit(500L))
+      .count() === 0)
+    // zValue is a pure column: empty input → empty, typed long
+    val z = noDocs.select(
+      graft.sources.Layout.zValue(col("doc_id"), col("doc_id"), 8).as("z"))
+    assert(z.count() === 0 &&
+      z.schema("z").dataType === org.apache.spark.sql.types.LongType)
   }
 
   test("top-per-key and sessionization on empty input") {
