@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import graft.streaming.{EventSessions, EventWindows, StreamCurate}
+import graft.streaming.{EventSessions, EventWindows, StreamCurate, StreamEnrich}
 
 /** LLM-training-data pipeline extension queries (BASELINE.json
   * north-star: dedup, similarity search, multimodal columns, text
@@ -1059,6 +1059,24 @@ object ExtensionQueries {
         "doc_id", "text", 0.3)
       .orderBy("doc_id")
 
+  /** ST5 — stream-static dimension enrichment (batch twin): events
+    * left-joined to the customer dimension (broadcast — no state
+    * store, no watermark; the static side re-plans per micro-batch),
+    * rolled up per nation with an explicit unmatched bucket (-1) for
+    * the late-dimension case. StreamEnrichSpec proves the MemoryStream
+    * run of the same body converges to this result. */
+  def st5StreamEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    StreamEnrich.withDimension(Tables.events(s, d), dim,
+        "user_id", "c_custkey")
+      .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_value"))
+      .orderBy("nation")
+  }
+
   // ======================================================== oracles
 
   /** Exact word-3-gram Jaccard pair set as a composable CTE body
@@ -1596,6 +1614,14 @@ object ExtensionQueries {
         |       CAST(n_members AS BIGINT) AS n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
+    "st5_stream_enrich" ->
+      """SELECT CAST(COALESCE(c.c_nationkey, -1) AS BIGINT) AS nation,
+        | COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |   AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+
     "st4_stream_curate" ->
       s"""WITH s AS ($langScoreSql),
         |scored AS (
@@ -1845,6 +1871,7 @@ object ExtensionQueries {
     "st1_event_window"       -> (st1EventWindow _),
     "st2_sessionize"         -> (st2Sessionize _),
     "st4_stream_curate"      -> (st4StreamCurate _),
+    "st5_stream_enrich"      -> (st5StreamEnrich _),
   )
 
   /** Benchmarked but not oracle-checked: x4's xxhash64 token hash has
