@@ -82,6 +82,29 @@ object OlapQueries {
       .orderBy("box_id")
   }
 
+  /** J11 (extension) — hierarchical rollup without recursive CTEs:
+    * documents form a deterministic binary tree (parent = (id−1) div 2,
+    * root 0); every node is resolved to its root and exact depth by
+    * pointer doubling (Hierarchy.resolveToRoot — 6 join rounds cover
+    * depth ≤ 63), then rolled up per level. The oracle walks the same
+    * tree with DuckDB's real WITH RECURSIVE, so a hash match proves
+    * the O(log depth) doubling loop computes exactly what the
+    * O(depth) recursion defines. `n_rooted == n_nodes` in every row
+    * certifies convergence (every ancestor pointer reached root 0). */
+  def j11Hierarchy(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = docs.filter(col("doc_id") > 0)
+      .select(col("doc_id").as("child"),
+        expr("(doc_id - 1) DIV 2").as("parent"))
+    graft.operators.Hierarchy
+      .resolveToRoot(docs, "doc_id", edges, "child", "parent")
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        count_if(col("anc") === 0).as("n_rooted"))
+      .orderBy("depth")
+  }
+
   /** A5 (extension) — ROLLUP grouping sets with GROUPING_ID: detail,
     * per-flag subtotal, and grand total in one aggregation pass.
     * Spark's grouping_id bitmask matches DuckDB's GROUPING(). */
@@ -632,6 +655,7 @@ object OlapQueries {
     "a14_histogram"      -> (a14Histogram _),
     "w8_range_frame"     -> (w8RangeFrame _),
     "a15_robust_zscore"  -> (a15RobustZscore _),
+    "j11_hierarchy"      -> (j11Hierarchy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -911,6 +935,20 @@ object OlapQueries {
         |FROM documents
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
         |ORDER BY doc_id""".stripMargin,
+
+    // j11: DuckDB's real recursive CTE is the ground truth the
+    // pointer-doubling loop must reproduce exactly
+    "j11_hierarchy" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT doc_id, doc_id AS cur, 0 AS d FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (cur - 1) // 2, d + 1 FROM walk WHERE cur > 0),
+        |fin AS (SELECT doc_id, CAST(MAX(d) AS BIGINT) AS depth
+        |        FROM walk GROUP BY doc_id)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |       COUNT(*) AS n_rooted
+        |FROM fin GROUP BY depth ORDER BY depth""".stripMargin,
 
     "w8_range_frame" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
