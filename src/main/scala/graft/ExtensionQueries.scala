@@ -696,6 +696,35 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  /** X25 — exact heavy hitters via sketch-then-verify: tokens whose
+    * corpus share is ≥ 2% (cnt·50 ≥ N), the frequent-items profile a
+    * curation pipeline runs to spot boilerplate vocabulary and
+    * tokenizer hot spots. Pass 1 is a Misra-Gries(k=64) typed
+    * aggregate — map-side bounded state, O(k) merge, no token shuffle —
+    * whose key set provably contains every ≥2% term (undercount
+    * ≤ N/65 < N/50; see [[graft.functions.MisraGriesAgg]]). Pass 2
+    * re-scans and exact-counts ONLY tokens matching the ≤64 broadcast
+    * candidates, then applies the threshold — so the result is exact
+    * and deterministic even though the sketch's candidate set is
+    * order-dependent. At 100 TB the verify shuffle carries hot terms
+    * only, never the full vocabulary. */
+  def x25HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.wide(Tables.documents(s, d))
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val mg = graft.functions.MisraGriesAgg.misraGries(64)
+    // candidate rows each carry the exact total, so the verify pass
+    // needs exactly one broadcast join (sketch subtree evaluated once)
+    val sketch = tok.agg(mg(col("term")).as("st"))
+      .select(col("st.total").as("total"), explode(col("st.keys")).as("term"))
+    tok.join(broadcast(sketch), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"), max(col("total")).as("total"))
+      .filter(col("cnt") * 50 >= col("total"))
+      .select(col("term"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Keep-best-of-cluster — the dedup finale real pipelines run
     * instead of keep-min-id: near-dup clusters (connected components
     * over the Jaccard ≥ 0.8 pair graph, as x11) each elect the member
@@ -1686,6 +1715,20 @@ object ExtensionQueries {
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
 
+    // x25: the oracle is the plain exact computation — the Spark side
+    // must reproduce it through the sketch-then-verify two-pass plan
+    "x25_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |  FROM documents),
+        |t AS (SELECT term FROM tok WHERE term <> ''),
+        |n AS (SELECT COUNT(*) AS total FROM t),
+        |c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
+        |SELECT c.term, c.cnt,
+        |       CAST(c.cnt * 1000000 // n.total AS BIGINT) AS share_ppm
+        |FROM c, n WHERE c.cnt * 50 >= n.total
+        |ORDER BY c.cnt DESC, c.term""".stripMargin,
+
     // x15's oracle states the packing offsets as the naive global
     // window; the Spark side must reproduce them from the distributed
     // two-pass prefix scan — same numbers, cluster-safe plan.
@@ -1861,6 +1904,7 @@ object ExtensionQueries {
     "x20_source_budget"      -> (x20SourceBudget _),
     "t10_name_match"         -> (t10NameMatch _),
     "t11_bm25_topk"          -> (t11Bm25TopK _),
+    "x25_heavy_hitters"      -> (x25HeavyHitters _),
     "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),
