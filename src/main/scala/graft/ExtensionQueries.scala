@@ -725,6 +725,41 @@ object ExtensionQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** T12 — top-3 TF-IDF keywords per document: the keyword-extraction
+    * shape (topic tagging, index-term selection, per-doc metadata
+    * enrichment) over the corpus. Rational idf = N/df with no log and
+    * no doubles: score_micro = ⌊tf·N·10⁶/df⌋ computed in DECIMAL(38,0)
+    * — positive integer division, floor == truncate, bit-identical in
+    * Spark and DuckDB. Ranking is deterministic (score desc, term asc).
+    *
+    * Scale shape: one postings shuffle keyed (doc_id, term) for tf, a
+    * term-keyed agg for df whose exchange AQE reuses from the tf
+    * subtree, N as a 1-row broadcast, and the per-doc top-3 through a
+    * rank window that WindowGroupLimit bounds map-side — no global
+    * sort, no unbounded partition. */
+  def t12TfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = tok.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"),
+        expr("""cast(cast(tf as decimal(38,0)) * cast(n_docs as decimal(38,0))
+                * 1000000 div cast(df as decimal(38,0)) as bigint)""")
+          .as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("score_micro"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Keep-best-of-cluster — the dedup finale real pipelines run
     * instead of keep-min-id: near-dup clusters (connected components
     * over the Jaccard ≥ 0.8 pair graph, as x11) each elect the member
@@ -1729,6 +1764,29 @@ object ExtensionQueries {
         |FROM c, n WHERE c.cnt * 50 >= n.total
         |ORDER BY c.cnt DESC, c.term""".stripMargin,
 
+    "t12_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
+        |    AS term FROM documents),
+        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokf
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tokf),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    CAST(CAST(t.tf AS HUGEINT) * CAST(n.n_docs AS HUGEINT)
+        |         * CAST(1000000 AS HUGEINT) // CAST(f.df AS HUGEINT)
+        |      AS BIGINT) AS score_micro
+        |  FROM tf t JOIN df f USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, score_micro FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     // x15's oracle states the packing offsets as the naive global
     // window; the Spark side must reproduce them from the distributed
     // two-pass prefix scan — same numbers, cluster-safe plan.
@@ -1905,6 +1963,7 @@ object ExtensionQueries {
     "t10_name_match"         -> (t10NameMatch _),
     "t11_bm25_topk"          -> (t11Bm25TopK _),
     "x25_heavy_hitters"      -> (x25HeavyHitters _),
+    "t12_tfidf_keywords"     -> (t12TfidfKeywords _),
     "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),

@@ -44,4 +44,22 @@ class CurationQueriesSpec extends SparkTestBase {
     val again = ExtensionQueries.x20SourceBudget(spark, d).collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("t12: exactly top-3 per doc, and the rarest token outranks common ones") {
+    val out = ExtensionQueries.t12TfidfKeywords(spark, d).collect()
+    val perDoc = out.groupBy(_.getLong(0))
+    perDoc.foreach { case (id, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L), s"doc $id")
+    }
+    // 'dup' is ~40× rarer than every other token, so any doc containing
+    // it must rank it first (idf dominates the near-uniform tfs)
+    val dupDocs = Tables.documents(spark, d)
+      .filter(col("text").contains("dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dupDocs.nonEmpty)
+    dupDocs.foreach { id =>
+      val top = out.find(r => r.getLong(0) == id && r.getLong(1) == 1L).get
+      assert(top.getString(2) === "dup", s"doc $id top term ${top.getString(2)}")
+    }
+  }
 }
