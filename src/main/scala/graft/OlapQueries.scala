@@ -291,6 +291,76 @@ object OlapQueries {
       .orderBy("col_name")
   }
 
+  /** A16 (extension) — data-quality constraint audit: the
+    * expectations/assertion pass every production pipeline runs before
+    * publishing a table. Seven checks over orders + lineitem — key
+    * uniqueness, completeness, value range, timestamp freshness window,
+    * compound-key uniqueness, and a referential (FK orphan) check —
+    * reported as one (check_name, n_violations, n_checked) relation.
+    * The input is deliberately dirtied with deterministic mutated
+    * copies (o_orderkey%97 / l_orderkey%101 rows) so every check has a
+    * known nonzero violation count and an all-zero report can't fake a
+    * pass; the oracle rebuilds the identical dirt.
+    *
+    * Scale shape: ALL per-table checks fold into one aggregate pass per
+    * table (single scan, distributed partials, 1-row merge) — never one
+    * scan per constraint; the FK check is the only join, an anti join
+    * AQE can broadcast. Uniqueness counts use count_distinct in the
+    * same pass; the compound key packs (orderkey, linenumber ≤ 7) into
+    * one long so the distinct state stays primitive. */
+  def a16ConstraintAudit(s: SparkSession, d: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("2002-01-01 00:00:00"))
+    val o0 = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val oDirty = o0.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), lit(null).cast("bigint").as("o_custkey"),
+        (col("o_totalprice") * -1).as("o_totalprice"),
+        (col("o_orderdate") + expr("INTERVAL 100 YEARS")).as("o_orderdate"))
+    val o = o0.unionByName(oDirty)
+    val l0 = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val lDirty = l0
+      .filter(col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1)
+      .select((col("l_orderkey") * -1).as("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + 100).as("l_quantity"))
+    val l = l0.unionByName(lDirty)
+
+    val oAgg = o.agg(
+      count(lit(1)).as("o_n"),
+      count_distinct(col("o_orderkey")).as("o_nd"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+        .otherwise(0L)).as("bad_price"),
+      sum(when(col("o_orderdate").isNull ||
+          col("o_orderdate") < lo || col("o_orderdate") >= hi, 1L)
+        .otherwise(0L)).as("bad_date"))
+    val lAgg = l.agg(
+      count(lit(1)).as("l_n"),
+      count_distinct(col("l_orderkey") * 8 + col("l_linenumber")).as("l_nd"),
+      sum(when(col("l_quantity").isNull ||
+          col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("bad_qty"))
+    val orphans = l
+      .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("orphan_cnt"))
+
+    oAgg.crossJoin(lAgg).crossJoin(orphans)
+      .selectExpr(
+        """stack(7,
+          |  'lineitem.l_orderkey.fk_orders', orphan_cnt, l_n,
+          |  'lineitem.l_quantity.range_1_50', bad_qty, l_n,
+          |  'lineitem.pk.unique', l_n - l_nd, l_n,
+          |  'orders.o_custkey.not_null', null_cust, o_n,
+          |  'orders.o_orderdate.in_window', bad_date, o_n,
+          |  'orders.o_orderkey.unique', o_n - o_nd, o_n,
+          |  'orders.o_totalprice.positive', bad_price, o_n
+          |) as (check_name, n_violations, n_checked)""".stripMargin)
+      .orderBy("check_name")
+  }
+
   /** W7 (extension) — 3-stage event funnel (view → click → purchase):
     * per user take the FIRST view, the first click strictly after it,
     * and the first purchase strictly after that click, all within 7
@@ -656,9 +726,52 @@ object OlapQueries {
     "w8_range_frame"     -> (w8RangeFrame _),
     "a15_robust_zscore"  -> (a15RobustZscore _),
     "j11_hierarchy"      -> (j11Hierarchy _),
+    "a16_constraint_audit" -> (a16ConstraintAudit _),
   )
 
   val oracles: Map[String, String] = Map(
+    "a16_constraint_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL AS o_custkey,
+        |         o_totalprice * -1 AS o_totalprice,
+        |         o_orderdate + INTERVAL 100 YEAR AS o_orderdate
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |l AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey * -1, l_linenumber, l_quantity + 100
+        |  FROM lineitem WHERE l_orderkey % 101 = 0 AND l_linenumber = 1),
+        |oa AS (SELECT COUNT(*) AS o_n,
+        |  COUNT(DISTINCT o_orderkey) AS o_nd,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+        |  SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |      THEN 1 ELSE 0 END) AS bad_price,
+        |  SUM(CASE WHEN o_orderdate IS NULL
+        |        OR o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |        OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+        |      THEN 1 ELSE 0 END) AS bad_date FROM o),
+        |la AS (SELECT COUNT(*) AS l_n,
+        |  COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS l_nd,
+        |  SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |        OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_qty FROM l),
+        |orph AS (SELECT COUNT(*) AS orphan_cnt FROM l
+        |  WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |       CAST(n_checked AS BIGINT) AS n_checked
+        |FROM (
+        |  SELECT 'lineitem.l_orderkey.fk_orders' AS check_name,
+        |         orphan_cnt AS n_violations, l_n AS n_checked FROM la, orph
+        |  UNION ALL SELECT 'lineitem.l_quantity.range_1_50', bad_qty, l_n FROM la
+        |  UNION ALL SELECT 'lineitem.pk.unique', l_n - l_nd, l_n FROM la
+        |  UNION ALL SELECT 'orders.o_custkey.not_null', null_cust, o_n FROM oa
+        |  UNION ALL SELECT 'orders.o_orderdate.in_window', bad_date, o_n FROM oa
+        |  UNION ALL SELECT 'orders.o_orderkey.unique', o_n - o_nd, o_n FROM oa
+        |  UNION ALL SELECT 'orders.o_totalprice.positive', bad_price, o_n FROM oa
+        |) t ORDER BY check_name""".stripMargin,
+
     "a14_histogram" ->
       """WITH b AS (
         |  SELECT CAST(LEAST(9, n_chars // 50) AS BIGINT) AS bucket,

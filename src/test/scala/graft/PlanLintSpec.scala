@@ -21,7 +21,8 @@ class PlanLintSpec extends SparkTestBase {
     "t11_bm25_topk",       // BM25 corpus stats (N, Σdl): one row, broadcast
     "x24_pagerank",        // node count N: one row, broadcast
     "x25_heavy_hitters",   // Misra-Gries merge: one row, O(k) state, broadcast
-    "t12_tfidf_keywords")  // corpus doc count N: one row, broadcast
+    "t12_tfidf_keywords",  // corpus doc count N: one row, broadcast
+    "a16_constraint_audit") // per-table audit aggregates: one row each
 
   test("no query plans a cartesian product or an unbounded single-partition stage") {
     val d = "/root/testdata/sf0.001"
