@@ -760,6 +760,47 @@ object ExtensionQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** X26 — URL canonicalization + URL-level dedup: the first pass of a
+    * web-crawl curation pipeline. Messy URL variants (scheme/host case,
+    * explicit default ports, shuffled query-param order, utm_* tracking
+    * params, fragments, trailing slashes) are synthesized
+    * deterministically from order keys, then collapsed through
+    * [[graft.functions.UrlFunctions.canonicalUrl]] — so the oracle can
+    * state the expected canonical form directly from the same key
+    * arithmetic (clean-room ground truth) and a hash match proves the
+    * parser actually recovers it from the messy string. Map-only until
+    * the final group-by-canonical (the dedup shuffle itself). */
+  def x26UrlCanonical(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.UrlFunctions._
+    val k = col("o_orderkey")
+    val scheme = element_at(
+      array(lit("http"), lit("HTTP"), lit("https"), lit("HTTPS")),
+      (k % 4 + 1).cast("int"))
+    val hostBase = concat(lit("www.example"), (k % 7).cast("string"), lit(".com"))
+    val host = when(k % 3 === 0, hostBase)
+      .when(k % 3 === 1, upper(hostBase))
+      .otherwise(concat(lit("Www.Example"), (k % 7).cast("string"), lit(".Com")))
+    val port = when(k % 5 === 0,
+        when(k % 4 >= 2, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit(""))
+    val path = concat(lit("/catalog/item-"), (k % 13).cast("string"),
+      when(k % 3 === 0, lit("/")).otherwise(lit("")))
+    val idp = concat(lit("id="), (k % 11).cast("string"))
+    val params = when(k % 2 === 0,
+        concat(lit("utm_source=news&"), idp, lit("&ref=mail")))
+      .otherwise(concat(lit("ref=mail&"), idp,
+        when(k % 3 === 1, lit("&utm_campaign=x")).otherwise(lit(""))))
+    val frag = when(k % 7 === 0, concat(lit("#sec"), (k % 3).cast("string")))
+      .otherwise(lit(""))
+    val messy = concat(scheme, lit("://"), host, port, path, lit("?"), params, frag)
+    Tables.orders(s, d).select(k.as("k"), messy.as("url"))
+      .select(col("k"), canonicalUrl(col("url")).as("canonical_url"),
+        registeredDomain(urlHost(col("url"))).as("reg_domain"))
+      .groupBy("canonical_url", "reg_domain")
+      .agg(count(lit(1)).as("n_raw"), min(col("k")).as("min_key"))
+      .orderBy("canonical_url")
+  }
+
   /** Keep-best-of-cluster — the dedup finale real pipelines run
     * instead of keep-min-id: near-dup clusters (connected components
     * over the Jaccard ≥ 0.8 pair graph, as x11) each elect the member
@@ -1787,6 +1828,25 @@ object ExtensionQueries {
         |SELECT doc_id, rank, term, tf, score_micro FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // x26: the oracle never parses anything — it states the canonical
+    // URL straight from the key arithmetic; Spark must recover the
+    // identical string from the messy variant
+    "x26_url_canonical" ->
+      """WITH c AS (
+        |  SELECT o_orderkey AS k,
+        |    (CASE WHEN o_orderkey % 4 >= 2 THEN 'https' ELSE 'http' END)
+        |      || '://www.example' || CAST(o_orderkey % 7 AS VARCHAR)
+        |      || '.com/catalog/item-' || CAST(o_orderkey % 13 AS VARCHAR)
+        |      || '?id=' || CAST(o_orderkey % 11 AS VARCHAR) || '&ref=mail'
+        |      AS canonical_url,
+        |    'example' || CAST(o_orderkey % 7 AS VARCHAR) || '.com'
+        |      AS reg_domain
+        |  FROM orders)
+        |SELECT canonical_url, reg_domain, COUNT(*) AS n_raw,
+        |       MIN(k) AS min_key
+        |FROM c GROUP BY canonical_url, reg_domain
+        |ORDER BY canonical_url""".stripMargin,
+
     // x15's oracle states the packing offsets as the naive global
     // window; the Spark side must reproduce them from the distributed
     // two-pass prefix scan — same numbers, cluster-safe plan.
@@ -1964,6 +2024,7 @@ object ExtensionQueries {
     "t11_bm25_topk"          -> (t11Bm25TopK _),
     "x25_heavy_hitters"      -> (x25HeavyHitters _),
     "t12_tfidf_keywords"     -> (t12TfidfKeywords _),
+    "x26_url_canonical"      -> (x26UrlCanonical _),
     "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+class UrlFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlFunctions.canonicalUrl(col("url")))
+      .as[String].collect().toSeq
+
+  test("case, default ports, fragments, trailing slashes normalize away") {
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/a/b/?x=1#frag",
+      "https://www.example.com/a/b?x=1",
+      "HTTP://host.org:80/",
+      "http://host.org"
+    ) === Seq(
+      "https://www.example.com/a/b?x=1",
+      "https://www.example.com/a/b?x=1",
+      "http://host.org",
+      "http://host.org"))
+  }
+
+  test("non-default ports and cross-scheme default ports are kept") {
+    assert(canon(
+      "http://h.io:8080/p",
+      "http://h.io:443/p", // 443 is NOT http's default
+      "https://h.io:80/p"  // 80 is NOT https' default
+    ) === Seq(
+      "http://h.io:8080/p",
+      "http://h.io:443/p",
+      "https://h.io:80/p"))
+  }
+
+  test("utm params drop, the rest sort, empty query collapses") {
+    assert(canon(
+      "https://a.co/p?utm_source=x&b=2&a=1&utm_campaign=y",
+      "https://a.co/p?a=1&b=2",
+      "https://a.co/p?utm_source=x",
+      "https://a.co/p?"
+    ) === Seq(
+      "https://a.co/p?a=1&b=2",
+      "https://a.co/p?a=1&b=2",
+      "https://a.co/p",
+      "https://a.co/p"))
+  }
+
+  test("registered domain takes the last two labels") {
+    val got = Seq("www.shop.example.com", "example.com", "localhost")
+      .toDF("h").select(UrlFunctions.registeredDomain(col("h")))
+      .as[String].collect().toSeq
+    assert(got === Seq("example.com", "example.com", ""))
+  }
+
+  test("x26: every canonical group collapses at least two raw variants") {
+    val out = graft.ExtensionQueries.x26UrlCanonical(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // conservation: every key lands in exactly one canonical cell
+    // (2×7×13×11 = 2002 cells), and collapsing really happens
+    val nOrders = graft.Tables.orders(spark, "/root/testdata/sf0.001").count()
+    assert(out.map(_.getLong(2)).sum === nOrders)
+    assert(out.exists(_.getLong(2) >= 2))
+    assert(out.forall(r => r.getString(0).startsWith("http") &&
+      !r.getString(0).contains("utm_") && !r.getString(0).contains("#")))
+  }
+}
