@@ -361,6 +361,46 @@ object OlapQueries {
       .orderBy("check_name")
   }
 
+  /** A17 (extension) — pairwise Pearson correlation matrix over the
+    * lineitem measures: the feature-correlation profile a training-data
+    * pipeline runs before weighting/ablating signals. All five moments
+    * (Σx, Σx², Σxy per pair, n) accumulate EXACTLY: measures are
+    * integer-scaled ×100 through DECIMAL(18,2) (2-dp money/ratio
+    * columns, so the scaling is lossless) and summed in DECIMAL(38,0).
+    * Pearson r is scale-invariant, so the ×100 cancels; the only
+    * floating-point work is the final per-pair formula over identical
+    * exact integers — bit-identical in Spark and DuckDB — rounded at
+    * 6 dp (non-exact source: sqrt). One aggregate pass over the table
+    * computes all 14 moments (distributed partials, 1-row merge);
+    * the 6 pairs unpivot from that single row. */
+  def a17CorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("q" -> "l_quantity", "e" -> "l_extendedprice",
+      "di" -> "l_discount", "tx" -> "l_tax")
+    val pairs = for {
+      (i, (a, _)) <- cols.zipWithIndex.map(_.swap)
+      (b, _) <- cols.drop(i + 1)
+    } yield (a, b)
+    val li = Tables.lineitem(s, d).select(cols.map { case (a, c) =>
+      expr(s"cast(cast($c as decimal(18,2)) * 100 as decimal(38,0))").as(a)
+    }: _*)
+    val moments =
+      cols.flatMap { case (a, _) => Seq(
+        sum(col(a)).as(s"s_$a"), sum(col(a) * col(a)).as(s"ss_$a")) } ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val one = li.agg(count(lit(1)).as("n"), moments: _*)
+    val name = cols.toMap
+    val stacked = pairs.map { case (a, b) =>
+      val corr = s"""round(cast(n * sp_${a}_$b - s_$a * s_$b as double) /
+        | (sqrt(cast(n * ss_$a - s_$a * s_$a as double)) *
+        |  sqrt(cast(n * ss_$b - s_$b * s_$b as double))), 6)""".stripMargin
+      s"'${name(a)}', '${name(b)}', $corr"
+    }.mkString(", ")
+    one.selectExpr("n",
+        s"stack(${pairs.size}, $stacked) as (col_x, col_y, corr)")
+      .select(col("col_x"), col("col_y"), col("n"), col("corr"))
+      .orderBy("col_x", "col_y")
+  }
+
   /** W7 (extension) — 3-stage event funnel (view → click → purchase):
     * per user take the FIRST view, the first click strictly after it,
     * and the first purchase strictly after that click, all within 7
@@ -727,9 +767,38 @@ object OlapQueries {
     "a15_robust_zscore"  -> (a15RobustZscore _),
     "j11_hierarchy"      -> (j11Hierarchy _),
     "a16_constraint_audit" -> (a16ConstraintAudit _),
+    "a17_corr_matrix"    -> (a17CorrMatrix _),
   )
 
   val oracles: Map[String, String] = Map(
+    // a17: the oracle restates the same exact-moment formula; the
+    // UNION arms are generated from the same pair list as the query
+    "a17_corr_matrix" -> {
+      val cols = Seq("q" -> "l_quantity", "e" -> "l_extendedprice",
+        "di" -> "l_discount", "tx" -> "l_tax")
+      val pairs = for {
+        (i, (a, _)) <- cols.zipWithIndex.map(_.swap)
+        (b, _) <- cols.drop(i + 1)
+      } yield (a, b)
+      val scaled = cols.map { case (a, c) =>
+        s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS HUGEINT) AS $a" }.mkString(", ")
+      val moms = (cols.flatMap { case (a, _) =>
+        Seq(s"SUM($a) AS s_$a", s"SUM($a*$a) AS ss_$a") } ++
+        pairs.map { case (a, b) => s"SUM($a*$b) AS sp_${a}_$b" }).mkString(", ")
+      val name = cols.toMap
+      val arms = pairs.map { case (a, b) =>
+        s"""SELECT '${name(a)}' AS col_x, '${name(b)}' AS col_y, n,
+           | ROUND(CAST(n*sp_${a}_$b - s_$a*s_$b AS DOUBLE) /
+           |  (SQRT(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE)) *
+           |   SQRT(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE))), 6) AS corr FROM m"""
+          .stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH sc AS (SELECT $scaled FROM lineitem),
+         |m AS (SELECT COUNT(*) AS n, $moms FROM sc)
+         |SELECT col_x, col_y, n, corr FROM ($arms) t
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+
     "a16_constraint_audit" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
