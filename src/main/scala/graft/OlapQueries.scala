@@ -120,6 +120,28 @@ object OlapQueries {
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** A18 (extension) — explicit GROUPING SETS: a non-hierarchical set
+    * list ((status, priority), (priority), ()) that neither ROLLUP nor
+    * CUBE can express (the (status) marginal is deliberately absent).
+    * Spark expands all sets in one Expand + hash aggregate — one scan
+    * for the whole report, same physical shape as a5/a5b; grouping_id
+    * disambiguates set membership, money stays DECIMAL until the final
+    * cast. */
+  def a18GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(asMoney(col("o_totalprice"))), 2)
+          .cast("double").as("sum_price"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("gid"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** A5b (extension) — full CUBE over (lang, source): all four
     * grouping combinations in one pass (Spark expands them in a
     * single Expand + hash aggregate, no re-scan per combination),
@@ -768,6 +790,7 @@ object OlapQueries {
     "j11_hierarchy"      -> (j11Hierarchy _),
     "a16_constraint_audit" -> (a16ConstraintAudit _),
     "a17_corr_matrix"    -> (a17CorrMatrix _),
+    "a18_grouping_sets"  -> (a18GroupingSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1101,6 +1124,17 @@ object OlapQueries {
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a18_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
 
     "a5b_cube" ->
       """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid,
