@@ -549,6 +549,32 @@ object OlapQueries {
     * ANSI-safe form), ordered key list. Map construction sorts the
     * entry list so key order is deterministic in both engines;
     * lookups COALESCE to 0 so present/absent keys hash identically. */
+  /** P24 (extension) — bitwise function breadth: scalar and/or/xor,
+    * shifts, popcount, hex rendering, plus the bit_and/bit_or/bit_xor
+    * AGGREGATES as whole-partition windows (flag-mask fold-up — the
+    * "which feature bits are set anywhere / everywhere in this
+    * cohort" query). All map-side except the one window shuffle;
+    * every value is integer-exact. Dialect notes: DuckDB `^` is
+    * exponentiation (its xor is `xor()`), and hex casing differs —
+    * both pinned by the oracle via lower(hex). */
+  def p24BitwiseFuncs(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val w = Window.partitionBy(pmod(k, lit(7)))
+    Tables.orders(s, d)
+      .select(k.as("k"),
+        k.bitwiseAND(lit(255L)).as("band"),
+        k.bitwiseOR(lit(15L)).as("bor"),
+        k.bitwiseXOR(lit(4095L)).as("bxor"),
+        shiftleft(pmod(k, lit(1024L)), 3).as("shl"),
+        shiftright(k, 2).as("shr"),
+        bit_count(k).cast("bigint").as("nbits"),
+        lower(hex(k)).as("hx"),
+        bit_and(k.bitwiseAND(lit(255L))).over(w).as("gand"),
+        bit_or(k.bitwiseAND(lit(255L))).over(w).as("gor"),
+        bit_xor(k.bitwiseAND(lit(255L))).over(w).as("gxor"))
+      .orderBy("k")
+  }
+
   def p23MapFuncs(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.events(s, d)
       .groupBy(col("user_id"), col("event_type"))
@@ -791,6 +817,7 @@ object OlapQueries {
     "a16_constraint_audit" -> (a16ConstraintAudit _),
     "a17_corr_matrix"    -> (a17CorrMatrix _),
     "a18_grouping_sets"  -> (a18GroupingSets _),
+    "p24_bitwise_funcs"  -> (p24BitwiseFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1124,6 +1151,23 @@ object OlapQueries {
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "p24_bitwise_funcs" ->
+      """SELECT o_orderkey AS k,
+        | o_orderkey & 255 AS band,
+        | o_orderkey | 15 AS bor,
+        | xor(o_orderkey, 4095) AS bxor,
+        | (o_orderkey % 1024) << 3 AS shl,
+        | o_orderkey >> 2 AS shr,
+        | CAST(bit_count(o_orderkey) AS BIGINT) AS nbits,
+        | lower(to_hex(o_orderkey)) AS hx,
+        | bit_and(o_orderkey & 255)
+        |   OVER (PARTITION BY o_orderkey % 7) AS gand,
+        | bit_or(o_orderkey & 255)
+        |   OVER (PARTITION BY o_orderkey % 7) AS gor,
+        | bit_xor(o_orderkey & 255)
+        |   OVER (PARTITION BY o_orderkey % 7) AS gxor
+        |FROM orders ORDER BY k""".stripMargin,
 
     "a18_grouping_sets" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
