@@ -36,27 +36,29 @@ object MisraGriesAgg {
 
   /** Trim a counter map to at most k entries by subtracting the
     * (k+1)-th largest count from every counter and dropping ≤0 — the
-    * MG decrement step, batched. */
-  private def trim(m: Map[String, Long], k: Int): Map[String, Long] =
+    * MG decrement step, batched. (Shared with the streaming twin,
+    * [[graft.streaming.StreamHeavyHitters]].) */
+  private[graft] def trim(m: Map[String, Long], k: Int): Map[String, Long] =
     if (m.size <= k) m
     else {
       val d = m.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse)(k)
       m.collect { case (key, c) if c > d => key -> (c - d) }
     }
 
+  /** One MG insertion into a ≤k-entry counter map. */
+  private[graft] def insert(m: Map[String, Long], k: Int, term: String): Map[String, Long] =
+    m.get(term) match {
+      case Some(c)            => m.updated(term, c + 1L)
+      case None if m.size < k => m.updated(term, 1L)
+      // full + miss: decrement all by 1, drop zeros (the new item's
+      // own +1 and -1 cancel, so it is never inserted)
+      case None => m.collect { case (key, c) if c > 1L => key -> (c - 1L) }
+    }
+
   private final class Agg(k: Int) extends Aggregator[String, MGBuf, MGResult] {
     def zero: MGBuf = MGBuf(0L, Map.empty)
-    def reduce(b: MGBuf, term: String): MGBuf = {
-      val m = b.counters
-      val m2 = m.get(term) match {
-        case Some(c)            => m.updated(term, c + 1L)
-        case None if m.size < k => m.updated(term, 1L)
-        // full + miss: decrement all by 1, drop zeros (the new item's
-        // own +1 and -1 cancel, so it is never inserted)
-        case None => m.collect { case (key, c) if c > 1L => key -> (c - 1L) }
-      }
-      MGBuf(b.total + 1L, m2)
-    }
+    def reduce(b: MGBuf, term: String): MGBuf =
+      MGBuf(b.total + 1L, insert(b.counters, k, term))
     def merge(a: MGBuf, b: MGBuf): MGBuf = {
       val summed = b.counters.foldLeft(a.counters) { case (m, (key, c)) =>
         m.updated(key, m.getOrElse(key, 0L) + c)
