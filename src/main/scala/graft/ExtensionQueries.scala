@@ -760,6 +760,26 @@ object ExtensionQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** X27 — containment (asymmetric) near-dup pairs: snippet docs (the
+    * first ⌈0.4·nwords⌉ words of every 20th document, the quote /
+    * boilerplate-wrapper shape) are planted in the corpus; the operator
+    * must find each snippet ≥90%-contained in its source even though
+    * their symmetric Jaccard is far below any dedup threshold. All
+    * thresholds and scores are exact integers; ⌈0.4n⌉ is the integer
+    * form (2n+4) div 5 so no engine ever touches 0.4 as a double. */
+  def x27ContainmentPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 2 + 4) div 5 as int)")
+    val snippets = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    Dedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text",
+        n = 3, thresholdPct = 90)
+      .orderBy("id_sub", "id_super")
+  }
+
   /** X26 — URL canonicalization + URL-level dedup: the first pass of a
     * web-crawl curation pipeline. Messy URL variants (scheme/host case,
     * explicit default ports, shuffled query-param order, utm_* tracking
@@ -1323,6 +1343,41 @@ object ExtensionQueries {
         |GROUP BY text ORDER BY doc_id_kept""".stripMargin,
 
     "x2_dedup_ngram_jaccard" -> jaccardPairsSql.replace("%THRESH%", "0.5"),
+
+    // x27: exact containment over the snippet-augmented corpus; same
+    // word/shingle CTE shape as the Jaccard oracle but with corpus =
+    // documents ∪ 40%-prefix snippets and a directed union of pairs
+    "x27_containment_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*2+4)//5 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM corpus)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |dir AS (
+        |  SELECT ida AS id_sub, idb AS id_super, c, sa.n AS nsub
+        |  FROM inter JOIN sizes sa ON sa.doc_id = ida
+        |  UNION ALL
+        |  SELECT idb, ida, c, sb.n FROM inter JOIN sizes sb ON sb.doc_id = idb)
+        |SELECT id_sub, id_super, CAST(c * 1000000 // nsub AS BIGINT) AS cont_ppm
+        |FROM dir WHERE c * 100 >= 90 * nsub
+        |ORDER BY id_sub, id_super""".stripMargin,
 
     "t5_edit_pairs" ->
       s"""SELECT p.ida, p.idb,
@@ -2025,6 +2080,7 @@ object ExtensionQueries {
     "x25_heavy_hitters"      -> (x25HeavyHitters _),
     "t12_tfidf_keywords"     -> (t12TfidfKeywords _),
     "x26_url_canonical"      -> (x26UrlCanonical _),
+    "x27_containment_pairs"  -> (x27ContainmentPairs _),
     "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),

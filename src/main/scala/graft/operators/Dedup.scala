@@ -123,6 +123,37 @@ object Dedup {
       prefixNgramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
     else countNgramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
 
+  /** Exact CONTAINMENT pairs — asymmetric near-dup: doc A is contained
+    * in doc B when |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ t.
+    * Catches what symmetric Jaccard structurally misses: a snippet
+    * quoted inside a much larger page has Jaccard ≈ |A|/|B| → 0 but
+    * containment ≈ 1 (the quote/boilerplate-wrapper case real corpus
+    * dedup needs). Candidates come from the same single co-shingle
+    * pair shuffle as the count-based Jaccard path (prefix filtering is
+    * unsound here: it prunes by SYMMETRIC overlap, and a tiny A inside
+    * a huge B would be pruned); both directions of each unordered pair
+    * are emitted map-side from one aggregated row, so the pair stage
+    * runs once. Threshold and score are all-integer (c·100 ≥ t%·|A|,
+    * score = ⌊c·10⁶/|A|⌋) — no double ratio, no rounding ties. The
+    * approximate scale path for higher reduction is MinHash
+    * containment sketches; exact-with-maxDocFreq is what ships here. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPct: Int = 90,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    coShinglePairs(df, idCol, textCol, n, maxDocFreq)
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("c"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(explode(array(
+        struct(col("ida").as("id_sub"), col("idb").as("id_super"),
+          col("c"), col("na").as("nsub")),
+        struct(col("idb").as("id_sub"), col("ida").as("id_super"),
+          col("c"), col("nb").as("nsub")))).as("e"))
+      .select(col("e.id_sub"), col("e.id_super"), col("e.c"), col("e.nsub"))
+      .filter(col("c") * 100 >= lit(thresholdPct) * col("nsub"))
+      .select(col("id_sub"), col("id_super"),
+        expr("c * 1000000 div nsub").as("cont_ppm"))
+
   /** Crossover point between the two exact strategies: the prefix
     * fraction is 1 − t (+1 shingle), so its candidate reduction
     * squares to ~9× at 0.7 and keeps growing, while below it the
