@@ -189,6 +189,32 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** W9 (extension) — value-picking window breadth: first_value /
+    * last_value / nth_value under explicit ROWS frames, plus a
+    * centered ±1 moving sum — the session-context shape ("what was
+    * this user's first/second/latest amount, and the local smoothing
+    * window"). last_value needs the explicit UNBOUNDED FOLLOWING frame
+    * (the default frame stops at CURRENT ROW and silently returns the
+    * current value — a classic window bug, pinned here against the
+    * oracle). Order key (t_us, event_id) is a total order, so every
+    * picked value is deterministic; one shuffle+sort per user serves
+    * all five windows (same partitioning + ordering). */
+  def w9ValueWindows(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val centered = w.rowsBetween(-1, 1)
+    ev.select(col("event_id"), col("user_id"), col("t_us"),
+        first(col("v")).over(full).cast("double").as("first_v"),
+        last(col("v")).over(full).cast("double").as("last_v"),
+        nth_value(col("v"), 2).over(full).cast("double").as("second_v"),
+        round(sum(col("v")).over(centered), 2).cast("double").as("smooth_sum"),
+        count(lit(1)).over(centered).as("n_centered"))
+      .orderBy("event_id")
+  }
+
   /** W8 (extension) — VALUE-based window frames (RANGE BETWEEN): per
     * user, the count and exact-decimal sum of events inside the
     * trailing one-hour interval of each event's timestamp — the
@@ -818,6 +844,7 @@ object OlapQueries {
     "a17_corr_matrix"    -> (a17CorrMatrix _),
     "a18_grouping_sets"  -> (a18GroupingSets _),
     "p24_bitwise_funcs"  -> (p24BitwiseFuncs _),
+    "w9_value_windows"   -> (w9ValueWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1250,6 +1277,22 @@ object OlapQueries {
         | COUNT(*) OVER (PARTITION BY user_id ORDER BY t_us, event_id
         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_win
         |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "w9_value_windows" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT event_id, user_id, t_us,
+        | CAST(FIRST_VALUE(v) OVER wf AS DOUBLE) AS first_v,
+        | CAST(LAST_VALUE(v) OVER wf AS DOUBLE) AS last_v,
+        | CAST(NTH_VALUE(v, 2) OVER wf AS DOUBLE) AS second_v,
+        | CAST(ROUND(SUM(v) OVER wc, 2) AS DOUBLE) AS smooth_sum,
+        | COUNT(*) OVER wc AS n_centered
+        |FROM ev WINDOW
+        | wf AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        | wc AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
         |ORDER BY event_id""".stripMargin,
 
     "w4_rank_family" ->
