@@ -760,6 +760,37 @@ object ExtensionQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** T13 — token-rarity quality signal: each document's mean corpus
+    * frequency share across its tokens (a unigram-LM surprisal proxy
+    * with NO logs — rarer vocabulary ⇒ lower mean share) plus its
+    * count of rare tokens (share < 0.5%). All integer: per-token
+    * share_ppm = ⌊cnt·10⁶/total⌋, per-doc mean = ⌊Σshare/n_tok⌋ —
+    * positive integer division everywhere, engine-portable, no
+    * rounding ties. Scale shape: one term-keyed shuffle builds the
+    * vocabulary counts, tokens re-join on term (vocabulary ≪ corpus,
+    * broadcastable in practice), total is a 1-row broadcast; there is
+    * deliberately NO corpus-wide rank window (that would be one task
+    * sorting the vocabulary) — share-of-total gives the same ordering
+    * signal shuffle-free. */
+  def t13TokenRarity(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val stats = tok.agg(count(lit(1)).as("total"))
+    tok.join(vocab, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        when(col("cnt") * 200 < col("total"), 1L).otherwise(0L).as("is_rare"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        expr("sum(share_ppm) div count(1)").as("mean_share_ppm"),
+        sum(col("is_rare")).as("n_rare"))
+      .orderBy("doc_id")
+  }
+
   /** X27 — containment (asymmetric) near-dup pairs: snippet docs (the
     * first ⌈0.4·nwords⌉ words of every 20th document, the quote /
     * boilerplate-wrapper shape) are planted in the corpus; the operator
@@ -1883,6 +1914,23 @@ object ExtensionQueries {
         |SELECT doc_id, rank, term, tf, score_micro FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    "t13_token_rarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
+        |    AS term FROM documents),
+        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |vocab AS (SELECT term, COUNT(*) AS cnt FROM tokf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS total FROM tokf),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(v.cnt * 1000000 // n.total AS BIGINT) AS share_ppm,
+        |    CASE WHEN v.cnt * 200 < n.total THEN 1 ELSE 0 END AS is_rare
+        |  FROM tokf t JOIN vocab v USING (term) CROSS JOIN n)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        | CAST(SUM(share_ppm) // COUNT(*) AS BIGINT) AS mean_share_ppm,
+        | CAST(SUM(is_rare) AS BIGINT) AS n_rare
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // x26: the oracle never parses anything — it states the canonical
     // URL straight from the key arithmetic; Spark must recover the
     // identical string from the messy variant
@@ -2081,6 +2129,7 @@ object ExtensionQueries {
     "t12_tfidf_keywords"     -> (t12TfidfKeywords _),
     "x26_url_canonical"      -> (x26UrlCanonical _),
     "x27_containment_pairs"  -> (x27ContainmentPairs _),
+    "t13_token_rarity"       -> (t13TokenRarity _),
     "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),

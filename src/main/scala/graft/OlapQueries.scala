@@ -189,6 +189,29 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** W10 (extension) — DISTINCT aggregation inside a window frame:
+    * "how many distinct event types has this user produced in their
+    * trailing 10 events" — the per-entity behavioral-diversity signal.
+    * Spark has no `count(DISTINCT …) OVER`; the exact rewrite is
+    * size(array_distinct(collect_list(…) over frame)), whose state is
+    * bounded BY THE FRAME (10 rows here), so per-row cost is O(frame),
+    * not O(partition) — safe at any scale as long as the frame is
+    * bounded (an unbounded-preceding distinct would need the
+    * dense_rank-over-first-occurrence rewrite instead, noted here for
+    * the record). DuckDB runs the native COUNT(DISTINCT) OVER as the
+    * oracle, pinning the rewrite's semantics. */
+  def w10WindowDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsUs(s, d)
+      .select(col("event_id"), col("user_id"), col("t_us"), col("event_type"))
+    val trail = Window.partitionBy("user_id")
+      .orderBy(col("t_us"), col("event_id")).rowsBetween(-9, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("t_us"),
+        size(array_distinct(collect_list(col("event_type")).over(trail)))
+          .cast("bigint").as("n_distinct_types"),
+        count(lit(1)).over(trail).as("n_trail"))
+      .orderBy("event_id")
+  }
+
   /** W9 (extension) — value-picking window breadth: first_value /
     * last_value / nth_value under explicit ROWS frames, plus a
     * centered ±1 moving sum — the session-context shape ("what was
@@ -845,6 +868,7 @@ object OlapQueries {
     "a18_grouping_sets"  -> (a18GroupingSets _),
     "p24_bitwise_funcs"  -> (p24BitwiseFuncs _),
     "w9_value_windows"   -> (w9ValueWindows _),
+    "w10_window_distinct" -> (w10WindowDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1293,6 +1317,16 @@ object OlapQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
         | wc AS (PARTITION BY user_id ORDER BY t_us, event_id
         |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "w10_window_distinct" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |  event_type FROM events)
+        |SELECT event_id, user_id, t_us,
+        | CAST(COUNT(DISTINCT event_type) OVER wt AS BIGINT) AS n_distinct_types,
+        | COUNT(*) OVER wt AS n_trail
+        |FROM ev WINDOW wt AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "w4_rank_family" ->

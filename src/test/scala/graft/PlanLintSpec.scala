@@ -23,7 +23,8 @@ class PlanLintSpec extends SparkTestBase {
     "x25_heavy_hitters",   // Misra-Gries merge: one row, O(k) state, broadcast
     "t12_tfidf_keywords",  // corpus doc count N: one row, broadcast
     "a16_constraint_audit", // per-table audit aggregates: one row each
-    "a17_corr_matrix")     // 14 exact moments: one row, unpivoted to 6 pairs
+    "a17_corr_matrix",     // 14 exact moments: one row, unpivoted to 6 pairs
+    "t13_token_rarity")    // corpus token total: one row, broadcast
 
   test("no query plans a cartesian product or an unbounded single-partition stage") {
     val d = "/root/testdata/sf0.001"
