@@ -47,6 +47,41 @@ object SourceQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** S18 — gzip-transparent CSV (the reference's `.csv.gz` stage
+    * pattern, ref BlueForty.py:78-116 `PATTERN=>'.*\.(csv|csv.gz)$'`):
+    * write orders as gzip-compressed CSV (one .csv.gz file per task),
+    * read the directory back with codec auto-detection (extension
+    * sniffing — no option needed on read), and aggregate. Gzip is NOT
+    * splittable: at 100 TB each .gz file is one read task, so the
+    * writer's parallelism fixes the reader's — the repartition(8) here
+    * is the knob that matters (many medium files beat one giant
+    * unsplittable stream; production would use bzip2/zstd-in-parquet
+    * for splittable compression). The oracle recomputes from the base
+    * table, so a hash match proves the compressed roundtrip lossless. */
+  def s18GzipCsv(s: SparkSession, d: String): DataFrame = {
+    import CsvIngest._
+    val dir = tmpDir("graft_csv_gz")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .repartition(8)
+      .write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(dir)
+    val raw = readPositional(s, dir)
+    raw.select(
+        pos(1).try_cast("bigint").as("o_orderkey"),
+        pos(2).as("o_orderstatus"),
+        pos(3).try_cast("decimal(18,4)").as("price"),
+        try_to_date(pos(4)).as("o_date"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")), 2).cast("double").as("sum_price"),
+        count_distinct(col("o_date")).as("n_dates"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
   /** S6/S7/S13/P19 — XML shredding at corpus scale: synthesize one XML
     * document per order-group (deterministic fragment order via
     * sort_array), shred through the scala-xml generator with posexplode

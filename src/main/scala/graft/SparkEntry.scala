@@ -45,6 +45,7 @@ object SparkEntry {
     "s16_orc_roundtrip"   -> (SourceQueries.s16OrcRoundtrip _),
     "v1_variant_shred"    -> (SourceQueries.v1VariantShred _),
     "s17_zorder_layout"   -> (SourceQueries.s17ZorderLayout _),
+    "s18_gzip_csv"        -> (SourceQueries.s18GzipCsv _),
   ) ++ ExtensionQueries.queries ++ OlapQueries.queries
 
   /** Spec-verified queries timed by Bench but excluded from the driver's
@@ -316,6 +317,14 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n,
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "s18_gzip_csv" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates,
+        | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "s11_ctas_insert_view" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

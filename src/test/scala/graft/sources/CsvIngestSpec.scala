@@ -68,6 +68,18 @@ class CsvIngestSpec extends SparkTestBase {
     assert(df.orderBy(CsvIngest.pos(1)).collect()(1).getString(1) === "b")
   }
 
+  test("write with compression=gzip emits .csv.gz parts that read back (s18)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csvgzw").toString + "/out"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.option("header", "true").option("compression", "gzip").csv(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".csv.gz")),
+      parts.map(_.getName).mkString(","))
+    assert(CsvIngest.readPositional(spark, dir).count() === 3)
+  }
+
   test("per-file headers are skipped across a multi-file glob") {
     val dir = Files.createTempDirectory("graft_csvmulti")
     Files.writeString(dir.resolve("a.csv"), "h1,h2\n1,x\n")
