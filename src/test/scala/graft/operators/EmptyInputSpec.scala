@@ -54,6 +54,21 @@ class EmptyInputSpec extends SparkTestBase {
       z.schema("z").dataType === org.apache.spark.sql.types.LongType)
   }
 
+  test("containment, heavy hitters, URL canonicalization on empty input") {
+    assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() === 0)
+    // a global typed aggregate over zero rows still yields its zero
+    // state: total 0, no candidates
+    val mg = noDocs.select(col("text"))
+      .agg(graft.functions.MisraGriesAgg.misraGries(8)(col("text")).as("st"))
+      .select(col("st.total"), col("st.keys"))
+      .as[(Long, Seq[String])].head()
+    assert(mg === ((0L, Seq.empty[String])))
+    val noUrls = Seq.empty[String].toDF("url")
+    val c = noUrls.select(graft.functions.UrlFunctions.canonicalUrl(col("url")).as("c"))
+    assert(c.count() === 0 &&
+      c.schema("c").dataType === org.apache.spark.sql.types.StringType)
+  }
+
   test("top-per-key and sessionization on empty input") {
     val noLi = Seq.empty[(Long, Int, Double)]
       .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
