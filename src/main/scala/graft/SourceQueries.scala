@@ -373,7 +373,20 @@ object SourceQueries {
       array(length(col("event_type")).cast("bigint"),
         pmod(col("user_id"), lit(7)).cast("bigint")).as("tags")))
     Tables.events(s, d)
-      .select(col("event_id"), parse_json(doc).as("v"))
+      // ORDER BY runs on the narrow scan, BEFORE the expensive
+      // json→variant work: a global sort's range-partition sampling
+      // re-executes its child, and below-sort projections are paid
+      // again on the real pass — sorting first keeps the sampled
+      // subtree to the raw columns (row order survives the later
+      // per-row projections)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .orderBy("event_id")
+      // generator barrier: CollapseProject would otherwise inline the
+      // aliased parse_json into all seven variant_get consumers (7
+      // parses per row); projections do not collapse through a
+      // Generate, so the parse runs once
+      .select(col("event_id"), explode(array(parse_json(doc))).as("v"))
       .select(
         col("event_id"),
         variant_get(col("v"), "$.type", "string").as("etype"),
@@ -383,6 +396,8 @@ object SourceQueries {
         variant_get(col("v"), "$.tags[1]", "bigint").as("user_mod7"),
         try_variant_get(col("v"), "$.metrics.absent", "bigint").as("absent"),
         try_variant_get(col("v"), "$.type", "bigint").as("type_as_num"))
-      .orderBy("event_id")
+      // deterministic order comes from the pre-projection sort above
+      // (EliminateSorts would keep only a TRAILING sort and re-plan the
+      // expensive subtree below it — exactly the shape being avoided)
   }
 }
