@@ -760,6 +760,30 @@ object ExtensionQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** X28 — per-domain crawl budget: the composition a web-curation
+    * pipeline actually runs — canonicalize URLs (x26), then admit at
+    * most K=50 canonical URLs per registered domain in deterministic
+    * minstd order (reproducible "which pages does this domain get to
+    * keep" selection, same admit-order machinery as the x20 token
+    * budget). The per-domain rank window is the inherent cost of any
+    * per-domain cap; a skew domain (a crawler trap) bounds at its URL
+    * count, and the admit order being a hash (not crawl order) keeps
+    * the kept set stable across recrawls. */
+  def x28DomainBudget(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("reg_domain")
+      .orderBy(graft.operators.Sampling.minstdHash(col("min_key")),
+        col("canonical_url"))
+    x26UrlCanonical(s, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("reg_domain")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("rn") <= 50, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("rn") <= 50, col("n_raw")).otherwise(lit(0L)))
+          .as("admitted_raw"),
+        sum(col("n_raw")).as("total_raw"))
+      .orderBy("reg_domain")
+  }
+
   /** T13 — token-rarity quality signal: each document's mean corpus
     * frequency share across its tokens (a unigram-LM surprisal proxy
     * with NO logs — rarer vocabulary ⇒ lower mean share) plus its
@@ -1914,6 +1938,32 @@ object ExtensionQueries {
         |SELECT doc_id, rank, term, tf, score_micro FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // x28: clean-room canonical construction (as x26) → per-domain
+    // minstd-ordered rank → 50-URL cap
+    "x28_domain_budget" ->
+      """WITH c AS (
+        |  SELECT o_orderkey AS k,
+        |    (CASE WHEN o_orderkey % 4 >= 2 THEN 'https' ELSE 'http' END)
+        |      || '://www.example' || CAST(o_orderkey % 7 AS VARCHAR)
+        |      || '.com/catalog/item-' || CAST(o_orderkey % 13 AS VARCHAR)
+        |      || '?id=' || CAST(o_orderkey % 11 AS VARCHAR) || '&ref=mail'
+        |      AS canonical_url,
+        |    'example' || CAST(o_orderkey % 7 AS VARCHAR) || '.com'
+        |      AS reg_domain
+        |  FROM orders),
+        |g AS (SELECT canonical_url, reg_domain, COUNT(*) AS n_raw,
+        |        MIN(k) AS min_key
+        |      FROM c GROUP BY canonical_url, reg_domain),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY reg_domain
+        |          ORDER BY (min_key * 48271) % 2147483647, canonical_url) AS rn
+        |      FROM g)
+        |SELECT reg_domain, COUNT(*) AS n_urls,
+        | CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        | CAST(SUM(CASE WHEN rn <= 50 THEN n_raw ELSE 0 END) AS BIGINT) AS admitted_raw,
+        | CAST(SUM(n_raw) AS BIGINT) AS total_raw
+        |FROM r GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+
     "t13_token_rarity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
@@ -2130,6 +2180,7 @@ object ExtensionQueries {
     "x26_url_canonical"      -> (x26UrlCanonical _),
     "x27_containment_pairs"  -> (x27ContainmentPairs _),
     "t13_token_rarity"       -> (t13TokenRarity _),
+    "x28_domain_budget"      -> (x28DomainBudget _),
     "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),
