@@ -53,10 +53,17 @@ object Bench {
       val b = if (a >= 0) timed(name) else -1.0
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal times keep the per-query line ~3 KB (full-precision
+    // doubles once overflowed the driver's stdout capture window and
+    // the round's perf signal was lost); the compact total-only line
+    // goes FIRST so a parseable record survives any tail clipping.
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nOk,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -761,26 +761,37 @@ object ExtensionQueries {
   }
 
   /** X28 — per-domain crawl budget: the composition a web-curation
-    * pipeline actually runs — canonicalize URLs (x26), then admit at
-    * most K=50 canonical URLs per registered domain in deterministic
-    * minstd order (reproducible "which pages does this domain get to
-    * keep" selection, same admit-order machinery as the x20 token
-    * budget). The per-domain rank window is the inherent cost of any
-    * per-domain cap; a skew domain (a crawler trap) bounds at its URL
-    * count, and the admit order being a hash (not crawl order) keeps
+    * pipeline actually runs — canonicalize URLs (x26's core, without
+    * its presentation sort), then admit at most K=50 canonical URLs
+    * per registered domain in deterministic minstd order (reproducible
+    * "which pages does this domain get to keep" selection, same
+    * admit-order machinery as the x20 token budget).
+    *
+    * Scale shape: the admit decision is a `rn <= 50` FILTER directly
+    * over the rank window, which InferWindowGroupLimit turns into a
+    * WindowGroupLimit — each map task keeps at most 50 rows per domain
+    * BEFORE the reg_domain exchange, so a crawler-trap mega-domain
+    * (half of any real crawl) never funnels its whole URL set through
+    * one reducer's sort. Per-domain totals come from a plain groupBy
+    * joined back (AQE reuses the canonical-URL exchange for both
+    * branches). The admit order being a hash (not crawl order) keeps
     * the kept set stable across recrawls. */
   def x28DomainBudget(s: SparkSession, d: String): DataFrame = {
+    val core = x26Core(s, d)
     val w = Window.partitionBy("reg_domain")
       .orderBy(graft.operators.Sampling.minstdHash(col("min_key")),
         col("canonical_url"))
-    x26UrlCanonical(s, d)
+    val admitted = core
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
       .groupBy("reg_domain")
-      .agg(count(lit(1)).as("n_urls"),
-        sum(when(col("rn") <= 50, 1L).otherwise(0L)).as("n_admitted"),
-        sum(when(col("rn") <= 50, col("n_raw")).otherwise(lit(0L)))
-          .as("admitted_raw"),
-        sum(col("n_raw")).as("total_raw"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("n_raw")).as("admitted_raw"))
+    val totals = core.groupBy("reg_domain")
+      .agg(count(lit(1)).as("n_urls"), sum(col("n_raw")).as("total_raw"))
+    totals.join(admitted, Seq("reg_domain"))
+      .select(col("reg_domain"), col("n_urls"), col("n_admitted"),
+        col("admitted_raw"), col("total_raw"))
       .orderBy("reg_domain")
   }
 
@@ -845,7 +856,14 @@ object ExtensionQueries {
     * arithmetic (clean-room ground truth) and a hash match proves the
     * parser actually recovers it from the messy string. Map-only until
     * the final group-by-canonical (the dedup shuffle itself). */
-  def x26UrlCanonical(s: SparkSession, d: String): DataFrame = {
+  def x26UrlCanonical(s: SparkSession, d: String): DataFrame =
+    x26Core(s, d).orderBy("canonical_url")
+
+  /** The pre-sort core of x26 — shared with x28 so downstream
+    * compositions don't inherit the standalone query's global ORDER BY
+    * (whose range-partition sampling would re-execute the URL-parse
+    * subtree; see the sort-placement trap in CLAUDE.md). */
+  private def x26Core(s: SparkSession, d: String): DataFrame = {
     import graft.functions.UrlFunctions._
     val k = col("o_orderkey")
     val scheme = element_at(
@@ -873,7 +891,6 @@ object ExtensionQueries {
         registeredDomain(urlHost(col("url"))).as("reg_domain"))
       .groupBy("canonical_url", "reg_domain")
       .agg(count(lit(1)).as("n_raw"), min(col("k")).as("min_key"))
-      .orderBy("canonical_url")
   }
 
   /** Keep-best-of-cluster — the dedup finale real pipelines run
@@ -898,11 +915,15 @@ object ExtensionQueries {
       .groupBy("doc_id").agg(sum(col("wm")).as("sum_milli"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("sum_milli").desc, col("doc_id").asc)
+    // n_members via a plain groupBy, NOT a count(*) over the same
+    // window partition — an unbounded windowed count alongside the
+    // row_number would block WindowGroupLimit from pruning the top-1
+    val members = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
     clusters.join(quality, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
       .filter(col("rn") === 1)
+      .join(members, Seq("cluster_id"))
       .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
         col("sum_milli").as("kept_quality_milli"), col("n_members"))
       .orderBy("cluster_id")

@@ -400,4 +400,58 @@ object SourceQueries {
       // (EliminateSorts would keep only a TRAILING sort and re-plan the
       // expensive subtree below it — exactly the shape being avoided)
   }
+
+  /** V2 (extension) — LATERAL FLATTEN over an ARRAY inside a VARIANT:
+    * the JSON-side flatten a Snowflake migrator runs daily
+    * (BlueForty.py:179-201 is the XML analog covered by s7; v1 covers
+    * typed scalar paths). Each event carries a 1–3 element `items`
+    * array in its VARIANT doc; `variant_explode` shreds it to one row
+    * per element with the ordinal (`pos`) and the element VARIANT, and
+    * typed extraction + the TRY_ family run per element — `key` is
+    * null for array mode (vs object mode), `try_variant_get` nulls on
+    * both a failed cast and a missing path. The doc is synthesized
+    * from base columns with codegen'd concat (no HOF, no per-row
+    * interpreter), so the oracle restates every element straight from
+    * the same key arithmetic and a hash match proves the whole
+    * JSON→VARIANT→explode→typed-path chain. Map-only, same
+    * sort-before-project shape as v1 (Generate preserves row order, so
+    * the narrow pre-sort survives both projections and the explode). */
+  def v2VariantFlatten(s: SparkSession, d: String): DataFrame = {
+    def codeOf(i: Int) =
+      pmod(pmod(col("event_id"), lit(1000)) * 7 + lit(i * 13), lit(1000))
+    def elem(i: Int) = concat(
+      lit("{\"idx\":" + i + ",\"code\":"), codeOf(i).cast("string"),
+      lit(",\"name\":\""), col("event_type"), lit("-" + i + "\"}"))
+    val doc = concat(
+      lit("{\"id\":"), col("event_id").cast("string"), lit(",\"items\":["),
+      elem(0),
+      when(pmod(col("user_id"), lit(3)) >= 1, concat(lit(","), elem(1)))
+        .otherwise(lit("")),
+      when(pmod(col("user_id"), lit(3)) >= 2, concat(lit(","), elem(2)))
+        .otherwise(lit("")),
+      lit("]}"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+      // generator barrier (as v1): one parse_json per row, not one per
+      // downstream consumer
+      .select(col("event_id"), explode(array(parse_json(doc))).as("v"))
+      .select(col("event_id"), {
+        // variant_explode lives in the TableFunctionRegistry (SQL
+        // LATERAL position) — build the Generator directly for the
+        // DataFrame path, as functions.explode does for arrays
+        import org.apache.spark.sql.graft.ColumnShim
+        ColumnShim.column(
+          new org.apache.spark.sql.catalyst.expressions.variant.VariantExplode(
+            ColumnShim.expression(expr("variant_get(v, '$.items')"))))
+      })
+      .select(col("event_id"),
+        col("pos").cast("bigint").as("ord"),
+        col("key").as("elem_key"),
+        variant_get(col("value"), "$.idx", "bigint").as("idx"),
+        variant_get(col("value"), "$.code", "bigint").as("code"),
+        variant_get(col("value"), "$.name", "string").as("name"),
+        try_variant_get(col("value"), "$.name", "bigint").as("name_as_num"),
+        try_variant_get(col("value"), "$.missing", "string").as("absent"))
+  }
 }

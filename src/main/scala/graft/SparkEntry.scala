@@ -44,6 +44,7 @@ object SparkEntry {
     "s15_jsonl_roundtrip" -> (SourceQueries.s15JsonlRoundtrip _),
     "s16_orc_roundtrip"   -> (SourceQueries.s16OrcRoundtrip _),
     "v1_variant_shred"    -> (SourceQueries.v1VariantShred _),
+    "v2_variant_flatten"  -> (SourceQueries.v2VariantFlatten _),
     "s17_zorder_layout"   -> (SourceQueries.s17ZorderLayout _),
     "s18_gzip_csv"        -> (SourceQueries.s18GzipCsv _),
   ) ++ ExtensionQueries.queries ++ OlapQueries.queries
@@ -312,6 +313,25 @@ object SparkEntry {
         | CAST(NULL AS BIGINT) AS absent,
         | CAST(NULL AS BIGINT) AS type_as_num
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // v2: oracle restates every array element from the same base-column
+    // key arithmetic — one row per (event, ordinal), elem_key null in
+    // array mode, try_ columns null (string→bigint cast fail; missing
+    // path). unnest(generate_series) is DuckDB's lateral-flatten twin.
+    "v2_variant_flatten" ->
+      """WITH f AS (
+        | SELECT event_id, event_type,
+        |  unnest(generate_series(0, CAST(user_id % 3 AS BIGINT))) AS i
+        | FROM events)
+        |SELECT event_id,
+        | CAST(i AS BIGINT) AS ord,
+        | CAST(NULL AS VARCHAR) AS elem_key,
+        | CAST(i AS BIGINT) AS idx,
+        | CAST(((event_id % 1000) * 7 + i * 13) % 1000 AS BIGINT) AS code,
+        | event_type || '-' || CAST(i AS VARCHAR) AS name,
+        | CAST(NULL AS BIGINT) AS name_as_num,
+        | CAST(NULL AS VARCHAR) AS absent
+        |FROM f ORDER BY event_id, ord""".stripMargin,
 
     "s16_orc_roundtrip" ->
       """SELECT source, COUNT(*) AS n,

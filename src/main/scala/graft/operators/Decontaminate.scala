@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   *     between shuffling the corpus and shuffling a rounding error.
   *
   * The gram stream rides the native codegen'd shingle hasher
-  * (WordShingleHashes) in both paths; the Bloom probe is the one
-  * deliberate UDF — a long→boolean sketch lookup with no codegen
-  * equivalent, placed after the scan so it only gates the explode.
+  * (WordShingleHashes) in both paths; the Bloom probe is Spark's own
+  * `might_contain` (BloomFilterMightContain) over a binary-literal
+  * sketch — fully codegen'd, no UDF anywhere in the path.
   */
 object Decontaminate {
 
@@ -53,19 +53,29 @@ object Decontaminate {
   def overlapCountsBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", n: Int = 13,
       expectedGrams: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
-    val spark = corpus.sparkSession
     // grams is evaluated twice (bloom build job + verify join); a
     // production pipeline persists or checkpoints it between the two —
     // not done here because the returned plan is lazy and an eager
     // unpersist would silently drop the cache before the query runs.
     val grams = benchGrams(bench, textCol, n)
     val bf = grams.stat.bloomFilter("h", expectedGrams, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    // probe through the native BloomFilterMightContain expression (a
+    // codegen'd bitset test) rather than a boxed long→boolean UDF: the
+    // sketch rides the plan as a foldable binary literal, so every
+    // task gets it with its closure — same distribution cost as a
+    // broadcast, none of the per-row UDF boxing on the gram stream
+    val sketchBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
     corpus.select(col(idCol),
         explode(TextAnalysis.wordShingleHashesNative(col(textCol), n))
           .as("h"))
-      .filter(mightContain(col("h")))
+      .filter(org.apache.spark.sql.graft.ColumnShim.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.graft.ColumnShim.expression(lit(sketchBytes)),
+          org.apache.spark.sql.graft.ColumnShim.expression(col("h")))))
       .join(grams.hint("shuffle_hash"), Seq("h"))
       .groupBy(idCol)
       .agg(countDistinct(col("h")).as("n_shared_grams"))

@@ -39,4 +39,19 @@ class PlanLintSpec extends SparkTestBase {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  // Queries whose per-key admit/top-k decision MUST stay a
+  // WindowGroupLimit (map-side bound on rows per partition key) — a
+  // refactor that consumes the rank inside an aggregate instead of a
+  // filter silently reverts to one reducer sorting a whole hot key.
+  test("per-key cap queries keep their WindowGroupLimit bound") {
+    val d = "/root/testdata/sf0.001"
+    for (name <- Seq("x28_domain_budget", "t12_tfidf_keywords",
+        "x17_cluster_canonical", "w1_top1_per_key")) {
+      val plan = SparkEntry.queries(name)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: expected a WindowGroupLimit in the physical plan")
+    }
+  }
 }
