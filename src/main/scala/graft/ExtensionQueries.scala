@@ -301,6 +301,48 @@ object ExtensionQueries {
       .orderBy("ida", "idb")
   }
 
+  /** The PRODUCTION ANN path, benched as itself: multi-table LSH with
+    * the native codegen'd cosine rerank (no per-dimension explode, no
+    * decimal relational layout — the shape that runs at 100 TB). x5b
+    * holds these candidates to x5's exact oracle through the decimal
+    * rerank; this twin exists so the driver's bench times the fused
+    * float loop, not the oracle-parity form. Same fixture contract as
+    * x5/x5b (8 query vectors, top-10); NativeTwinSpec pins its answer
+    * set to x5b's and its cosines to the decimal path within 2e-6
+    * (DECIMAL(9,6) quantization bound), which is why it is benchOnly —
+    * the float-vs-quantized cosine differs in the 6th decimal, so no
+    * bit-identical SQL oracle can exist. */
+  def x5nAnnLshNative(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Similarity.lshTopKMulti(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", dim = 64, k = 10, nPlanes = 4, nTables = 16,
+        multiProbe = true)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** The production embedding near-dup path benched as itself:
+    * hyperplane-LSH bucketing + native cosine rerank at the 0.99
+    * threshold over x6's originals ∪ perturbed-copies corpus — x6b
+    * proves this candidate generator exact via the decimal rerank;
+    * this twin times the fused float scoring (benchOnly for the same
+    * 6th-decimal reason as x5n; NativeTwinSpec pins the pair set). */
+  def x6nNearDupNative(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+    val all = base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .union(copies)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    Similarity.lshNearDupPairs(all, "vec_id", "embedding",
+        dim = 64, threshold = 0.99, nPlanes = 12, multiProbe = true)
+      .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos"))
+      .orderBy("ida", "idb")
+  }
+
   /** Deterministic sampling: a 10% hash-mod cut of the corpus, then a
     * per-language stratified cap of 20 docs — both keyed on the row
     * (engine-portable arithmetic hash), so the oracle picks the exact
@@ -725,6 +767,41 @@ object ExtensionQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** ST6's batch twin — union-of-shards Misra-Gries heavy hitters,
+    * driver-visible: terms hash-shard into 4 groups, each shard folds
+    * its own MG(64) sketch (exactly the per-shard state
+    * [[graft.streaming.StreamHeavyHitters]] maintains across
+    * micro-batches), the shard candidate sets union, and the exact
+    * broadcast recount applies the 2% threshold. A term lives in one
+    * shard, so its undercount is ≤ shardTotal/(k+1) ≤ total/65 <
+    * total/50 — the union provably contains every true heavy hitter,
+    * which is why this query can share x25's oracle VERBATIM: the
+    * sharded sketch (streaming state layout) and the single-sketch
+    * batch pass must admit the same final set. The 4-row shard sketch
+    * merges through one single-row agg (whitelisted SinglePartition:
+    * O(shards·k) state) so the sketch subtree evaluates once and
+    * candidates carry the exact global total, as x25. */
+  def st6HeavyHittersBatch(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.wide(Tables.documents(s, d))
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val mg = graft.functions.MisraGriesAgg.misraGries(64)
+    val sharded = tok
+      .withColumn("shard", pmod(xxhash64(col("term")), lit(4)))
+      .groupBy("shard").agg(mg(col("term")).as("st"))
+    val sketch = sharded
+      .agg(sum(col("st.total")).as("total"),
+        flatten(collect_list(col("st.keys"))).as("keys"))
+      .select(col("total"),
+        explode(array_distinct(col("keys"))).as("term"))
+    tok.join(broadcast(sketch), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"), max(col("total")).as("total"))
+      .filter(col("cnt") * 50 >= col("total"))
+      .select(col("term"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** T12 — top-3 TF-IDF keywords per document: the keyword-extraction
     * shape (topic tagging, index-term selection, per-doc metadata
     * enrichment) over the corpus. Rational idf = N/df with no log and
@@ -1094,6 +1171,44 @@ object ExtensionQueries {
       .orderBy("cluster_id")
   }
 
+  /** x22's PRODUCTION assignment path benched as itself: centroids as
+    * whole broadcast arrays, scoring through the native codegen'd
+    * cosine — n·K fused float loops instead of the relational
+    * O(n·K·dim) exploded join the oracle form pays. The cap stage is
+    * byte-identical to x22 (integer minstd admit order), so once the
+    * per-vector argmax agrees the whole output is integer-equal; the
+    * argmax from float cosines can flip only when a vector's top two
+    * centroids sit within the DECIMAL(9,6) quantization bound (~2e-6),
+    * so the twin is benchOnly and NativeTwinSpec asserts output
+    * equality against x22 on the fixture corpus rather than betting a
+    * driver oracle row on no near-tie ever appearing. */
+  def x22bTopicBalanceNative(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.wide(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("_cv"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        round(Similarity.cosine(col("embedding"), col("_cv")), 6).as("cos"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster_id"))
+    val wCap = Window.partitionBy("cluster_id")
+      .orderBy(Sampling.minstdHash(col("vec_id")), col("vec_id"))
+    assigned.withColumn("pos", row_number().over(wCap))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("pos") * 2 <= col("n_members"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("pos") * 2 <= col("n_members"), col("vec_id"))
+          .otherwise(0L)).as("kept_id_sum"))
+      .orderBy("cluster_id")
+  }
+
   /** Record-linkage name matching — Jaro-Winkler scoring (native
     * codegen'd expression, DuckDB-pinned semantics) over the DISTINCT
     * name vocabulary with first-token blocking: the classic
@@ -1103,18 +1218,48 @@ object ExtensionQueries {
     * transposition-aware scoring on the survivors. Complements t5's
     * levenshtein (edit count) with the similarity measure linkage
     * pipelines actually rank by. */
-  def t10NameMatch(s: SparkSession, d: String): DataFrame = {
-    val names = Tables.part(s, d).select(col("p_name")).distinct()
+  def t10NameMatch(s: SparkSession, d: String): DataFrame =
+    t10Pairs(Tables.part(s, d).select(col("p_name")), windowed = true)
+      .orderBy("name_a", "name_b")
+
+  /** t10's blocked pair generator, shared with the TimeOne stress
+    * fixtures. `windowed = true` is the shipped blocking —
+    * sorted-neighborhood within first-token blocks (Hernández-Stolfo):
+    * names rank alphabetically per block and each name pairs only with
+    * its next w=8 neighbors, generated by exploding the rank range and
+    * equi-joining on (blk, rn) — so candidate pairs are ≤ w·n BY
+    * CONSTRUCTION, linear in the vocabulary, where the plain
+    * single-key block join grows quadratically (TPC-H first tokens are
+    * ~90 colors; every corpus 10× grows those blocks 10×). Alphabetic
+    * neighbors are exactly the shared-prefix pairs Jaro-Winkler
+    * up-weights, which is why this is the standard linkage blocking.
+    * The per-block rank window is a sort, not a pairing — O(b log b)
+    * against the O(b²) it replaces. `windowed = false` keeps the
+    * all-pairs single-key shape for measurement (t10stress_single). */
+  def t10Pairs(nameRows: DataFrame, windowed: Boolean,
+      w: Int = 8): DataFrame = {
+    val names = nameRows.select(col("p_name")).distinct()
       .withColumn("blk", split(col("p_name"), " ").getItem(0))
-    val a = names.select(col("blk"), col("p_name").as("name_a"))
-    val b = names.select(col("blk"), col("p_name").as("name_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("name_a") < col("name_b"))
+    val pairs = if (windowed) {
+      val ranked = names.withColumn("rn",
+        row_number().over(Window.partitionBy("blk").orderBy("p_name")))
+      // rank order IS alphabetical order, so name_a < name_b holds by
+      // construction (rn_b > rn_a)
+      val probes = ranked.select(col("blk"), col("p_name").as("name_a"),
+        explode(sequence(col("rn") + 1, col("rn") + w)).as("rn"))
+      probes.join(
+        ranked.select(col("blk"), col("p_name").as("name_b"), col("rn")),
+        Seq("blk", "rn"))
+    } else {
+      names.select(col("blk"), col("p_name").as("name_a"))
+        .join(names.select(col("blk"), col("p_name").as("name_b")), Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+    }
+    pairs
       .withColumn("sim",
         round(TextAnalysis.jaroWinkler(col("name_a"), col("name_b")), 6))
       .filter(col("sim") >= 0.5)
       .select(col("name_a"), col("name_b"), col("sim"))
-      .orderBy("name_a", "name_b")
   }
 
   // ---------------------------------------------------- multimodal
@@ -1402,12 +1547,20 @@ object ExtensionQueries {
         |   AS kept_id_sum
         |FROM capped GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
+    // sorted-neighborhood (w=8) within first-token blocks, restated
+    // identically — the window is part of the declared blocking
+    // strategy; fixture blocks hold exactly 8 names, so at oracle
+    // scale this returns the same rows as the all-pairs block join
     "t10_name_match" ->
       """WITH n AS (SELECT DISTINCT p_name,
-        |             string_split(p_name, ' ')[1] AS blk FROM part)
+        |             string_split(p_name, ' ')[1] AS blk FROM part),
+        |r AS (SELECT p_name, blk,
+        |        ROW_NUMBER() OVER (PARTITION BY blk ORDER BY p_name) AS rn
+        |      FROM n)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         | ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
-        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |FROM r a JOIN r b ON a.blk = b.blk
+        |                 AND b.rn > a.rn AND b.rn <= a.rn + 8
         |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.5
         |ORDER BY name_a, name_b""".stripMargin,
 
@@ -1936,6 +2089,22 @@ object ExtensionQueries {
         |FROM c, n WHERE c.cnt * 50 >= n.total
         |ORDER BY c.cnt DESC, c.term""".stripMargin,
 
+    // st6 shares x25's oracle verbatim: the union of per-shard MG(64)
+    // candidate sets (the streaming state layout) must admit exactly
+    // the single-sketch batch answer after the exact recount —
+    // undercount ≤ total/65 < threshold total/50 guarantees recall.
+    "st6_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |  FROM documents),
+        |t AS (SELECT term FROM tok WHERE term <> ''),
+        |n AS (SELECT COUNT(*) AS total FROM t),
+        |c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
+        |SELECT c.term, c.cnt,
+        |       CAST(c.cnt * 1000000 // n.total AS BIGINT) AS share_ppm
+        |FROM c, n WHERE c.cnt * 50 >= n.total
+        |ORDER BY c.cnt DESC, c.term""".stripMargin,
+
     "t12_tfidf_keywords" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
@@ -2197,6 +2366,7 @@ object ExtensionQueries {
     "t10_name_match"         -> (t10NameMatch _),
     "t11_bm25_topk"          -> (t11Bm25TopK _),
     "x25_heavy_hitters"      -> (x25HeavyHitters _),
+    "st6_heavy_hitters"      -> (st6HeavyHittersBatch _),
     "t12_tfidf_keywords"     -> (t12TfidfKeywords _),
     "x26_url_canonical"      -> (x26UrlCanonical _),
     "x27_containment_pairs"  -> (x27ContainmentPairs _),
@@ -2223,5 +2393,12 @@ object ExtensionQueries {
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x4_dedup_simhash"   -> (x4Simhash _),
     "a4b_quantile_sketch" -> (CoreQueries.a4bQuantileSketch _),
+    // native 100 TB paths of the exact-decimal oracle forms — benched
+    // as themselves, pinned to the oracle forms by NativeTwinSpec
+    // (float-vs-DECIMAL(9,6) cosine differs in the 6th decimal, so a
+    // bit-identical SQL oracle cannot exist for these)
+    "x5n_ann_lsh_native"  -> (x5nAnnLshNative _),
+    "x6n_neardup_native"  -> (x6nNearDupNative _),
+    "x22b_topic_native"   -> (x22bTopicBalanceNative _),
   )
 }

@@ -369,9 +369,11 @@ object OlapQueries {
     * compound-key uniqueness, and a referential (FK orphan) check —
     * reported as one (check_name, n_violations, n_checked) relation.
     * The input is deliberately dirtied with deterministic mutated
-    * copies (o_orderkey%97 / l_orderkey%101 rows) so every check has a
-    * known nonzero violation count and an all-zero report can't fake a
-    * pass; the oracle rebuilds the identical dirt.
+    * copies (o_orderkey%97 rows; l_orderkey%101 negated-key rows for
+    * the FK check; l_orderkey%103 verbatim duplicates for the
+    * compound-key check) so every check has a known nonzero violation
+    * count and an all-zero report can't fake a pass; the oracle
+    * rebuilds the identical dirt.
     *
     * Scale shape: ALL per-table checks fold into one aggregate pass per
     * table (single scan, distributed partials, 1-row merge) — never one
@@ -396,7 +398,13 @@ object OlapQueries {
       .filter(col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1)
       .select((col("l_orderkey") * -1).as("l_orderkey"), col("l_linenumber"),
         (col("l_quantity") + 100).as("l_quantity"))
-    val l = l0.unionByName(lDirty)
+    // key UNCHANGED: pure compound-key duplicates, so pk.unique has a
+    // nonzero expected count (the negated-key arm above feeds the FK
+    // orphan check but its new keys can never collide)
+    val lDirtyDup = l0
+      .filter(col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val l = l0.unionByName(lDirty).unionByName(lDirtyDup)
 
     val oAgg = o.agg(
       count(lit(1)).as("o_n"),
@@ -913,7 +921,10 @@ object OlapQueries {
         |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |  UNION ALL
         |  SELECT l_orderkey * -1, l_linenumber, l_quantity + 100
-        |  FROM lineitem WHERE l_orderkey % 101 = 0 AND l_linenumber = 1),
+        |  FROM lineitem WHERE l_orderkey % 101 = 0 AND l_linenumber = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 103 = 0 AND l_linenumber = 1),
         |oa AS (SELECT COUNT(*) AS o_n,
         |  COUNT(DISTINCT o_orderkey) AS o_nd,
         |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,

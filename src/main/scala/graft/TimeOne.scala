@@ -128,6 +128,63 @@ object TimeOne {
       case "annivf" =>
         val c = embStress.cache()
         operators.Similarity.ivfTopK(c, annQueries(c), "vec_id", "embedding", 10)
+      // t10 blocking stress: the part name vocabulary ×20 (per-copy
+      // suffix appended — first tokens unchanged, so single-key blocks
+      // grow 20×). "t10stress" is the shipped sorted-neighborhood
+      // (w=8) blocking — candidate pairs ≤ 8·n by construction;
+      // "t10stress_single" the all-pairs single-key shape it replaced
+      // (pairs grow quadratically with the vocabulary). Global count
+      // so the sink cost is nil.
+      case "t10stress" | "t10stress_single"
+         | "t10stress200" | "t10stress200_single" =>
+        val copies = if (name.startsWith("t10stress200")) 199 else 19
+        val namesNx = Tables.part(spark, sfDir).select(col("p_name"))
+          .distinct()
+          .select(col("p_name"),
+            explode(sequence(lit(0), lit(copies))).as("k"))
+          .select(concat(col("p_name"), lit(" v"), col("k")).as("p_name"))
+        ExtensionQueries.t10Pairs(namesNx,
+            windowed = !name.endsWith("_single"))
+          .agg(count(lit(1)).as("n_pairs"))
+      // x28's two shapes under a crawl-realistic domain distribution:
+      // 15M canonical URLs with 40% on ONE domain (a crawler trap).
+      // "x28stress" is the shipped WindowGroupLimit-eligible shape
+      // (rn<=50 FILTER + totals joined back); "x28stress_agg" the
+      // round-3 shape (rank consumed inside the aggregate), which
+      // must sort the hot domain's 600k rows in a single reducer.
+      case "x28stress" | "x28stress_agg" =>
+        val urls = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k0"))
+          .select(col("k0"), explode(sequence(lit(0), lit(99))).as("c"))
+          .select((pmod(col("k0"), lit(1000000)) * 100 + col("c")).as("k"))
+          .select(
+            when(pmod(col("k"), lit(10)) < 4, lit("hot.example"))
+              .otherwise(concat(lit("d"), pmod(col("k"), lit(997)), lit(".example")))
+              .as("reg_domain"),
+            concat(lit("https://u/"), col("k")).as("canonical_url"),
+            lit(1L).as("n_raw"), col("k").as("min_key"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val w28 = org.apache.spark.sql.expressions.Window
+          .partitionBy("reg_domain")
+          .orderBy(operators.Sampling.minstdHash(col("min_key")),
+            col("canonical_url"))
+        if (name == "x28stress_agg")
+          urls.withColumn("rn", row_number().over(w28))
+            .groupBy("reg_domain")
+            .agg(count(lit(1)).as("n_urls"),
+              sum(when(col("rn") <= 50, 1L).otherwise(0L)).as("n_admitted"),
+              sum(when(col("rn") <= 50, col("n_raw")).otherwise(lit(0L)))
+                .as("admitted_raw"),
+              sum(col("n_raw")).as("total_raw"))
+        else {
+          val admitted = urls.withColumn("rn", row_number().over(w28))
+            .filter(col("rn") <= 50)
+            .groupBy("reg_domain")
+            .agg(count(lit(1)).as("n_admitted"),
+              sum(col("n_raw")).as("admitted_raw"))
+          urls.groupBy("reg_domain")
+            .agg(count(lit(1)).as("n_urls"), sum(col("n_raw")).as("total_raw"))
+            .join(admitted, Seq("reg_domain"))
+        }
       case "sig128" => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 128)
       case "sig64"  => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 64)
       case "x2stress" => operators.Dedup.ngramJaccardPairs(docs20x, "doc_id", "text", 3, 0.8, maxDocFreq = Some(1000))

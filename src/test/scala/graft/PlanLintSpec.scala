@@ -21,6 +21,7 @@ class PlanLintSpec extends SparkTestBase {
     "t11_bm25_topk",       // BM25 corpus stats (N, Σdl): one row, broadcast
     "x24_pagerank",        // node count N: one row, broadcast
     "x25_heavy_hitters",   // Misra-Gries merge: one row, O(k) state, broadcast
+    "st6_heavy_hitters",   // 4-row shard-sketch merge: one row, O(shards·k)
     "t12_tfidf_keywords",  // corpus doc count N: one row, broadcast
     "a16_constraint_audit", // per-table audit aggregates: one row each
     "a17_corr_matrix",     // 14 exact moments: one row, unpivoted to 6 pairs

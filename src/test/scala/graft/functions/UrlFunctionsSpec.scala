@@ -54,15 +54,22 @@ class UrlFunctionsSpec extends SparkTestBase {
     assert(got === Seq("example.com", "example.com", ""))
   }
 
-  test("x26: every canonical group collapses at least two raw variants") {
-    val out = graft.ExtensionQueries.x26UrlCanonical(spark, "/root/testdata/sf0.001")
-      .collect()
+  test("x26: groups are exactly the canonical cells; collapsing conserves rows") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.ExtensionQueries.x26UrlCanonical(spark, d).collect()
     assert(out.nonEmpty)
     // conservation: every key lands in exactly one canonical cell
-    // (2×7×13×11 = 2002 cells), and collapsing really happens
-    val nOrders = graft.Tables.orders(spark, "/root/testdata/sf0.001").count()
-    assert(out.map(_.getLong(2)).sum === nOrders)
-    assert(out.exists(_.getLong(2) >= 2))
+    val keys = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey")).as[Long].collect()
+    assert(out.map(_.getLong(2)).sum === keys.length.toLong)
+    // the parser must recover EXACTLY the cell structure the synthesis
+    // encodes: (scheme-pair, host%7, path%13, id%11) — group count equals
+    // the distinct cell count computed straight from the key arithmetic,
+    // so every multi-key cell really collapsed and no cell split
+    val cells = keys.map(k =>
+      (if (k % 4 < 2) "http" else "https", k % 7, k % 13, k % 11))
+      .distinct.length
+    assert(out.length === cells)
     assert(out.forall(r => r.getString(0).startsWith("http") &&
       !r.getString(0).contains("utm_") && !r.getString(0).contains("#")))
   }
