@@ -872,6 +872,48 @@ object ExtensionQueries {
       .orderBy("reg_domain")
   }
 
+  /** X29 — leakage-free train/val/test split: the assignment unit is
+    * the NEAR-DUP CLUSTER (x11's connected components over the Jaccard
+    * ≥ 0.8 pair graph), not the document — a near-duplicate of a
+    * training document must never land in eval, or the eval measures
+    * memorization. Singleton docs are their own cluster; the split is
+    * a deterministic minstd hash of the cluster id (80/10/10), so the
+    * partition is reproducible and recomputable from ids alone. The
+    * output audits the split per side — doc/cluster counts, how many
+    * multi-doc clusters each side holds — and recomputes the leakage
+    * proof honestly: max_cluster_span = max over clusters of distinct
+    * splits touched, pinned at 1 by the oracle (a doc-keyed split
+    * would show 2+).
+    *
+    * Scale shape: pairs + components are x11's proven machinery; the
+    * singleton fill is a broadcastable left join (components ≪
+    * corpus); split tagging is map-only arithmetic; the audit is one
+    * cluster-keyed agg joined back plus a 3-row final agg. */
+  def x29LeakageSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val comp = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val assigned = docs.join(broadcast(comp), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val h = pmod(Sampling.minstdHash(col("cluster_id")), lit(10L))
+    val tagged = assigned.withColumn("split",
+      when(h <= 7, "train").when(h === 8, "val").otherwise(lit("test")))
+    val spans = tagged.groupBy("cluster_id")
+      .agg(count_distinct(col("split")).as("n_splits"),
+        count(lit(1)).as("cluster_size"))
+    tagged.join(spans, Seq("cluster_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters"),
+        count_distinct(when(col("cluster_size") >= 2, col("cluster_id")))
+          .as("n_dup_clusters"),
+        max(col("n_splits")).as("max_cluster_span"))
+      .orderBy("split")
+  }
+
   /** T13 — token-rarity quality signal: each document's mean corpus
     * frequency share across its tokens (a unigram-LM surprisal proxy
     * with NO logs — rarer vocabulary ⇒ lower mean share) plus its
@@ -1659,6 +1701,42 @@ object ExtensionQueries {
         |SELECT node AS doc_id, MIN(label) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    // x29: same recursive-CTE component restatement as x11, singleton
+    // fill via LEFT JOIN, split = minstd(cluster_id) % 10 (80/10/10);
+    // max_cluster_span pinned at 1 IS the no-leakage proof
+    "x29_leakage_split" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT * FROM (${jaccardPairsCte.replace("%THRESH%", "0.8")}) t),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+        |          UNION SELECT idb, ida FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+        |comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+        |         FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |tagged AS (
+        |  SELECT doc_id, cluster_id,
+        |    CASE WHEN ((cluster_id * 48271) % 2147483647) % 10 <= 7
+        |           THEN 'train'
+        |         WHEN ((cluster_id * 48271) % 2147483647) % 10 = 8
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM assigned),
+        |spans AS (SELECT cluster_id, COUNT(DISTINCT split) AS n_splits,
+        |                 COUNT(*) AS cluster_size
+        |          FROM tagged GROUP BY cluster_id)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT t.cluster_id) AS n_clusters,
+        |  COUNT(DISTINCT CASE WHEN cluster_size >= 2 THEN t.cluster_id END)
+        |    AS n_dup_clusters,
+        |  CAST(MAX(n_splits) AS BIGINT) AS max_cluster_span
+        |FROM tagged t JOIN spans s USING (cluster_id)
+        |GROUP BY split ORDER BY split""".stripMargin,
+
     "x18_incremental_upsert" ->
       """WITH base AS (
         |  SELECT doc_id, 1 AS rev, text, FALSE AS deleted, 0 AS src
@@ -2372,6 +2450,7 @@ object ExtensionQueries {
     "x27_containment_pairs"  -> (x27ContainmentPairs _),
     "t13_token_rarity"       -> (t13TokenRarity _),
     "x28_domain_budget"      -> (x28DomainBudget _),
+    "x29_leakage_split"      -> (x29LeakageSplit _),
     "x22_topic_balance"      -> (x22TopicBalance _),
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),

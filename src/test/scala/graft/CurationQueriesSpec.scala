@@ -62,4 +62,28 @@ class CurationQueriesSpec extends SparkTestBase {
       assert(top.getString(2) === "dup", s"doc $id top term ${top.getString(2)}")
     }
   }
+
+  test("x29: cluster-keyed split has span 1; a doc-keyed split would leak") {
+    val out = ExtensionQueries.x29LeakageSplit(spark, d).collect()
+    assert(out.map(_.getString(0)).toSeq.sorted === Seq("test", "train", "val"))
+    // the shipped assignment: no cluster touches two splits, all docs
+    // accounted for, and the near-dup clusters really are multi-doc
+    assert(out.forall(_.getLong(4) == 1L), "cluster-keyed split leaked")
+    val nDocs = Tables.documents(spark, d).count()
+    assert(out.map(_.getLong(1)).sum === nDocs)
+    assert(out.map(_.getLong(3)).sum >= 1, "fixture has dup clusters")
+    // negative control: splitting by DOC id (what x29 exists to avoid)
+    // puts at least one near-dup cluster astride two splits — the
+    // leakage the max_cluster_span column is pinned against
+    val comp = operators.Dedup.connectedComponents(
+        operators.Dedup.ngramJaccardPairs(Tables.documents(spark, d),
+          "doc_id", "text", n = 3, threshold = 0.8))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val byDoc = comp.withColumn("split",
+        pmod(operators.Sampling.minstdHash(col("doc_id")), lit(10L)) <= 7)
+      .groupBy("cluster_id")
+      .agg(count_distinct(col("split")).as("n_splits"))
+    assert(byDoc.agg(max("n_splits")).head().getLong(0) >= 2L,
+      "doc-keyed control should straddle splits on this fixture")
+  }
 }
