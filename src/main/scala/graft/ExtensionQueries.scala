@@ -854,7 +854,7 @@ object ExtensionQueries {
     * branches). The admit order being a hash (not crawl order) keeps
     * the kept set stable across recrawls. */
   def x28DomainBudget(s: SparkSession, d: String): DataFrame = {
-    val core = x26Core(s, d)
+    val core = x26Core(s, d, barrier = true)
     val w = Window.partitionBy("reg_domain")
       .orderBy(graft.operators.Sampling.minstdHash(col("min_key")),
         col("canonical_url"))
@@ -864,8 +864,17 @@ object ExtensionQueries {
       .groupBy("reg_domain")
       .agg(count(lit(1)).as("n_admitted"),
         sum(col("n_raw")).as("admitted_raw"))
+    // `min(min_key) * 0` is a value-neutral reference that keeps
+    // min_key ALIVE in this branch's copy of the canonical-URL
+    // aggregate: without it column pruning drops the min(k) aggregate
+    // here (the window branch keeps it for its sort key), the two
+    // subtrees stop canonicalizing equal, ReuseExchange can't fire,
+    // and the whole URL-parse+dedup pass runs twice (measured 5.2 s →
+    // 2.9 s at sf0.1). Catalyst has no ×0 simplification (null
+    // semantics), so the guard survives optimization.
     val totals = core.groupBy("reg_domain")
-      .agg(count(lit(1)).as("n_urls"), sum(col("n_raw")).as("total_raw"))
+      .agg((count(lit(1)) + min(col("min_key")) * 0).as("n_urls"),
+        sum(col("n_raw")).as("total_raw"))
     totals.join(admitted, Seq("reg_domain"))
       .select(col("reg_domain"), col("n_urls"), col("n_admitted"),
         col("admitted_raw"), col("total_raw"))
@@ -976,13 +985,19 @@ object ExtensionQueries {
     * parser actually recovers it from the messy string. Map-only until
     * the final group-by-canonical (the dedup shuffle itself). */
   def x26UrlCanonical(s: SparkSession, d: String): DataFrame =
-    x26Core(s, d).orderBy("canonical_url")
+    x26Core(s, d, barrier = false).orderBy("canonical_url")
 
   /** The pre-sort core of x26 — shared with x28 so downstream
     * compositions don't inherit the standalone query's global ORDER BY
     * (whose range-partition sampling would re-execute the URL-parse
-    * subtree; see the sort-placement trap in CLAUDE.md). */
-  private def x26Core(s: SparkSession, d: String): DataFrame = {
+    * subtree; see the sort-placement trap in CLAUDE.md). `barrier`
+    * wraps the parse in a Generate so downstream JOIN-inferred
+    * IsNotNull filters can't push below the projection and inline the
+    * whole regex parse into a per-row Filter — needed by x28 (which
+    * joins on reg_domain), skipped by the join-free standalone x26
+    * (the explode costs ~0.5 s at sf0.1 and buys it nothing). */
+  private def x26Core(s: SparkSession, d: String,
+      barrier: Boolean): DataFrame = {
     import graft.functions.UrlFunctions._
     val k = col("o_orderkey")
     val scheme = element_at(
@@ -1005,9 +1020,18 @@ object ExtensionQueries {
     val frag = when(k % 7 === 0, concat(lit("#sec"), (k % 3).cast("string")))
       .otherwise(lit(""))
     val messy = concat(scheme, lit("://"), host, port, path, lit("?"), params, frag)
-    Tables.orders(s, d).select(k.as("k"), messy.as("url"))
-      .select(col("k"), canonicalUrl(col("url")).as("canonical_url"),
-        registeredDomain(urlHost(col("url"))).as("reg_domain"))
+    val raw = Tables.orders(s, d).select(k.as("k"), messy.as("url"))
+    val parsed =
+      if (barrier)
+        raw.select(col("k"), explode(array(struct(
+            canonicalUrl(col("url")).as("canonical_url"),
+            registeredDomain(urlHost(col("url"))).as("reg_domain")))).as("cu"))
+          .select(col("k"), col("cu.canonical_url").as("canonical_url"),
+            col("cu.reg_domain").as("reg_domain"))
+      else
+        raw.select(col("k"), canonicalUrl(col("url")).as("canonical_url"),
+          registeredDomain(urlHost(col("url"))).as("reg_domain"))
+    parsed
       .groupBy("canonical_url", "reg_domain")
       .agg(count(lit(1)).as("n_raw"), min(col("k")).as("min_key"))
   }
