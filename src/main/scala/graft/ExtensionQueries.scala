@@ -1346,6 +1346,35 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** M3 — per-frame manifest: the frame-sampling access plan a video
+    * pipeline materializes BEFORE any decode — one row per (doc,
+    * frame) with the byte range (offset/length at stride 64, frame 16)
+    * a reader would fetch, the presentation timestamp derived from the
+    * metadata byte-rate (asMedia's duration_ms = bytes × 40), and an
+    * md5 over the exact frame slice so the oracle proves every
+    * emitted range addresses the right bytes. Map-only (narrow sort →
+    * explode → per-row slice hash, v1's sort-before-project shape);
+    * the decode that would consume these ranges stays behind the
+    * documented codec stub. */
+  def m3FrameManifest(s: SparkSession, d: String): DataFrame = {
+    val nFrames =
+      (greatest(floor((length(col("content")) - 16).cast("double") / 64)
+        .cast("int"), lit(0)) + 1)
+    Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
+      .select(col("doc_id"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        (col("frame_idx") * 64).cast("bigint").as("byte_off"),
+        lit(16L).as("frame_len"),
+        (col("frame_idx") * 64 * 40).cast("bigint").as("pts_ms"),
+        md5(expr("substring(content, frame_idx * 64 + 1, 16)"))
+          .as("frame_md5"))
+  }
+
   /** Real multimodal ingestion boundary: one opaque binary file per
     * document written distributed (mapPartitions-style foreach, no
     * driver collect), read back through Spark's `binaryFile` source —
@@ -2371,6 +2400,23 @@ object ExtensionQueries {
         | CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT) AS n_resized_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // m3: every frame's byte range + slice hash restated from the text
+    // column (ASCII fixture ⇒ char offsets == byte offsets, the same
+    // equivalence m1's sha256 oracle already relies on)
+    "m3_frame_manifest" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      GREATEST(CAST(FLOOR((octet_length(encode(text))-16)/64.0)
+        |                    AS BIGINT), 0))) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i*64 AS BIGINT) AS byte_off,
+        |  CAST(16 AS BIGINT) AS frame_len,
+        |  CAST(i*2560 AS BIGINT) AS pts_ms,
+        |  md5(substr(text, CAST(i*64+1 AS INT), 16)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
     // m2b shares m2's integrity oracle: batching payloads into few
     // parquet files must lose nothing vs one file per row
     "m2b_batched_ingest" ->
@@ -2481,6 +2527,7 @@ object ExtensionQueries {
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "m2b_batched_ingest"     -> (m2bBatchedIngest _),
+    "m3_frame_manifest"      -> (m3FrameManifest _),
     "j6b_skew_salted"        -> (j6bSkewSalted _),
     "st1_event_window"       -> (st1EventWindow _),
     "st2_sessionize"         -> (st2Sessionize _),
