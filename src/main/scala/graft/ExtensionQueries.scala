@@ -768,10 +768,13 @@ object ExtensionQueries {
   }
 
   /** ST6's batch twin — union-of-shards Misra-Gries heavy hitters,
-    * driver-visible: terms hash-shard into 4 groups, each shard folds
-    * its own MG(64) sketch (exactly the per-shard state
-    * [[graft.streaming.StreamHeavyHitters]] maintains across
-    * micro-batches), the shard candidate sets union, and the exact
+    * driver-visible: terms hash-shard into 4 groups (the SAME
+    * xxhash64-seed-42 shard function
+    * [[graft.streaming.StreamHeavyHitters.shardOf]] uses — parity
+    * asserted term-for-term in StreamHeavyHittersSpec), each shard
+    * folds its own MG(64) sketch (exactly the per-shard state the
+    * streaming query maintains across micro-batches), the shard
+    * candidate sets union, and the exact
     * broadcast recount applies the 2% threshold. A term lives in one
     * shard, so its undercount is ≤ shardTotal/(k+1) ≤ total/65 <
     * total/50 — the union provably contains every true heavy hitter,

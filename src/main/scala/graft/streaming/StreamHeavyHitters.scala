@@ -34,8 +34,17 @@ case class HHSnapshot(shard: Int, ver: Long, total: Long, keys: Seq[String])
   */
 object StreamHeavyHitters {
 
+  /** Same hash as the batch twin's `pmod(xxhash64(term), nShards)`
+    * (st6_heavy_hitters) — Spark's xxhash64 with its default seed 42 —
+    * so the streaming state layout and the driver-verified batch union
+    * shard IDENTICALLY, term for term (parity asserted in
+    * StreamHeavyHittersSpec). */
   def shardOf(term: String, nShards: Int): Int =
-    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(term), nShards)
+    math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L),
+      nShards.toLong).toInt
 
   /** Update-mode stream: one snapshot per touched shard per batch. */
   def streaming(terms: Dataset[String], nShards: Int, k: Int): Dataset[HHSnapshot] = {

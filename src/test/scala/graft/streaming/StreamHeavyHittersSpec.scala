@@ -69,4 +69,18 @@ class StreamHeavyHittersSpec extends SparkTestBase {
       assert(s >= 0 && s < NSHARDS)
     }
   }
+
+  test("shardOf equals the batch twin's pmod(xxhash64(term), n), term for term") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val terms = (Seq("alpha", "beta", "gamma", "rare42", "", "ü", "dup") ++
+      (0 until 100).map(i => s"tok$i")).toDF("term")
+    val fromCol = terms
+      .select(col("term"), pmod(xxhash64(col("term")), lit(NSHARDS.toLong))
+        .cast("int").as("shard"))
+      .as[(String, Int)].collect().toMap
+    fromCol.foreach { case (t, s) =>
+      assert(StreamHeavyHitters.shardOf(t, NSHARDS) === s, s"term '$t'")
+    }
+  }
 }
