@@ -898,8 +898,9 @@ object ExtensionQueries {
     * would show 2+).
     *
     * Scale shape: pairs + components are x11's proven machinery; the
-    * singleton fill is a broadcastable left join (components ≪
-    * corpus); split tagging is map-only arithmetic; the audit is one
+    * singleton fill is an UNHINTED left join (the component map can be
+    * a large fraction of a real crawl — AQE broadcasts only when it
+    * fits); split tagging is map-only arithmetic; the audit is one
     * cluster-keyed agg joined back plus a 3-row final agg. */
   def x29LeakageSplit(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -907,7 +908,11 @@ object ExtensionQueries {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8))
       .select(col("node").as("doc_id"), col("cluster_id"))
-    val assigned = docs.join(broadcast(comp), Seq("doc_id"), "left")
+    // deliberately UNHINTED: the component map is every doc in any
+    // dup pair — often a large fraction of a real crawl, far past any
+    // broadcast budget; AQE broadcasts when the round's stats say it
+    // fits and falls back to a shuffle join when they don't
+    val assigned = docs.join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     val h = pmod(Sampling.minstdHash(col("cluster_id")), lit(10L))
