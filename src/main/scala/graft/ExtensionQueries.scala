@@ -1255,7 +1255,11 @@ object ExtensionQueries {
     * centroids sit within the DECIMAL(9,6) quantization bound (~2e-6),
     * so the twin is benchOnly and NativeTwinSpec asserts output
     * equality against x22 on the fixture corpus rather than betting a
-    * driver oracle row on no near-tie ever appearing. */
+    * driver oracle row on no near-tie ever appearing. (The fixture's
+    * every-20th-vector centroids grow with the corpus — an oracle
+    * determinism device; a real 100 TB deployment broadcasts a FIXED-K
+    * k-means codebook, which is exactly [[Similarity.ivfTopK]]'s
+    * trained-assignment machinery.) */
   def x22bTopicBalanceNative(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.wide(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"))
