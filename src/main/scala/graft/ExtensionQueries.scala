@@ -429,16 +429,34 @@ object ExtensionQueries {
     * operators proven individually; the oracle restates the chain. */
   def x10CorpusPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
+    // generator barrier around the scoring projection: the filter
+    // below consumes lang_detected/quality, and without the barrier
+    // predicate pushdown inlines BOTH expensive expressions into a
+    // per-row Filter under the Project (each evaluated twice per row,
+    // in every consumer of this subtree — the x28/x26 trap)
     val scored = docs.select(col("doc_id"), col("text"),
-      TextAnalysis.langId(col("text")).as("lang_detected"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
-      TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        explode(array(struct(
+          TextAnalysis.langId(col("text")).as("lang_detected"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp")))).as("sc"))
+      .select(col("doc_id"), col("text"), col("sc.lang_detected").as("lang_detected"),
+        col("sc.quality").as("quality"), col("sc.fp").as("fp"))
     val filt = scored.filter(col("lang_detected") === "en" &&
       col("quality") >= 0.3)
-    val keep1 = filt.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val exactDeduped = filt.join(keep1, Seq("doc_id"))
+    // keep-min-per-fingerprint as a rank-1 window, NOT an agg +
+    // self-join: same kept rows, but ONE scoring subtree instead of
+    // two (the join shape re-evaluated langId/quality/fingerprint on
+    // both sides), WindowGroupLimit bounds it map-side, and the fp
+    // exchange canonicalizes identically under both downstream
+    // consumers (pair generation + anti-join probe) so it is
+    // exchange-reuse eligible — with the scoring barrier above,
+    // measured 4.4-5.0 → 3.5-3.9 s at sf0.1 (the remainder is the
+    // shingle pair generation, the pipeline's honest dominant stage)
+    val wFp = Window.partitionBy("fp").orderBy("doc_id")
+    val exactDeduped = filt
+      .withColumn("_rn", row_number().over(wFp))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
     val dupPairs = Dedup.ngramJaccardPairs(exactDeduped, "doc_id", "text",
         n = 3, threshold = 0.8)
       .select(col("idb").as("doc_id"))
