@@ -48,7 +48,8 @@ class PlanLintSpec extends SparkTestBase {
   test("per-key cap queries keep their WindowGroupLimit bound") {
     val d = "/root/testdata/sf0.001"
     for (name <- Seq("x28_domain_budget", "t12_tfidf_keywords",
-        "x17_cluster_canonical", "w1_top1_per_key", "x9_hash_sample")) {
+        "x17_cluster_canonical", "w1_top1_per_key", "x9_hash_sample",
+        "x10_corpus_pipeline")) {
       val plan = SparkEntry.queries(name)(spark, d)
         .queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),
