@@ -34,4 +34,19 @@ class VariantSpec extends SparkTestBase {
       assert(r.getLong(r.fieldIndex("idx")) == r.getLong(r.fieldIndex("ord")))
     }
   }
+
+  test("try_parse_json nulls malformed docs where parse_json throws") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq("""{"a":1}""", """{"a":""", "not json at all")
+      .toDF("j")
+    val out = docs
+      .select(try_parse_json(col("j")).as("v"))
+      .select(col("v").isNull.as("bad")).as[Boolean].collect().toSeq
+    assert(out === Seq(false, true, true))
+    val strict = intercept[Exception] {
+      docs.select(parse_json(col("j"))).collect()
+    }
+    assert(strict.getMessage.toLowerCase.contains("malformed"))
+  }
 }
