@@ -199,6 +199,64 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Q10-shape (extension) — the returned-item report: revenue lost to
+    * returns per customer over one quarter, global top-20. Exercises a
+    * 4-relation join with BOTH filters pushed to their scans (the
+    * return flag on lineitem, the date window on orders — PushedFilters
+    * in the plan), aggregation on a 4-part composite key, and top-k
+    * pushdown (TakeOrderedAndProject, k rows per partition before the
+    * merge — never a full global sort). */
+  def qTpchQ10(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-10-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    cust.join(ord, ord("o_custkey") === cust("c_custkey"))
+      .join(li, li("l_orderkey") === ord("o_orderkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(round(sum(asMoney(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - asMoney(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** Q7-shape (extension) — volume shipping within a trading bloc, by
+    * direction and ship year: the classic double-aliased dimension
+    * join (nation joined TWICE, once for the supplier side, once for
+    * the customer side) with a cross-nation pair predicate and a
+    * calendar extraction as a grouping key. */
+  def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      // a 4-nation trading bloc rather than TPC-H's single pair: the
+      // same OR-of-conjunctions shape, but every scale factor
+      // (including sf0.001's 1500 orders) yields rows — a 0-row result
+      // would make the oracle check vacuous
+      .filter(col("supp_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3") &&
+        col("cust_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3") &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(round(sum(asMoney(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - asMoney(col("l_discount")))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** C3 (extension) — correlated EXISTS / NOT EXISTS through the SQL
     * entry point: Catalyst decorrelates them into left-semi and
     * left-anti hash joins (no per-row subquery execution — verified in

@@ -26,6 +26,8 @@ object SparkEntry {
     "q_tpch_q3"         -> (CoreQueries.qTpchQ3 _),
     "q_tpch_q5"         -> (CoreQueries.qTpchQ5 _),
     "q_tpch_q18"        -> (CoreQueries.qTpchQ18 _),
+    "q_tpch_q10"        -> (CoreQueries.qTpchQ10 _),
+    "q_tpch_q7"         -> (CoreQueries.qTpchQ7 _),
     "c3_exists"         -> (CoreQueries.c3Exists _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
@@ -136,6 +138,41 @@ object SparkEntry {
         |  ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
+        | SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+        |    AS DOUBLE) AS revenue
+        | FROM customer c
+        | JOIN orders o ON o.o_custkey = c.c_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | WHERE l.l_returnflag = 'R'
+        |   AND o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |   AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        | GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name) t
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        | CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |   (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+        |   AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lineitems
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+        |  AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "c3_exists" ->
       """SELECT o_orderkey, o_orderstatus FROM orders o
