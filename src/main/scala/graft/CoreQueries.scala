@@ -257,6 +257,62 @@ object CoreQueries {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Q14-shape (extension) — promotion revenue share: a conditional
+    * aggregate over a fact-dimension join, reported per month. The
+    * share is emitted as an EXACT integer (ppm via positive decimal
+    * division, floor == truncate) — a rounded decimal ratio would hit
+    * the Spark-HALF_UP vs DuckDB-nearbyint tie-break divergence the
+    * t9 lesson pins (CLAUDE.md); revenue stays DECIMAL until the one
+    * final cast. */
+  def qTpchQ14(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val part = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    val rev = asMoney(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,4)") - asMoney(col("l_discount")))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(
+        sum(rev).as("_r"),
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("_p"))
+      // ppm from exact CENTS: round(sum, 2) is identical exact-decimal
+      // HALF_UP in both engines (the suite's standard money step), ×100
+      // is then integral, and bigint `div` floors identically — no
+      // decimal-precision overflow, no cast-rounding divergence
+      .select(col("month"),
+        round(col("_r"), 2).cast("double").as("revenue"),
+        round(col("_p"), 2).cast("double").as("promo_revenue"),
+        expr("""cast(cast(round(_p, 2) * 100 as bigint) * 1000000
+                div cast(round(_r, 2) * 100 as bigint) as bigint)""")
+          .as("promo_ppm"))
+      .orderBy("month")
+  }
+
+  /** Q19-shape (extension) — the disjunctive bracket predicate: three
+    * OR'd conjunction brackets over (brand, size, quantity), the
+    * filter shape rule-based optimizers historically mishandled.
+    * Catalyst extracts the common `l_partkey = p_partkey` equi-key so
+    * the join stays hash-based with the brackets as a post-join
+    * filter, and CNF conversion pushes the per-side residuals
+    * (brand/size brackets to the part scan) down. */
+  def qTpchQ19(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val part = Tables.part(s, d)
+    val bracket =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(part, col("l_partkey") === col("p_partkey") && bracket)
+      .agg(
+        round(sum(asMoney(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - asMoney(col("l_discount")))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
   /** C3 (extension) — correlated EXISTS / NOT EXISTS through the SQL
     * entry point: Catalyst decorrelates them into left-semi and
     * left-anti hash joins (no per-row subquery execution — verified in

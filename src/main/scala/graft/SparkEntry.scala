@@ -28,6 +28,8 @@ object SparkEntry {
     "q_tpch_q18"        -> (CoreQueries.qTpchQ18 _),
     "q_tpch_q10"        -> (CoreQueries.qTpchQ10 _),
     "q_tpch_q7"         -> (CoreQueries.qTpchQ7 _),
+    "q_tpch_q14"        -> (CoreQueries.qTpchQ14 _),
+    "q_tpch_q19"        -> (CoreQueries.qTpchQ19 _),
     "c3_exists"         -> (CoreQueries.c3Exists _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
@@ -173,6 +175,38 @@ object SparkEntry {
         |  AND n1.n_name <> n2.n_name
         |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q14" ->
+      """WITH g AS (
+        | SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+        |  SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS r,
+        |  SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+        |      THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |        (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS p
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY 1)
+        |SELECT month,
+        | CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+        | CAST(ROUND(p, 2) AS DOUBLE) AS promo_revenue,
+        | CAST(CAST(ROUND(p, 2) * 100 AS BIGINT) * 1000000
+        |      // CAST(ROUND(r, 2) * 100 AS BIGINT) AS BIGINT) AS promo_ppm
+        |FROM g ORDER BY month""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        | CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |   (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+        |   AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lineitems
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "c3_exists" ->
       """SELECT o_orderkey, o_orderstatus FROM orders o

@@ -22,6 +22,7 @@ class PlanLintSpec extends SparkTestBase {
     "x24_pagerank",        // node count N: one row, broadcast
     "x25_heavy_hitters",   // Misra-Gries merge: one row, O(k) state, broadcast
     "st6_heavy_hitters",   // 4-row shard-sketch merge: one row, O(shards·k)
+    "q_tpch_q19",          // single-row global revenue agg: 1-row merge
     "t12_tfidf_keywords",  // corpus doc count N: one row, broadcast
     "a16_constraint_audit", // per-table audit aggregates: one row each
     "a17_corr_matrix",     // 14 exact moments: one row, unpivoted to 6 pairs
