@@ -55,15 +55,22 @@ object Bench {
     }
     // 3-decimal times keep the per-query line ~3 KB (full-precision
     // doubles once overflowed the driver's stdout capture window and
-    // the round's perf signal was lost); the compact total-only line
-    // goes FIRST so a parseable record survives any tail clipping.
+    // the round's perf signal was lost). The driver keeps the TAIL of
+    // stdout, so the short compact record must be the LAST line — the
+    // one position guaranteed to survive clipping (r3 + r4 both lost
+    // the artifact with the compact line first). The full per-query
+    // record goes first; it is best-effort under a small capture
+    // window. Distinct metric names ("total_detail" vs "total") keep
+    // line-oriented consumers from double-counting the bench total;
+    // the canonical "total" name stays on the compact line a
+    // tail-keeping capture is guaranteed to retain.
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nOk,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1224,8 +1224,9 @@ object ExtensionQueries {
     * step that keeps one topic from dominating a training mix. Scoring
     * is the proven exact-DECIMAL relational dot product (order-
     * independent sums, engine-identical); assignment is a top-1 window
-    * per vector, the cap a count window per cluster — same-partitioned,
-    * one shuffle. At 100 TB the relational O(n·K·dim) scorer gives way
+    * per vector, the cap the shared [[capHalfPerCluster]] stage
+    * (running-frame rank + groupBy count joined back — no unbounded
+    * window frame). At 100 TB the relational O(n·K·dim) scorer gives way
     * to the native CosineSimilarity against broadcast centroids and
     * k-means-fitted centers (Similarity.ivfTopK is that machinery,
     * spec-tested + stress-measured); this query pins the SEMANTICS both
@@ -1249,17 +1250,52 @@ object ExtensionQueries {
     val assigned = scored.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cluster_id"))
+    capHalfPerCluster(assigned)
+  }
+
+  /** Shared x22-family cap stage — keep the first ⌊n/2⌋ members of
+    * every cluster in reproducible minstd order. Scale shape: cluster
+    * sizes are NOT bounded by construction (a hot topic is the normal
+    * case in a crawl), so the per-cluster count comes from a plain
+    * groupBy JOINED BACK (the x17/x28 pattern) rather than an
+    * unbounded `count(*)` window frame — that frame forces the
+    * reducer to buffer a hot cluster's entire membership before
+    * emitting a single row, while `row_number` alone is a running
+    * frame that streams straight off the sort. The `min(vec_id) * 0`
+    * guard keeps vec_id alive in the count branch so both consumers
+    * of `assigned` canonicalize equal and ReuseExchange computes the
+    * (expensive) assignment subtree once — same device, same reason
+    * as x28's n_urls guard. The residual cost is the hot cluster's
+    * sort itself; TimeOne's x22stress fixture (one centroid owning
+    * 40% of a 1M-vector corpus) measures it against the old
+    * windowed-count shape. */
+  private[graft] def capHalfPerCluster(assigned: DataFrame): DataFrame = {
+    // ONE explicit exchange of the raw assignment rows by cluster_id
+    // feeds BOTH consumers: the count aggregates straight off the
+    // shuffle output (no second shuffle — the partitioning already
+    // satisfies the groupBy), and the rank window sorts the same
+    // stage's output (AQE reuses the materialized stage, so the
+    // expensive assignment subtree — the n·K scoring join + top-1
+    // window — runs exactly once). A plain assigned.groupBy would
+    // partial-aggregate BELOW its exchange and the two exchanges
+    // would stop canonicalizing equal.
+    val spread = assigned.repartition(col("cluster_id"))
+    val counts = spread.groupBy("cluster_id")
+      .agg((count(lit(1)) + min(col("vec_id")) * 0).as("n_members"))
     val wCap = Window.partitionBy("cluster_id")
       .orderBy(Sampling.minstdHash(col("vec_id")), col("vec_id"))
-    assigned.withColumn("pos", row_number().over(wCap))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
+    // counts is O(clusters) rows of two longs — a fixed-K codebook at
+    // production scale — so the per-row n_members attach is an
+    // explicit broadcast, never a shuffle
+    val keptAgg = spread.withColumn("pos", row_number().over(wCap))
+      .join(broadcast(counts), Seq("cluster_id"))
+      .filter(col("pos") * 2 <= col("n_members"))
       .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"),
-        sum(when(col("pos") * 2 <= col("n_members"), 1L).otherwise(0L))
-          .as("n_kept"),
-        sum(when(col("pos") * 2 <= col("n_members"), col("vec_id"))
-          .otherwise(0L)).as("kept_id_sum"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum"))
+    counts.join(keptAgg, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
       .orderBy("cluster_id")
   }
 
@@ -1291,18 +1327,7 @@ object ExtensionQueries {
     val assigned = scored.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cluster_id"))
-    val wCap = Window.partitionBy("cluster_id")
-      .orderBy(Sampling.minstdHash(col("vec_id")), col("vec_id"))
-    assigned.withColumn("pos", row_number().over(wCap))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"),
-        sum(when(col("pos") * 2 <= col("n_members"), 1L).otherwise(0L))
-          .as("n_kept"),
-        sum(when(col("pos") * 2 <= col("n_members"), col("vec_id"))
-          .otherwise(0L)).as("kept_id_sum"))
-      .orderBy("cluster_id")
+    capHalfPerCluster(assigned)
   }
 
   /** Record-linkage name matching — Jaro-Winkler scoring (native

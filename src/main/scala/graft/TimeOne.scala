@@ -185,6 +185,39 @@ object TimeOne {
             .agg(count(lit(1)).as("n_urls"), sum(col("n_raw")).as("total_raw"))
             .join(admitted, Seq("reg_domain"))
         }
+      // x22's cap stage under a hot-topic distribution: 15M cluster
+      // assignments with 40% of vectors on ONE cluster (a dominant
+      // topic — the normal case in a crawl; cluster sizes are not
+      // bounded by construction). "x22stress" is the shipped
+      // capHalfPerCluster (running-frame rank + count joined back off
+      // one shared exchange); "x22stress_win" the round-4 shape whose
+      // unbounded count(*) frame buffers the hot cluster's entire 6M
+      // membership in one reducer before emitting a row.
+      case "x22stress" | "x22stress_win" =>
+        val assigned = Tables.orders(spark, sfDir)
+          .select(col("o_orderkey").as("k0"))
+          .select(col("k0"), explode(sequence(lit(0), lit(99))).as("c"))
+          .select((pmod(col("k0"), lit(1000000)) * 100 + col("c")).as("vec_id"))
+          .select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(10)) < 4, lit(0L))
+              .otherwise(pmod(col("vec_id"), lit(997))).as("cluster_id"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        if (name == "x22stress")
+          ExtensionQueries.capHalfPerCluster(assigned)
+        else {
+          val wCap = org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster_id")
+            .orderBy(operators.Sampling.minstdHash(col("vec_id")), col("vec_id"))
+          assigned.withColumn("pos", row_number().over(wCap))
+            .withColumn("n_members", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+            .groupBy("cluster_id")
+            .agg(count(lit(1)).as("n_members"),
+              sum(when(col("pos") * 2 <= col("n_members"), 1L).otherwise(0L))
+                .as("n_kept"),
+              sum(when(col("pos") * 2 <= col("n_members"), col("vec_id"))
+                .otherwise(0L)).as("kept_id_sum"))
+        }
       case "sig128" => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 128)
       case "sig64"  => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 64)
       case "x2stress" => operators.Dedup.ngramJaccardPairs(docs20x, "doc_id", "text", 3, 0.8, maxDocFreq = Some(1000))

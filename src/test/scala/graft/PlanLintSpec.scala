@@ -57,4 +57,48 @@ class PlanLintSpec extends SparkTestBase {
         s"$name: expected a WindowGroupLimit in the physical plan")
     }
   }
+
+  // The x22-family cap stage must never regress to an unbounded
+  // count(*) window frame: that frame forces the reducer to buffer a
+  // hot cluster's ENTIRE membership before emitting a row (topic
+  // sizes are unbounded by construction — measured 1.4× whole-query
+  // at TimeOne's 40%-hot x22stress fixture), where the shipped shape
+  // is a running-frame row_number plus a groupBy count joined back.
+  // An unbounded frame shows as `unboundedfollowing$()` in the window
+  // spec; the running rank frame ends at currentrow$().
+  test("x22-family cap stage carries no unbounded window frame") {
+    val d = "/root/testdata/sf0.001"
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    for (name <- Seq("x22_topic_balance", "x22b_topic_native",
+        "x20_source_budget", "x28_domain_budget")) {
+      val plan = all(name)(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("unboundedfollowing"),
+        s"$name: unbounded window frame in the physical plan")
+    }
+  }
+
+  // Queries whose two-consumer subtree (per-key totals joined back to
+  // a per-key cap/rank over the SAME expensive input) depends on
+  // exchange/stage reuse to compute that input once. The reuse is an
+  // AQE runtime decision — invisible in the static explain — so
+  // execute and assert on the final adaptive plan. x28's guard
+  // (`min(min_key) * 0`, see its doc) and x22's shared explicit
+  // repartition both exist purely to keep the two subtrees
+  // canonicalizing equal; this pin is what notices a Spark upgrade or
+  // refactor silently de-duplicating them (x28: the URL-parse pass
+  // would run twice, measured 2.9 s → 5.2 s at sf0.1).
+  test("join-back queries reuse the shared exchange at runtime") {
+    val d = "/root/testdata/sf0.001"
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    for (name <- Seq("x28_domain_budget", "x22_topic_balance",
+        "x22b_topic_native")) {
+      val df = all(name)(spark, d)
+      // collect(), not a noop write: the write wraps the plan in its
+      // own QueryExecution and this df's adaptive plan never finalizes
+      val _ = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"$name: expected a ReusedExchange in the final adaptive plan")
+    }
+  }
 }
