@@ -313,6 +313,85 @@ object CoreQueries {
         count(lit(1)).as("n_lineitems"))
   }
 
+  /** Q1-shape (extension) — the canonical pricing-summary wide
+    * aggregate scan: one pass over the fact table behind a date
+    * filter, two low-cardinality group keys, eight aggregates. The
+    * scan IS the query — no join, no window; the plan must be a
+    * pushed-filter parquet scan into a partial/final hash aggregate
+    * (6 groups of final state). Money sums stay DECIMAL until one
+    * final round+cast; the three averages are emitted as EXACT
+    * integer micro-units (positive `div` — floor == truncate) because
+    * an avg's denominator is an arbitrary row count: a rounded
+    * decimal ratio would hit the Spark-HALF_UP vs DuckDB-nearbyint
+    * tie-break divergence the t9 lesson pins. The charge term keeps
+    * its factors at DECIMAL(6,4)×(6,4)×(18,4) so the exact product
+    * fits precision 38 in both engines with no intermediate cast. */
+  def qTpchQ1(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast("decimal(6,4)")
+    val disc = col("l_discount").cast("decimal(6,4)")
+    val tax = col("l_tax").cast("decimal(6,4)")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-06-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(asMoney(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+        round(sum(asMoney(col("l_extendedprice"))), 2).cast("double")
+          .as("sum_base_price"),
+        round(sum(asMoney(col("l_extendedprice")) * (one - disc)), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(asMoney(col("l_extendedprice")) * (one - disc) * (one + tax)), 2)
+          .cast("double").as("sum_charge"),
+        sum(asMoney(col("l_quantity"))).as("_sq"),
+        sum(asMoney(col("l_extendedprice"))).as("_sp"),
+        sum(disc).as("_sd"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        expr("""cast(cast(round(_sq, 2) * 100 as bigint) * 10000
+                div count_order as bigint)""").as("avg_qty_micro"),
+        expr("""cast(cast(round(_sp, 2) * 100 as bigint) * 10000
+                div count_order as bigint)""").as("avg_price_micro"),
+        expr("""cast(cast(round(_sd, 4) * 10000 as bigint) * 100
+                div count_order as bigint)""").as("avg_disc_micro"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q21-shape (extension) — suppliers who kept an order waiting:
+    * the STACKED correlated EXISTS + NOT EXISTS over the same fact
+    * table (the deepest decorrelation shape in the TPC-H suite,
+    * extending c3's single level). The generated lineitem carries no
+    * receipt/commit dates, so "this supplier's line was late" is
+    * surrogated by the returned-flag (`l_returnflag = 'R'`) — the
+    * relational shape is identical: for finished orders, a supplier's
+    * late line counts only if ANOTHER supplier has a line in the same
+    * order (EXISTS → left-semi on l_orderkey with a non-equal
+    * residual) and NO other supplier was also late (NOT EXISTS →
+    * left-anti). Catalyst decorrelates both into hash joins — no
+    * per-row subquery execution. */
+  def qTpchQ21(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM g_supplier s
+        |JOIN g_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN g_orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM g_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin)
+  }
+
   /** C3 (extension) — correlated EXISTS / NOT EXISTS through the SQL
     * entry point: Catalyst decorrelates them into left-semi and
     * left-anti hash joins (no per-row subquery execution — verified in

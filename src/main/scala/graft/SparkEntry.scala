@@ -30,6 +30,8 @@ object SparkEntry {
     "q_tpch_q7"         -> (CoreQueries.qTpchQ7 _),
     "q_tpch_q14"        -> (CoreQueries.qTpchQ14 _),
     "q_tpch_q19"        -> (CoreQueries.qTpchQ19 _),
+    "q_tpch_q1"         -> (CoreQueries.qTpchQ1 _),
+    "q_tpch_q21"        -> (CoreQueries.qTpchQ21 _),
     "c3_exists"         -> (CoreQueries.c3Exists _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
@@ -207,6 +209,53 @@ object SparkEntry {
         |       AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q1" ->
+      """WITH g AS (
+        | SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sp,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS sdp,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) *
+        |    (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS sc,
+        |  SUM(CAST(l_discount AS DECIMAL(6,4))) AS sd,
+        |  COUNT(*) AS count_order
+        | FROM lineitem
+        | WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        | CAST(ROUND(sq, 2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(sp, 2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(sdp, 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(ROUND(sc, 2) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(ROUND(sq, 2) * 100 AS BIGINT) * 10000
+        |      // count_order AS BIGINT) AS avg_qty_micro,
+        | CAST(CAST(ROUND(sp, 2) * 100 AS BIGINT) * 10000
+        |      // count_order AS BIGINT) AS avg_price_micro,
+        | CAST(CAST(ROUND(sd, 4) * 10000 AS BIGINT) * 100
+        |      // count_order AS BIGINT) AS avg_disc_micro,
+        | count_order
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin,
 
     "c3_exists" ->
       """SELECT o_orderkey, o_orderstatus FROM orders o

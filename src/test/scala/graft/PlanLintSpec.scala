@@ -58,6 +58,23 @@ class PlanLintSpec extends SparkTestBase {
     }
   }
 
+  // Q21's stacked EXISTS / NOT EXISTS must stay DECORRELATED — a
+  // left-semi and a left-anti hash join, never per-row subquery
+  // execution; Q1's date filter must reach the parquet scan (the scan
+  // IS that query — an unpushed filter decodes every column of every
+  // row-group at 100 TB).
+  test("tpch q1 pushes its scan filter; q21 decorrelates to semi/anti joins") {
+    val d = "/root/testdata/sf0.001"
+    val q21 = SparkEntry.queries("q_tpch_q21")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(q21.contains("LeftSemi"), "q21: expected a decorrelated left-semi join")
+    assert(q21.contains("LeftAnti"), "q21: expected a decorrelated left-anti join")
+    val q1 = SparkEntry.queries("q_tpch_q1")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "q1: expected the shipdate filter pushed into the parquet scan")
+  }
+
   // The x22-family cap stage must never regress to an unbounded
   // count(*) window frame: that frame forces the reducer to buffer a
   // hot cluster's ENTIRE membership before emitting a row (topic
