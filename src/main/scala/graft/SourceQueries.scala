@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{CsvIngest, SchemaInference, XmlShred}
+import graft.functions.ColumnFunctions.tryBigintGuarded
 
 /** Source/sink operator queries (SURVEY.md §2a): each runs a real
   * ingest path end-to-end — write a derived file/table, read it back
@@ -395,7 +396,10 @@ object SourceQueries {
         variant_get(col("v"), "$.tags[0]", "bigint").as("type_len"),
         variant_get(col("v"), "$.tags[1]", "bigint").as("user_mod7"),
         try_variant_get(col("v"), "$.metrics.absent", "bigint").as("absent"),
-        try_variant_get(col("v"), "$.type", "bigint").as("type_as_num"))
+        // type is string-typed by construction — guarded twin skips
+        // the per-row TRY-cast-failure exception (see tryBigintGuarded)
+        tryBigintGuarded(variant_get(col("v"), "$.type", "string"))
+          .as("type_as_num"))
       // deterministic order comes from the pre-projection sort above
       // (EliminateSorts would keep only a TRAILING sort and re-plan the
       // expensive subtree below it — exactly the shape being avoided)
@@ -451,7 +455,13 @@ object SourceQueries {
         variant_get(col("value"), "$.idx", "bigint").as("idx"),
         variant_get(col("value"), "$.code", "bigint").as("code"),
         variant_get(col("value"), "$.name", "string").as("name"),
-        try_variant_get(col("value"), "$.name", "bigint").as("name_as_num"),
+        // name is string-typed by construction, so the guarded twin
+        // (string get + pre-guarded TRY cast) is exact — and skips the
+        // per-row exception Spark throws for every failing TRY cast
+        // (this one column was 2.1 s of the query's 3.5 s; see
+        // tryBigintGuarded's doc for the measurement)
+        tryBigintGuarded(variant_get(col("value"), "$.name", "string"))
+          .as("name_as_num"),
         try_variant_get(col("value"), "$.missing", "string").as("absent"))
   }
 }

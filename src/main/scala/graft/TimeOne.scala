@@ -185,6 +185,65 @@ object TimeOne {
             .agg(count(lit(1)).as("n_urls"), sum(col("n_raw")).as("total_raw"))
             .join(admitted, Seq("reg_domain"))
         }
+      // v2 dissection — the same stage prefix chain the query runs
+      // (sort → parse barrier → variant explode → typed extraction),
+      // cut after each stage, so the 3.8 s bench cost can be
+      // attributed: "v2scan" pays the narrow scan + global sort,
+      // "v2parse" adds the single-parse barrier (+1 scalar get to
+      // defeat pruning of the variant), "v2explode" adds the
+      // items-array VariantExplode with ordinal only, and the full
+      // query (TimeOne v2_variant_flatten) adds the 5 typed gets.
+      case "v2scan" | "v2parse" | "v2explode" | "v2typed" | "v2try"
+         | "v2tryname" | "v2tryabsent" | "v2trycast" =>
+        def codeOf(i: Int) =
+          pmod(pmod(col("event_id"), lit(1000)) * 7 + lit(i * 13), lit(1000))
+        def elem(i: Int) = concat(
+          lit("{\"idx\":" + i + ",\"code\":"), codeOf(i).cast("string"),
+          lit(",\"name\":\""), col("event_type"), lit("-" + i + "\"}"))
+        val doc = concat(
+          lit("{\"id\":"), col("event_id").cast("string"), lit(",\"items\":["),
+          elem(0),
+          when(pmod(col("user_id"), lit(3)) >= 1, concat(lit(","), elem(1)))
+            .otherwise(lit("")),
+          when(pmod(col("user_id"), lit(3)) >= 2, concat(lit(","), elem(2)))
+            .otherwise(lit("")),
+          lit("]}"))
+        val sorted = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy("event_id")
+        if (name == "v2scan") sorted
+        else {
+          val parsed = sorted.select(col("event_id"),
+            explode(array(parse_json(doc))).as("v"))
+          if (name == "v2parse")
+            parsed.select(col("event_id"),
+              expr("variant_get(v, '$.id', 'bigint')").as("id_back"))
+          else {
+            val ex = parsed.select(col("event_id"), {
+              import org.apache.spark.sql.graft.ColumnShim
+              ColumnShim.column(
+                new org.apache.spark.sql.catalyst.expressions.variant.VariantExplode(
+                  ColumnShim.expression(expr("variant_get(v, '$.items')"))))
+            })
+            name match {
+              case "v2explode" => ex.select(col("event_id"), col("pos"))
+              case "v2typed" => ex.select(col("event_id"),
+                expr("variant_get(value, '$.idx', 'bigint')").as("idx"),
+                expr("variant_get(value, '$.code', 'bigint')").as("code"),
+                expr("variant_get(value, '$.name', 'string')").as("name"))
+              case "v2try" => ex.select(col("event_id"),
+                expr("try_variant_get(value, '$.name', 'bigint')").as("name_as_num"),
+                expr("try_variant_get(value, '$.missing', 'string')").as("absent"))
+              case "v2tryname" => ex.select(col("event_id"),
+                expr("try_variant_get(value, '$.name', 'bigint')").as("name_as_num"))
+              case "v2tryabsent" => ex.select(col("event_id"),
+                expr("try_variant_get(value, '$.missing', 'string')").as("absent"))
+              case "v2trycast" => ex.select(col("event_id"),
+                expr("try_cast(variant_get(value, '$.name', 'string') as bigint)")
+                  .as("name_as_num"))
+            }
+          }
+        }
       // x22's cap stage under a hot-topic distribution: 15M cluster
       // assignments with 40% of vectors on ONE cluster (a dominant
       // topic — the normal case in a crawl; cluster sizes are not

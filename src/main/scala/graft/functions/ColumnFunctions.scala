@@ -24,6 +24,22 @@ object ColumnFunctions {
 
   def tryCast(c: Column, to: String): Column = c.try_cast(to)
 
+  /** String→bigint TRY cast with a numeric-shape pre-guard. Spark
+    * prices a TRY-cast FAILURE as a thrown-and-caught exception PER
+    * ROW (measured ~13 µs/row — 2.1 s of v2_variant_flatten's 3.5 s
+    * was one always-failing try cast over 156k exploded rows; a bare
+    * `try_cast` times identically, so the cost is the failure path,
+    * not the variant machinery). The regex admits exactly the
+    * integral-literal shapes the ANSI cast parses, so guarded-out
+    * rows return the null `try_cast` would have returned without ever
+    * constructing the exception; admitted rows still go through the
+    * real `try_cast` (19-digit strings can exceed Long.MaxValue — the
+    * TRY handles the rare overflow). Use for failure-heavy columns;
+    * success-heavy columns pay an extra ~1 µs regex and should use
+    * `try_cast` directly. */
+  def tryBigintGuarded(c: Column): Column =
+    when(c.rlike("^\\s*[+-]?[0-9]{1,19}\\s*$"), c.try_cast("bigint"))
+
   /** Snowflake TRY_TO_NUMBER(x) → NUMBER(38,0) (BlueForty.py:90-96). */
   def tryToNumber38(c: Column): Column = c.try_cast("decimal(38,0)")
 

@@ -26,6 +26,28 @@ class ColumnFunctionsSpec extends SparkTestBase {
     assert(rows.drop(3).forall(_.isEmpty))
   }
 
+  test("tryBigintGuarded ≡ try_cast(bigint) across the accept/reject matrix") {
+    // The guard exists to skip the per-row exception on FAILING casts
+    // (see its doc); it must never change a result. Matrix covers:
+    // plain/signed/whitespace-wrapped integers (accepted), Long.Max,
+    // Long.Min, 19-digit overflow (guard admits, TRY nulls), decimal
+    // and exponent forms (ANSI integral cast rejects — CLAUDE.md pins
+    // '12.5' nulling), garbage, empty, null.
+    val inputs = Seq("42", "+7", "-13", "  99  ", "9223372036854775807",
+      "-9223372036854775808", "9999999999999999999", "12.5", "1e3",
+      "TYPE-0", "", " ", "abc", null)
+    val df = inputs.toDF("s")
+    val got = df.select(tryBigintGuarded(col("s")).as("g"),
+        col("s").try_cast("bigint").as("t"))
+      .collect()
+    got.zip(inputs).foreach { case (r, in) =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"input '$in': guarded=${r.get(0)} try_cast=${r.get(1)}")
+    }
+    assert(got.count(!_.isNullAt(0)) == 6) // the six integral forms
+  }
+
   test("TRY_TO_NUMBER corner semantics: leading +, spaces, thousands " +
       "separators, fraction-into-int (SURVEY §7 risk list)") {
     def num38(s: String): Option[java.math.BigDecimal] = {
