@@ -982,16 +982,31 @@ object ExtensionQueries {
     * share_ppm = ⌊cnt·10⁶/total⌋, per-doc mean = ⌊Σshare/n_tok⌋ —
     * positive integer division everywhere, engine-portable, no
     * rounding ties. Scale shape: one term-keyed shuffle builds the
-    * vocabulary counts, tokens re-join on term (vocabulary ≪ corpus,
-    * broadcastable in practice), total is a 1-row broadcast; there is
+    * vocabulary counts, tokens re-join on term. The vocab join is
+    * deliberately UNHINTED: a natural-language vocabulary is tiny and
+    * AQE broadcasts it, but the adversarial crawl case (unique-token
+    * spam — random strings, hashes, base64 blobs) makes the
+    * vocabulary O(corpus) and AQE falls back to a shuffle join on the
+    * same term key the vocabulary aggregation already used — correct
+    * at any vocabulary size, never an OOM (the x29 honesty pattern;
+    * T13DegenerateSpec exercises the every-token-unique corpus).
+    * Terms are capped at 64 chars IN BOTH ENGINES (tokenization
+    * semantics, not a hint): an unbounded "token" — a megabyte blob
+    * with no delimiter, the other spam axis — would otherwise become
+    * the shuffle row. Total is a 1-row broadcast; there is
     * deliberately NO corpus-wide rank window (that would be one task
     * sorting the vocabulary) — share-of-total gives the same ordering
     * signal shuffle-free. */
-  def t13TokenRarity(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.wide(Tables.documents(s, d))
+  def t13TokenRarity(s: SparkSession, d: String): DataFrame =
+    t13TokenRarityOn(Tables.wide(Tables.documents(s, d)))
+
+  /** t13's body over an arbitrary (doc_id, text) corpus — shared with
+    * the degenerate-corpus spec. */
+  private[graft] def t13TokenRarityOn(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(col("term") =!= "")
+      .filter(col("term") =!= "" && length(col("term")) <= 64)
     val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
     val stats = tok.agg(count(lit(1)).as("total"))
     tok.join(vocab, Seq("term"))
@@ -2367,7 +2382,8 @@ object ExtensionQueries {
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
         |    AS term FROM documents),
-        |tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tokf AS (SELECT doc_id, term FROM tok
+        |         WHERE term <> '' AND length(term) <= 64),
         |vocab AS (SELECT term, COUNT(*) AS cnt FROM tokf GROUP BY term),
         |n AS (SELECT COUNT(*) AS total FROM tokf),
         |scored AS (

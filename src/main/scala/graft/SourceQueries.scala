@@ -151,6 +151,30 @@ object SourceQueries {
     * layout lets a month-bounded variant prune at file-listing time. */
   def s2StagedPartitions(s: SparkSession, d: String): DataFrame = {
     import CsvIngest._
+    val stageRoot = s2Stage(s, d)
+    readPositionalWithMeta(s, s"$stageRoot/*/*/*.csv")
+      .select(
+        pos(1).try_cast("bigint").as("o_orderkey"),
+        pos(3).try_cast("decimal(18,4)").as("price"),
+        col("SRC_FILENAME").as("src_filename"))
+      .groupBy(
+        regexp_extract(col("src_filename"), raw"purchases_(\d{4})_(\d{2})", 1)
+          .cast("int").as("yr"),
+        regexp_extract(col("src_filename"), raw"purchases_(\d{4})_(\d{2})", 2)
+          .cast("int").as("mo"),
+        col("src_filename"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price")), 2).cast("double").as("total"))
+      .orderBy("yr", "mo")
+  }
+
+  /** S2's export → landing-rename → stage chain, returning the stage
+    * root (shared with the pruning proof in PlanLintSpec: a
+    * month-bounded glob over the returned `yyyy/mm/` tree must list
+    * exactly that month's file). */
+  private[graft] def s2Stage(s: SparkSession,
+      d: String): java.nio.file.Path = {
+    import CsvIngest._
     import java.nio.file.{Files, Path, Paths}
     val exportDir = Paths.get(tmpDir("graft_stage_export"))
     val landing   = Paths.get(tmpDir("graft_stage_landing"))
@@ -186,20 +210,7 @@ object SourceQueries {
       } finally dirs.close()
     }
     stageFiles(landed, stageRoot)               // → <stage>/yyyy/mm/…
-    readPositionalWithMeta(s, s"$stageRoot/*/*/*.csv")
-      .select(
-        pos(1).try_cast("bigint").as("o_orderkey"),
-        pos(3).try_cast("decimal(18,4)").as("price"),
-        col("SRC_FILENAME").as("src_filename"))
-      .groupBy(
-        regexp_extract(col("src_filename"), raw"purchases_(\d{4})_(\d{2})", 1)
-          .cast("int").as("yr"),
-        regexp_extract(col("src_filename"), raw"purchases_(\d{4})_(\d{2})", 2)
-          .cast("int").as("mo"),
-        col("src_filename"))
-      .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("price")), 2).cast("double").as("total"))
-      .orderBy("yr", "mo")
+    stageRoot
   }
 
   /** S10 — TSV gazetteer read (BlueForty.py:392-422): export a

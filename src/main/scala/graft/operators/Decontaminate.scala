@@ -69,6 +69,17 @@ object Decontaminate {
       bf.writeTo(out)
       out.toByteArray
     }
+    // The literal path has a hard ceiling: the serialized sketch
+    // (~1.2 MB at the 2^20/0.01 defaults, linear in expectedGrams) is
+    // carried in EVERY serialized plan fragment, explain string and
+    // event-log entry. 32 MB (expectedGrams ≈ 2.8e7 at fpp=0.01) is
+    // far past any benchmark-contamination set; beyond that, feed the
+    // sketch the way Spark's own runtime bloom join does — a scalar
+    // subquery evaluated once and broadcast — instead of a literal.
+    require(sketchBytes.length <= (32 << 20),
+      s"serialized bloom sketch is ${sketchBytes.length} B; the plan-literal " +
+        "path is capped at 32 MB — lower expectedGrams or feed the sketch " +
+        "via a scalar-subquery/broadcast expression")
     corpus.select(col(idCol),
         explode(TextAnalysis.wordShingleHashesNative(col(textCol), n))
           .as("h"))

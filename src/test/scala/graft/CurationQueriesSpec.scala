@@ -9,6 +9,40 @@ class CurationQueriesSpec extends SparkTestBase {
 
   private val d = "/root/testdata/sf0.001"
 
+  // The adversarial crawl case t13's doc claims to survive: a corpus
+  // of unique-token spam, where the vocabulary is O(corpus) and any
+  // forced-broadcast vocab join would OOM at scale. The unhinted join
+  // must stay correct (AQE picks the strategy) — values checked from
+  // first principles: 1000 singleton tokens → share_ppm = 10⁶·1 div
+  // 1000 = 1000, every token rare (200·1 < 1000).
+  test("t13 degenerate corpus: every token unique (vocabulary = corpus)") {
+    import spark.implicits._
+    def w(i: Int): String = {
+      var n = i; val sb = new StringBuilder("t")
+      do { sb.append(('a' + n % 26).toChar); n /= 26 } while (n > 0)
+      sb.toString
+    }
+    val docs = (0 until 200)
+      .map(d => (d.toLong, (0 until 5).map(k => w(d * 5 + k)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = ExtensionQueries.t13TokenRarityOn(docs).collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      assert(r.getLong(1) == 5 && r.getLong(2) == 1000 && r.getLong(3) == 5,
+        s"doc ${r.getLong(0)}: $r")
+    }
+  }
+
+  // The other spam axis: a delimiterless blob must not become the
+  // shuffle row — the 64-char tokenization cap (stated in BOTH
+  // engines' tokenizers) drops it.
+  test("t13 length cap drops a delimiterless blob token") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb " + "c" * 100)).toDF("doc_id", "text")
+    val r = ExtensionQueries.t13TokenRarityOn(docs).head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 500000 && r.getLong(3) == 0)
+  }
+
   test("x19: every distinct chunk is kept exactly once, globally") {
     val out = ExtensionQueries.x19PassageDedup(spark, d)
     val totalKept = out.agg(sum("n_kept")).head().getLong(0)

@@ -11,26 +11,51 @@ class NativeTwinSpec extends SparkTestBase {
   private val d = "/root/testdata/sf0.001"
   private val eps = 2e-6 // DECIMAL(9,6) quantization + 6dp rounding
 
-  test("x5n native LSH top-k returns x5b's exact ids, cos within eps") {
+  // Set membership is decided at hard boundaries (a cos threshold, a
+  // top-k rank cut) where the float and decimal paths can legitimately
+  // land on opposite sides within eps — a fixture regeneration that
+  // puts a pair near a boundary must not fail the twin contract. So:
+  // every DISAGREEMENT must be a boundary pair (within eps of the
+  // decision value), and every agreement must score within eps.
+  private def assertTwinSets(exact: Map[(Long, Long), Double],
+      native: Map[(Long, Long), Double],
+      boundaryOf: ((Long, Long)) => Double): Unit = {
+    (exact.keySet diff native.keySet).foreach { k =>
+      assert(math.abs(exact(k) - boundaryOf(k)) <= eps,
+        s"$k only in exact (cos=${exact(k)}) and not a boundary pair")
+    }
+    (native.keySet diff exact.keySet).foreach { k =>
+      assert(math.abs(native(k) - boundaryOf(k)) <= eps,
+        s"$k only in native (cos=${native(k)}) and not a boundary pair")
+    }
+    val common = exact.keySet intersect native.keySet
+    // the twin contract is vacuous if boundary-tolerance eats the set
+    assert(common.size * 10 >= exact.size * 9, "twin sets diverge broadly")
+    common.foreach { k =>
+      assert(math.abs(native(k) - exact(k)) <= eps,
+        s"$k: native=${native(k)} exact=${exact(k)}")
+    }
+  }
+
+  test("x5n native LSH top-k returns x5b's exact ids, cos within eps " +
+      "(rank-cut boundary pairs tolerated)") {
     val exact = ExtensionQueries.x5bAnnLshTopK(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val native = ExtensionQueries.x5nAnnLshNative(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(native.keySet === exact.keySet)
-    native.foreach { case (k, c) =>
-      assert(math.abs(c - exact(k)) <= eps, s"$k: native=$c exact=${exact(k)}")
-    }
+    // the decision value for a top-k cut is the kth-best (= minimum
+    // kept) score of that query id
+    val kth = exact.groupBy(_._1._1).map { case (q, m) => q -> m.values.min }
+    assertTwinSets(exact, native, k => kth.getOrElse(k._1, Double.NaN))
   }
 
-  test("x6n native near-dup returns x6's exact pair set, cos within eps") {
+  test("x6n native near-dup returns x6's exact pair set, cos within eps " +
+      "(threshold-boundary pairs tolerated)") {
     val exact = ExtensionQueries.x6EmbeddingNearDup(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val native = ExtensionQueries.x6nNearDupNative(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(native.keySet === exact.keySet)
-    native.foreach { case (k, c) =>
-      assert(math.abs(c - exact(k)) <= eps, s"$k: native=$c exact=${exact(k)}")
-    }
+    assertTwinSets(exact, native, _ => 0.99) // the x6 admit threshold
   }
 
   test("x22b native centroid assignment reproduces x22 byte-for-byte") {

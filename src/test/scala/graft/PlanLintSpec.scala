@@ -58,6 +58,54 @@ class PlanLintSpec extends SparkTestBase {
     }
   }
 
+  // S2/S3's month pruning, proven at both layers a 100 TB stage needs:
+  // (1) the reference's own `yyyy/mm/` landing layout prunes at
+  // FILE-LISTING time — a month-bounded glob lists exactly that
+  // month's file, never touching the rest of the tree; (2) the
+  // hive-partitioned parquet layout the Spark-native deployment
+  // writes (s17's cousin) prunes INSIDE Catalyst — the month
+  // predicate must show up as PartitionFilters on the scan with a
+  // pruned selectedPartitions file count, not as a post-scan filter
+  // over every file.
+  test("s2 month predicate prunes: glob at listing time, PartitionFilters on hive layout") {
+    import org.apache.spark.sql.functions.{col, year, month}
+    val d = "/root/testdata/sf0.001"
+    val root = SourceQueries.s2Stage(spark, d)
+    val full = graft.sources.CsvIngest
+      .readPositionalWithMeta(spark, s"$root/*/*/*.csv")
+    val nFull = full.inputFiles.length
+    assert(nFull > 1, s"stage tree should hold many months, got $nFull files")
+    val monthRe = raw".*/(\d{4})/(\d{2})/[^/]+$$".r
+    val (yy, mm) = full.inputFiles.head match {
+      case monthRe(y, mo) => (y, mo)
+    }
+    val bounded = graft.sources.CsvIngest
+      .readPositionalWithMeta(spark, s"$root/$yy/$mm/*.csv")
+    assert(bounded.inputFiles.length == 1,
+      s"month-bounded glob listed ${bounded.inputFiles.length} files")
+
+    val hiveDir = java.nio.file.Files.createTempDirectory("graft_hive").toString
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .write.mode("overwrite").partitionBy("yr", "mo").parquet(hiveDir)
+    val all = spark.read.parquet(hiveDir)
+    val r0 = all.select("yr", "mo").head()
+    val pruned = all.filter(col("yr") === r0.getInt(0) && col("mo") === r0.getInt(1))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScan in plan"))
+    val scan = scanOf(pruned)
+    assert(scan.toString.contains("PartitionFilters: [isnotnull(yr"),
+      s"expected the month predicate as PartitionFilters, got:\n$scan")
+    val prunedFiles = scan.selectedPartitions.totalNumberOfFiles
+    val totalFiles = scanOf(all).selectedPartitions.totalNumberOfFiles
+    assert(prunedFiles < totalFiles && prunedFiles >= 1,
+      s"pruned=$prunedFiles total=$totalFiles")
+  }
+
   // Q21's stacked EXISTS / NOT EXISTS must stay DECORRELATED — a
   // left-semi and a left-anti hash join, never per-row subquery
   // execution; Q1's date filter must reach the parquet scan (the scan
