@@ -1324,16 +1324,19 @@ object ExtensionQueries {
       .orderBy(Sampling.minstdHash(col("vec_id")), col("vec_id"))
     // counts is O(clusters) rows of two longs — a fixed-K codebook at
     // production scale — so the per-row n_members attach is an
-    // explicit broadcast, never a shuffle
-    val keptAgg = spread.withColumn("pos", row_number().over(wCap))
+    // explicit broadcast, never a shuffle. The cap condition lives
+    // INSIDE the aggregate (conditional sums), not a filter + second
+    // join back: every cluster keeps its output row (n_kept = 0 for
+    // singletons) without a left join, and the aggregate streams over
+    // the window's sorted output with O(1) state per cluster.
+    spread.withColumn("pos", row_number().over(wCap))
       .join(broadcast(counts), Seq("cluster_id"))
-      .filter(col("pos") * 2 <= col("n_members"))
       .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum"))
-    counts.join(keptAgg, Seq("cluster_id"), "left")
-      .select(col("cluster_id"), col("n_members"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .agg(max(col("n_members")).as("n_members"),
+        sum(when(col("pos") * 2 <= col("n_members"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("pos") * 2 <= col("n_members"), col("vec_id"))
+          .otherwise(0L)).as("kept_id_sum"))
       .orderBy("cluster_id")
   }
 
