@@ -392,6 +392,82 @@ object CoreQueries {
         |LIMIT 100""".stripMargin)
   }
 
+  /** Q13-shape (extension) — customer order-count distribution: the
+    * canonical LEFT OUTER + double aggregation (customers with ZERO
+    * orders must survive into the c_count=0 bucket, which an inner
+    * join silently drops — the classic reporting bug this shape
+    * exists to catch). The join-side exclusion predicate (TPC-H
+    * filters o_comment; this corpus carries none, so the surrogate is
+    * the non-urgent priority) belongs to the JOIN, not a WHERE — a
+    * WHERE would turn the outer join back into an inner one. */
+  def qTpchQ13(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count() skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q17-shape (extension) — small-quantity-order revenue: the
+    * CORRELATED SCALAR subquery (per-part average quantity) every
+    * "below this key's own average" filter takes, decorrelated into
+    * ONE per-partkey aggregate + join (a twin sum/count-subquery
+    * variant was tried first for decimal exactness, but Catalyst
+    * plans the two correlated subqueries as two full lineitem
+    * aggregate passes — double the fact-table scan at 100 TB).
+    * Exactness holds anyway: quantities are integral, so SUM and
+    * COUNT are exact in double at any summation order and the single
+    * avg division is one IEEE op both engines compute identically —
+    * the decision boundary cannot diverge. (This argument does NOT
+    * transfer to 2-dp money columns — see q22's multiplied-out
+    * form.) */
+  def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+    s.sql(
+      """SELECT
+        | CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |   * 100 AS BIGINT) div 7 AS BIGINT) AS avg_yearly_cents,
+        | COUNT(*) AS n_lines
+        |FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1' AND p.p_size < 10
+        |  AND l.l_quantity * 5 <
+        |      (SELECT SUM(l2.l_quantity) / COUNT(*) FROM g_lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  /** Q22-shape (extension) — idle rich customers: UNCORRELATED scalar
+    * subqueries (global positive-balance average, multiplied out the
+    * Q17 way so the boundary stays DECIMAL-exact) stacked with a NOT
+    * EXISTS anti join, grouped by nation (TPC-H's phone cntrycode;
+    * this corpus carries no phone column). "Idle" is no URGENT order
+    * — every customer in every generated SF has some order, so the
+    * literal no-orders predicate would make the oracle row vacuously
+    * empty. */
+  def qTpchQ22(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    s.sql(
+      """SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        | CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS totacctbal
+        |FROM g_customer c
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) *
+        |      (SELECT COUNT(*) FROM g_customer c2 WHERE c2.c_acctbal > 0)
+        |    > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+        |       FROM g_customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM g_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_nationkey
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   /** C3 (extension) — correlated EXISTS / NOT EXISTS through the SQL
     * entry point: Catalyst decorrelates them into left-semi and
     * left-anti hash joins (no per-row subquery execution — verified in

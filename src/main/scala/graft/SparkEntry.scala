@@ -32,6 +32,9 @@ object SparkEntry {
     "q_tpch_q19"        -> (CoreQueries.qTpchQ19 _),
     "q_tpch_q1"         -> (CoreQueries.qTpchQ1 _),
     "q_tpch_q21"        -> (CoreQueries.qTpchQ21 _),
+    "q_tpch_q13"        -> (CoreQueries.qTpchQ13 _),
+    "q_tpch_q17"        -> (CoreQueries.qTpchQ17 _),
+    "q_tpch_q22"        -> (CoreQueries.qTpchQ22 _),
     "c3_exists"         -> (CoreQueries.c3Exists _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
@@ -238,6 +241,42 @@ object SparkEntry {
         |      // count_order AS BIGINT) AS avg_disc_micro,
         | count_order
         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        | FROM customer c LEFT JOIN orders o
+        |   ON c.c_custkey = o.o_custkey
+        |   AND o.o_orderpriority <> '1-URGENT'
+        | GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT
+        | CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+        |   * 100 AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents,
+        | COUNT(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1' AND p.p_size < 10
+        |  AND l.l_quantity * 5 <
+        |      (SELECT SUM(l2.l_quantity) / COUNT(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        | CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) *
+        |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+        |    > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+        |       FROM customer c2 WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_nationkey
+        |ORDER BY cntrycode""".stripMargin,
 
     "q_tpch_q21" ->
       """SELECT s.s_name, COUNT(*) AS numwait

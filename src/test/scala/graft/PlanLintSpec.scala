@@ -23,6 +23,8 @@ class PlanLintSpec extends SparkTestBase {
     "x25_heavy_hitters",   // Misra-Gries merge: one row, O(k) state, broadcast
     "st6_heavy_hitters",   // 4-row shard-sketch merge: one row, O(shards·k)
     "q_tpch_q19",          // single-row global revenue agg: 1-row merge
+    "q_tpch_q17",          // single-row global revenue agg: 1-row merge
+    "q_tpch_q22",          // scalar-subquery global sum/count: 1-row merges
     "t12_tfidf_keywords",  // corpus doc count N: one row, broadcast
     "a16_constraint_audit", // per-table audit aggregates: one row each
     "a17_corr_matrix",     // 14 exact moments: one row, unpivoted to 6 pairs
@@ -121,6 +123,16 @@ class PlanLintSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       "q1: expected the shipdate filter pushed into the parquet scan")
+    val q22 = SparkEntry.queries("q_tpch_q22")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(q22.contains("LeftAnti"), "q22: expected a decorrelated left-anti join")
+    // q17's correlated avg must stay ONE lineitem aggregate + join —
+    // the twin-subquery form planned two full fact-table passes
+    val q17 = SparkEntry.queries("q_tpch_q17")(spark, d)
+      .queryExecution.executedPlan.toString
+    val aggScans = q17.split("Scan parquet").length - 1
+    assert(aggScans <= 3, // lineitem (fact), part, lineitem (stats) — never 4+
+      s"q17: expected at most 3 parquet scans, got $aggScans")
   }
 
   // The x22-family cap stage must never regress to an unbounded
