@@ -252,7 +252,7 @@ object TimeOne {
       // one shared exchange); "x22stress_win" the round-4 shape whose
       // unbounded count(*) frame buffers the hot cluster's entire 6M
       // membership in one reducer before emitting a row.
-      case "x22stress" | "x22stress_win" =>
+      case "x22stress" | "x22stress_win" | "x22stress_shard" =>
         val assigned = Tables.orders(spark, sfDir)
           .select(col("o_orderkey").as("k0"))
           .select(col("k0"), explode(sequence(lit(0), lit(99))).as("c"))
@@ -263,6 +263,8 @@ object TimeOne {
           .repartition(spark.sparkContext.defaultParallelism)
         if (name == "x22stress")
           ExtensionQueries.capHalfPerCluster(assigned)
+        else if (name == "x22stress_shard")
+          ExtensionQueries.capHalfPerClusterSharded(assigned, 8)
         else {
           val wCap = org.apache.spark.sql.expressions.Window
             .partitionBy("cluster_id")

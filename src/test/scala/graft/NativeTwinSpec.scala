@@ -58,6 +58,20 @@ class NativeTwinSpec extends SparkTestBase {
     assertTwinSets(exact, native, _ => 0.99) // the x6 admit threshold
   }
 
+  test("x22c sharded cap keeps within [⌊n/2⌋−shards/2, ⌊n/2⌋] of every cluster") {
+    val exact = ExtensionQueries.x22bTopicBalanceNative(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sharded = ExtensionQueries.x22cTopicBalanceSharded(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sharded.keySet === exact.keySet)
+    sharded.foreach { case (c, (n, kept)) =>
+      val (nExact, keptExact) = exact(c)
+      assert(n == nExact, s"cluster $c: n_members $n != $nExact")
+      assert(kept <= keptExact, s"cluster $c: sharded kept MORE ($kept > $keptExact)")
+      assert(kept * 2 >= n - 8, s"cluster $c: sharded kept too few ($kept of $n)")
+    }
+  }
+
   test("x22b native centroid assignment reproduces x22 byte-for-byte") {
     // cap stage is integer arithmetic: once the argmax agrees the whole
     // row is integer-equal, so this can demand full equality
