@@ -9,6 +9,35 @@ class CurationQueriesSpec extends SparkTestBase {
 
   private val d = "/root/testdata/sf0.001"
 
+  // Property pin for round 5's cap-stage refactor: capHalfPerCluster
+  // must equal the brute-force definition — sort each cluster's
+  // members by (minstd(vec_id), vec_id), keep the first ⌊n/2⌋ — on
+  // adversarial shapes (a dominant cluster, singletons, empty-keep
+  // two-member clusters).
+  test("capHalfPerCluster equals the brute-force ⌊n/2⌋ prefix, incl. a hot cluster") {
+    import spark.implicits._
+    // 40% of ids on cluster 0, rest spread thin (many 1-2 member
+    // clusters — the n_kept=0 edge)
+    val ids = (1L to 500L)
+    val assigned = ids.map(i => (i, if (i % 5 < 2) 0L else i % 211))
+      .toDF("vec_id", "cluster_id")
+    val h = assigned
+      .select(col("vec_id"),
+        graft.operators.Sampling.minstdHash(col("vec_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = ids.map(i => (i, if (i % 5 < 2) 0L else i % 211))
+      .groupBy(_._2).map { case (c, members) =>
+        val order = members.map(_._1).sortBy(v => (h(v), v))
+        val kept = order.take(order.size / 2)
+        c -> (order.size.toLong, kept.size.toLong, kept.sum)
+      }
+    val got = ExtensionQueries.capHalfPerCluster(assigned).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expect)
+    assert(got.values.exists(_._2 == 0L), "fixture should include n_kept=0 clusters")
+  }
+
   // The adversarial crawl case t13's doc claims to survive: a corpus
   // of unique-token spam, where the vocabulary is O(corpus) and any
   // forced-broadcast vocab join would OOM at scale. The unhinted join

@@ -48,6 +48,27 @@ class ColumnFunctionsSpec extends SparkTestBase {
     assert(got.count(!_.isNullAt(0)) == 6) // the six integral forms
   }
 
+  test("property: tryBigintGuarded ≡ try_cast(bigint) on random strings") {
+    // the matrix test pins the known corners; this hammers the guard
+    // with adversarial near-numeric garbage (digits, signs, spaces,
+    // dots, exponent chars, unicode) — any divergence from try_cast
+    // is a bug in the guard regex, whichever way it falls
+    val numericish = Gen.listOf(Gen.oneOf(
+      Gen.numChar, Gen.oneOf('+', '-', ' ', '.', 'e', 'E', '_', ',', '\t',
+        '0', '9', 'a', '∞', '١'))).map(_.mkString)
+    forAllSeeded(Gen.listOfN(64, numericish), 8) { batch =>
+      val rows = batch.toDF("s")
+        .select(tryBigintGuarded(col("s")).as("g"),
+          col("s").try_cast("bigint").as("t"))
+        .collect()
+      rows.zip(batch).foreach { case (r, in) =>
+        assert(r.isNullAt(0) == r.isNullAt(1) &&
+          (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+          s"input '$in': guarded=${r.get(0)} try_cast=${r.get(1)}")
+      }
+    }
+  }
+
   test("TRY_TO_NUMBER corner semantics: leading +, spaces, thousands " +
       "separators, fraction-into-int (SURVEY §7 risk list)") {
     def num38(s: String): Option[java.math.BigDecimal] = {
