@@ -36,4 +36,42 @@ class HierarchySpec extends SparkTestBase {
     val out = resolve(Seq(5L, 6L), Seq.empty)
     assert(out === Map(5L -> ((5L, 0L)), 6L -> ((6L, 0L))))
   }
+
+  test("convergence early-exit: a generous rounds ceiling is not paid") {
+    // depth-3 tree: covered after round 2, round 3 advances nobody →
+    // loop ends. AQE splits every action into several Spark jobs, so
+    // absolute job counts are unstable — instead measure the SAME
+    // resolution with the minimal ceiling (3) and with a generous one
+    // (20): early exit means the generous run costs at most one extra
+    // zero-advance probe round, never 17 extra rounds.
+    def countJobs(thunk: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val _ = jobs.incrementAndGet()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { thunk; Thread.sleep(2000) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    def run(rounds: Int): Map[Long, (Long, Long)] =
+      Hierarchy.resolveToRoot(
+          (0L to 7L).toDF("id"), "id",
+          (1L to 7L).map(i => i -> (i - 1) / 2).toDF("child", "parent"),
+          "child", "parent", rounds = rounds)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    var outMin: Map[Long, (Long, Long)] = null
+    var outGen: Map[Long, (Long, Long)] = null
+    val jobsMin = countJobs { outMin = run(3) }
+    val jobsGen = countJobs { outGen = run(20) }
+    assert(outGen === outMin)
+    assert(outGen(7L) === ((0L, 3L))) // deepest leaf: 7→3→1→0
+    assert(outGen(0L) === ((0L, 0L)))
+    assert(jobsGen <= jobsMin + 6,
+      s"generous ceiling ran $jobsGen jobs vs minimal $jobsMin — early exit broken?")
+  }
 }
