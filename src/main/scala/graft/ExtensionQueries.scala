@@ -1256,6 +1256,39 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** X30 — language-balanced token budget: the multilingual mixture
+    * step a training-data pipeline runs right after language ID — cap
+    * every DETECTED language at 50% of its token mass, admitting
+    * documents in deterministic minstd order. This is x20's proven
+    * budget machinery with the mixture key produced by the engine
+    * itself (t2's stopword language ID) instead of a source label:
+    * langID is map-only, so the composition adds NO shuffle beyond
+    * x20's one language-keyed exchange. Language is the canonical
+    * HOT-key mixture axis ('en' is half of any web crawl) — the safe
+    * case for the running-frame budget window (per-task state is one
+    * running sum after the per-language sort; an unbounded frame here
+    * would buffer half the crawl — the x22 lesson, pinned by
+    * PlanLintSpec for this family). */
+  def x30LanguageBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.wordCount(col("text")).as("n_tok"),
+        Sampling.minstdHash(col("doc_id")).as("h"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = docs.groupBy("lang").agg(sum("n_tok").as("total_tokens"))
+    docs.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("kept", col("cum_tok") * 2 <= col("total_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        max(col("total_tokens")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** Topic balancing (SemDeDup-lite) — assign every embedding to its
     * nearest deterministic centroid (every 20th vector), then cap each
     * topic cluster at 50% membership in reproducible minstd order: the
@@ -1757,6 +1790,28 @@ object ExtensionQueries {
         | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
         | CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "x30_language_budget" ->
+      s"""WITH s AS ($langScoreSql),
+        |d AS (SELECT doc_id,
+        |        CASE WHEN s_en > 0 AND s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en'
+        |             WHEN s_fr > 0 AND s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr'
+        |             WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
+        |             WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
+        |             ELSE 'und' END AS lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |        (doc_id * 48271) % 2147483647 AS h
+        |      FROM s),
+        |c AS (SELECT *,
+        |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+        |        SUM(n_tok) OVER (PARTITION BY lang) AS total_tokens
+        |      FROM d)
+        |SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+        | CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x22_topic_balance" ->
       """WITH e AS (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) v FROM
@@ -2656,6 +2711,7 @@ object ExtensionQueries {
     "x18_incremental_upsert" -> (x18IncrementalUpsert _),
     "x19_passage_dedup"      -> (x19PassageDedup _),
     "x20_source_budget"      -> (x20SourceBudget _),
+    "x30_language_budget"    -> (x30LanguageBudget _),
     "t10_name_match"         -> (t10NameMatch _),
     "t11_bm25_topk"          -> (t11Bm25TopK _),
     "x25_heavy_hitters"      -> (x25HeavyHitters _),
