@@ -147,7 +147,8 @@ class PlanLintSpec extends SparkTestBase {
     val d = "/root/testdata/sf0.001"
     val all = SparkEntry.queries ++ SparkEntry.benchOnly
     for (name <- Seq("x22_topic_balance", "x22b_topic_native",
-        "x20_source_budget", "x28_domain_budget")) {
+        "x22c_topic_sharded", "x20_source_budget", "x28_domain_budget",
+        "x30_language_budget")) {
       val plan = all(name)(spark, d).queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("unboundedfollowing"),
         s"$name: unbounded window frame in the physical plan")
