@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import graft.streaming.{EventSessions, EventWindows, StreamCurate, StreamEnrich}
+import graft.streaming.{EventSessions, EventWindows, StreamBudget, StreamCurate, StreamEnrich}
 
 /** LLM-training-data pipeline extension queries (BASELINE.json
   * north-star: dedup, similarity search, multimodal columns, text
@@ -819,6 +819,32 @@ object ExtensionQueries {
     * merges through one single-row agg (whitelisted SinglePartition:
     * O(shards·k) state) so the sketch subtree evaluates once and
     * candidates carry the exact global total, as x25. */
+  /** ST7's batch twin — per-key streaming admission control,
+    * driver-visible: the ABSOLUTE-cap prefix-cut budget
+    * ([[graft.streaming.StreamBudget]]) applied to the event stream
+    * in (event-time, id) order, rolled up per key. The batch window
+    * and the streaming `flatMapGroupsWithState` form compute the SAME
+    * running total (admitted or not, every arrival counts — the x20
+    * arithmetic with a constant cap instead of a mass fraction), so
+    * row-level parity is asserted in StreamBudgetSpec including state
+    * carried across triggers, and this aggregate twin gives the
+    * oracle row. Tokens are exact integer 1e-4 units of `value` —
+    * no double sums anywhere near the cap boundary. */
+  def st7BudgetTwin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type").as("key"),
+      col("event_id").as("doc_id"),
+      (col("value").cast("decimal(18,4)") * 10000).cast("bigint").as("n_tok"),
+      col("ts"))
+    StreamBudget.batch(ev, 50000000L)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), col("n_tok")).otherwise(0L)).as("admitted_tok"),
+        max(col("cum_tok")).as("total_tok"))
+      .orderBy("key")
+  }
+
   def st6HeavyHittersBatch(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.wide(Tables.documents(s, d))
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
@@ -2670,6 +2696,20 @@ object ExtensionQueries {
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
+    "st7_stream_budget" ->
+      """WITH e AS (SELECT event_type AS key, event_id AS doc_id,
+        |        CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS n_tok,
+        |        ts FROM events),
+        |c AS (SELECT *,
+        |        SUM(n_tok) OVER (PARTITION BY key ORDER BY ts, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |      FROM e)
+        |SELECT key, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN cum_tok <= 50000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        | CAST(SUM(CASE WHEN cum_tok <= 50000000 THEN n_tok ELSE 0 END) AS BIGINT) AS admitted_tok,
+        | CAST(MAX(cum_tok) AS BIGINT) AS total_tok
+        |FROM c GROUP BY key ORDER BY key""".stripMargin,
+
     "st1_event_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
         | event_type, COUNT(*) AS n,
@@ -2731,6 +2771,7 @@ object ExtensionQueries {
     "m3_frame_manifest"      -> (m3FrameManifest _),
     "j6b_skew_salted"        -> (j6bSkewSalted _),
     "st1_event_window"       -> (st1EventWindow _),
+    "st7_stream_budget"      -> (st7BudgetTwin _),
     "st2_sessionize"         -> (st2Sessionize _),
     "st4_stream_curate"      -> (st4StreamCurate _),
     "st5_stream_enrich"      -> (st5StreamEnrich _),
