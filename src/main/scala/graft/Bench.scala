@@ -10,10 +10,16 @@ import org.apache.spark.sql.SparkSession
   *    projections and full column decode are all paid (a bare count()
   *    lets Catalyst prune most of the plan);
   *  - one warmup query first (JIT + codegen + FS metadata caches), its
-  *    time excluded, then each query timed twice and the minimum
+  *    time excluded, then each query timed THREE times and the minimum
   *    reported — warm latency, which is stable under the host
   *    contention this shared container sees (single-shot numbers
-  *    swing ±2–3× with load average);
+  *    swing ±2–3× with load average). Two reps were not enough: a
+  *    query's first rep pays its own codegen+shuffle warmup, so when
+  *    host contention spans both reps the min was still a cold-path
+  *    artifact (round 5's phantom t5 "regression": driver 3.71 s,
+  *    quiet-host warm truth 1.8 s). Rep 1 is effectively the query's
+  *    private warmup; the min of reps 2-3 is what a TimeOne
+  *    spot-check reproduces;
   *  - AQE on (runtime shuffle coalescing + skew splitting), shuffle
   *    partitions sized to the core count (local mode: no reason for
   *    200-partition default).
@@ -49,9 +55,10 @@ object Bench {
       }
     }
     val results = all.keys.toSeq.sorted.map { name =>
-      val a = timed(name)
-      val b = if (a >= 0) timed(name) else -1.0
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val r1 = timed(name)
+      val r2 = if (r1 < 0) -1.0 else timed(name)
+      val r3 = if (r2 < 0) -1.0 else timed(name)
+      name -> (if (r3 < 0) -1.0 else Seq(r1, r2, r3).min)
     }
     // 3-decimal times keep the per-query line ~3 KB (full-precision
     // doubles once overflowed the driver's stdout capture window and

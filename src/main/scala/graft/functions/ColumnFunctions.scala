@@ -36,9 +36,21 @@ object ColumnFunctions {
     * real `try_cast` (19-digit strings can exceed Long.MaxValue — the
     * TRY handles the rare overflow). Use for failure-heavy columns;
     * success-heavy columns pay an extra ~1 µs regex and should use
-    * `try_cast` directly. */
+    * `try_cast` directly.
+    *
+    * Shape notes (each spec-pinned against plain try_cast):
+    *  - leading zeros don't count toward the 19-digit cap
+    *    ('0…042' parses however many zeros pad it), so the guard
+    *    strips `0*` before counting significant digits;
+    *  - the ANSI cast trims Character.isWhitespace ∪ isISOControl at
+    *    both ends (UTF8String.trimAll), which is wider than regex \s —
+    *    the guard's edge class is javaWhitespace + \x00-\x1F\x7F-\x9F
+    *    to admit exactly what the cast would trim. */
+  private val bigintShape =
+    "^[\\p{javaWhitespace}\\x00-\\x1f\\x7f-\\x9f]*[+-]?0*[0-9]{1,19}" +
+      "[\\p{javaWhitespace}\\x00-\\x1f\\x7f-\\x9f]*$"
   def tryBigintGuarded(c: Column): Column =
-    when(c.rlike("^\\s*[+-]?[0-9]{1,19}\\s*$"), c.try_cast("bigint"))
+    when(c.rlike(bigintShape), c.try_cast("bigint"))
 
   /** Snowflake TRY_TO_NUMBER(x) → NUMBER(38,0) (BlueForty.py:90-96). */
   def tryToNumber38(c: Column): Column = c.try_cast("decimal(38,0)")

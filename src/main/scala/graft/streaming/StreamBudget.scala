@@ -53,7 +53,14 @@ object StreamBudget {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, docs: Iterator[BudgetDoc], state: GroupState[Long]) =>
           var cum = state.getOption.getOrElse(0L)
-          val out = docs.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).map { d =>
+          // (getTime, getNanos) is Timestamp's full natural order —
+          // getTime alone is millisecond-truncated, and Tables.events
+          // carries µs timestamps: two same-key events inside one
+          // millisecond whose doc_id order opposes their µs order
+          // would be admitted in a different order than the batch
+          // twin's (ts, doc_id) window (spec-pinned, sub-ms fixture).
+          val out = docs.toSeq
+            .sortBy(d => (d.ts.getTime, d.ts.getNanos, d.doc_id)).map { d =>
             cum += d.n_tok
             BudgetAdmit(key, d.doc_id, d.n_tok, cum, cum <= capTokens)
           }

@@ -168,8 +168,12 @@ class PlanLintSpec extends SparkTestBase {
   test("join-back queries reuse the shared exchange at runtime") {
     val d = "/root/testdata/sf0.001"
     val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    // x29's repartition + min(doc_id)*0 guard and x22c's shared
+    // explicit exchange exist precisely for this reuse — pin them too,
+    // or a refactor de-duplicating their subtrees doubles the
+    // pair-graph cost unnoticed (x29 measured 5.2 s → 2.6 s).
     for (name <- Seq("x28_domain_budget", "x22_topic_balance",
-        "x22b_topic_native")) {
+        "x22b_topic_native", "x29_leakage_split", "x22c_topic_sharded")) {
       val df = all(name)(spark, d)
       // collect(), not a noop write: the write wraps the plan in its
       // own QueryExecution and this df's adaptive plan never finalizes

@@ -32,10 +32,17 @@ class ColumnFunctionsSpec extends SparkTestBase {
     // plain/signed/whitespace-wrapped integers (accepted), Long.Max,
     // Long.Min, 19-digit overflow (guard admits, TRY nulls), decimal
     // and exponent forms (ANSI integral cast rejects — CLAUDE.md pins
-    // '12.5' nulling), garbage, empty, null.
+    // '12.5' nulling), garbage, empty, null. Round-6 additions: a
+    // valid long with >19 digits via leading zeros, tab/control-char
+    // padding (the cast's trimAll is wider than regex \s — it trims
+    // isWhitespace ∪ isISOControl), NBSP padding (trimmed by NEITHER
+    // engine path — both null), and an all-zeros run.
     val inputs = Seq("42", "+7", "-13", "  99  ", "9223372036854775807",
       "-9223372036854775808", "9999999999999999999", "12.5", "1e3",
-      "TYPE-0", "", " ", "abc", null)
+      "TYPE-0", "", " ", "abc", null,
+      "00000000000000000042", "000000000000000000000", "\t42\n",
+      "\u0000" + "42" + "\u0000", "\u001c" + "42" + "\u001f",
+      "\u00a0" + "42")
     val df = inputs.toDF("s")
     val got = df.select(tryBigintGuarded(col("s")).as("g"),
         col("s").try_cast("bigint").as("t"))
@@ -45,7 +52,7 @@ class ColumnFunctionsSpec extends SparkTestBase {
         (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
         s"input '$in': guarded=${r.get(0)} try_cast=${r.get(1)}")
     }
-    assert(got.count(!_.isNullAt(0)) == 6) // the six integral forms
+    assert(got.count(!_.isNullAt(0)) == 11) // the eleven integral forms
   }
 
   test("property: tryBigintGuarded ≡ try_cast(bigint) on random strings") {

@@ -45,6 +45,33 @@ class StreamBudgetSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sub-millisecond event times order like the batch twin (µs precision)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // Same key, same MILLISECOND, µs order opposing doc_id order: the
+    // batch window sorts the full µs ts column, so the streaming sort
+    // must use Timestamp's natural (seconds, nanos) order — a
+    // getTime-only sort ties here and falls back to doc_id, admitting
+    // the wrong document.
+    val subMs = Seq(
+      BudgetDoc("en", 11L, 60L, t("2024-01-01 00:00:01.000900")),
+      BudgetDoc("en", 12L, 60L, t("2024-01-01 00:00:01.000400")))
+    val expect = StreamBudget.batch(
+        subMs.toDF("key", "doc_id", "n_tok", "ts"), 100L)
+      .as[BudgetAdmit].collect().toSet
+    assert(expect.filter(_.admitted).map(_.doc_id) === Set(12L))
+    val mem = MemoryStream[BudgetDoc](23)
+    val q = StreamBudget.streaming(mem.toDS(), 100L)
+      .writeStream.format("memory").queryName("sb_subms")
+      .outputMode("append").start()
+    try {
+      mem.addData(subMs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sb_subms").as[BudgetAdmit].collect().toSet
+      assert(streamed === expect)
+    } finally q.stop()
+  }
+
   test("within one trigger, out-of-order arrival is resolved by event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
