@@ -468,6 +468,123 @@ object CoreQueries {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  /** The surrogate partsupp: the generated schema carries no partsupp
+    * table, so Q2/Q20 derive one from lineitem — one row per
+    * (partkey, suppkey) with MIN(extendedprice) standing in for
+    * ps_supplycost and SUM(quantity) for ps_availqty. MIN of doubles
+    * is order-independent-exact in any engine, and quantities are
+    * integral so their double SUM is exact too — both derived columns
+    * are cross-engine bit-stable without DECIMAL plumbing. Registered
+    * as a temp view so spark.sql's WITH clause and the DuckDB oracle
+    * share one definition string. */
+  private val partsuppSql =
+    """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |  MIN(l_extendedprice) AS ps_supplycost,
+      |  SUM(l_quantity) AS ps_availqty
+      |FROM %s GROUP BY l_partkey, l_suppkey""".stripMargin
+
+  /** Q2-shape (extension) — minimum-cost supplier per part: the
+    * CORRELATED MIN over a JOIN (the scalar subquery re-joins
+    * supplier→nation→region inside the correlation — a compound
+    * decorrelation, not Q17's single-table aggregate). Catalyst
+    * rewrites it into a per-partkey min aggregate over the 4-way join
+    * joined back on (partkey, mincost) — two passes over the derived
+    * partsupp, no per-row subquery. All compared columns (MIN of
+    * doubles) are exact, so the equality boundary cannot diverge
+    * cross-engine. */
+  def qTpchQ2(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    Tables.region(s, d).createOrReplaceTempView("g_region")
+    s.sql(
+      s"""WITH ps AS (${partsuppSql.format("g_lineitem")})
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+        |       ps.ps_supplycost
+        |FROM g_part p
+        |JOIN ps ON ps.ps_partkey = p.p_partkey
+        |JOIN g_supplier s ON s.s_suppkey = ps.ps_suppkey
+        |JOIN g_nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN g_region r ON r.r_regionkey = n.n_regionkey
+        |WHERE p.p_size < 10 AND p.p_type = 'ECONOMY'
+        |  AND r.r_name = 'EUROPE'
+        |  AND ps.ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost)
+        |    FROM ps ps2
+        |    JOIN g_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN g_nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN g_region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** Q15-shape (extension) — top-revenue supplier via a VIEW over the
+    * MAX of an aggregate: revenue is a windowed 3-month per-supplier
+    * sum, and the filter compares each supplier's total against the
+    * global MAX of that same aggregate — the canonical two-pass
+    * shape (aggregate once, max-reduce, join back), deliberately NOT
+    * a rank window: the single-row max side broadcasts and the big
+    * aggregate is computed once, where a `rank() OVER ()` would drag
+    * every supplier row through one unpartitioned sort. Revenue stays
+    * DECIMAL through the sum and the MAX equality, one round+cast at
+    * output. */
+  def qTpchQ15(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+        |      AS total_revenue
+        |  FROM g_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM g_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
+  /** Q20-shape (extension) — suppliers holding excess stock of a part
+    * family: the NESTED SEMI-JOIN CHAIN (IN inside IN, with a
+    * correlated scalar sum at the innermost level). The outer IN
+    * becomes a left-semi join on suppkey; the inner IN a left-semi on
+    * partkey against the filtered part list; the correlated
+    * half-of-shipped sum decorrelates into a per-(partkey, suppkey)
+    * aggregate left-outer-joined back — three nested predicates, zero
+    * per-row subqueries. "Availqty exceeds half the 1996 shipments"
+    * is multiplied out (`availqty*2 >`) so no 0.5 literal touches the
+    * exact integral sums; a supplier with NO 1996 shipments compares
+    * against COALESCE(0) identically in both engines. */
+  def qTpchQ20(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    s.sql(
+      s"""WITH ps AS (${partsuppSql.format("g_lineitem")})
+        |SELECT s.s_name, s.s_suppkey
+        |FROM g_supplier s
+        |JOIN g_nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+        |  AND s.s_suppkey IN (
+        |    SELECT ps.ps_suppkey FROM ps
+        |    WHERE ps.ps_partkey IN
+        |        (SELECT p_partkey FROM g_part WHERE p_name LIKE 'small%')
+        |      AND ps.ps_availqty * 2 > (
+        |        SELECT COALESCE(SUM(l.l_quantity), 0) FROM g_lineitem l
+        |        WHERE l.l_partkey = ps.ps_partkey
+        |          AND l.l_suppkey = ps.ps_suppkey
+        |          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+        |ORDER BY s.s_name, s.s_suppkey""".stripMargin)
+  }
+
   /** C3 (extension) — correlated EXISTS / NOT EXISTS through the SQL
     * entry point: Catalyst decorrelates them into left-semi and
     * left-anti hash joins (no per-row subquery execution — verified in

@@ -99,13 +99,51 @@ object ExtensionQueries {
     * and multi-sf runs never cross-contaminate. */
   private val clusterMapMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def nearDupClusterMap(s: SparkSession, d: String): DataFrame =
-    clusterMapMemo.getOrElseUpdate((s, d),
+  /** Builds observed by the memo — specs assert the durable read-back
+    * path never triggers one. */
+  private[graft] val clusterMapBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def nearDupClusterMap(s: SparkSession, d: String): DataFrame = {
+    // hygiene: a stopped-then-recreated session must not leak its
+    // (now-unusable) persisted entries into the memo forever
+    clusterMapMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(clusterMapMemo.remove)
+    clusterMapMemo.getOrElseUpdate((s, d), {
+      clusterMapBuilds.incrementAndGet()
       Dedup.connectedComponents(
           Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
             n = 3, threshold = 0.8))
         .select(col("node").as("doc_id"), col("cluster_id"))
-        .persist())
+        .persist()
+    })
+  }
+
+  /** Durable twin of [[nearDupClusterMap]] — writes the map as a
+    * BUCKETED catalog table, the once-per-corpus-snapshot artifact a
+    * real 100 TB pipeline produces: label propagation runs in the
+    * snapshot job, and every later consumer (canonical pick, leakage
+    * split, incremental dedup in *other sessions and other days*)
+    * reads the table. Bucketed by doc_id so downstream doc-keyed
+    * joins/aggregates start from a hash-partitioned scan — at cluster
+    * scale the map-side exchange of the biggest consumer disappears;
+    * ClusterMapSpec pins the no-shuffle doc_id aggregate. */
+  def writeClusterMap(s: SparkSession, d: String, table: String,
+      buckets: Int = 8): Unit =
+    nearDupClusterMap(s, d).write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+
+  /** Read-back path for [[writeClusterMap]]'s table — no memo, no
+    * rebuild: any session sharing the catalog (a fresh SparkSession,
+    * a different day's job) consumes the written map directly. */
+  def readClusterMap(s: SparkSession, table: String): DataFrame =
+    s.table(table)
+
+  /** Eviction hook for the session memo: unpersists and forgets one
+    * (session, dir) entry — the counterpart a long-lived session
+    * iterating corpus snapshots calls when a snapshot is superseded. */
+  def evictClusterMap(s: SparkSession, d: String): Unit =
+    clusterMapMemo.remove((s, d)).foreach(_.unpersist())
 
   /** Incremental dedup: an incoming batch is anti-joined against the
     * existing corpus on the content fingerprint — the shape of every
@@ -1315,6 +1353,40 @@ object ExtensionQueries {
       .orderBy("lang")
   }
 
+  /** X30b — x30's budget cap with the running sum computed by
+    * [[graft.operators.Packing.keyedOffsets]], the two-pass
+    * range-sharded prefix scan, instead of one `partitionBy(lang)`
+    * window. Because the admit order is a uniform minstd-hash order,
+    * range shards of the hash preserve it exactly — the output is
+    * BIT-IDENTICAL to x30 (same oracle SQL), while the hot language's
+    * sort splits across `shards` tasks instead of funnelling through
+    * one reducer ('en' ≈ half of any real crawl; x22c had to trade
+    * the kept set for this bound — here the hash order gives it away
+    * free). TimeOne's x30stress fixture (one language owning 50% of a
+    * 15M-row corpus) prices both shapes; at local[32] the extra
+    * exchange makes this the slower twin, at 1000 executors the
+    * per-task bound is what keeps the job out of spill/OOM territory
+    * — the x22c trade, minus the semantic price. */
+  def x30bLanguageBudgetSharded(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.wordCount(col("text")).as("n_tok"),
+        Sampling.minstdHash(col("doc_id")).as("h"))
+    val totals = docs.groupBy("lang").agg(sum("n_tok").as("total_tokens"))
+    Packing.keyedOffsets(docs, "lang", "n_tok", "h", "doc_id",
+        outCol = "off", numShards = 8)
+      .withColumn("cum_tok", col("off") + col("n_tok"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("kept", col("cum_tok") * 2 <= col("total_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        max(col("total_tokens")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** Topic balancing (SemDeDup-lite) — assign every embedding to its
     * nearest deterministic centroid (every 20th vector), then cap each
     * topic cluster at 50% membership in reproducible minstd order: the
@@ -1784,6 +1856,28 @@ object ExtensionQueries {
       |FROM cg JOIN bg ON cg.g = bg.g
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private lazy val x30BudgetSql: String =
+    s"""WITH s AS ($langScoreSql),
+      |d AS (SELECT doc_id,
+      |        CASE WHEN s_en > 0 AND s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en'
+      |             WHEN s_fr > 0 AND s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr'
+      |             WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
+      |             WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
+      |             ELSE 'und' END AS lang,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |        (doc_id * 48271) % 2147483647 AS h
+      |      FROM s),
+      |c AS (SELECT *,
+      |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+      |        SUM(n_tok) OVER (PARTITION BY lang) AS total_tokens
+      |      FROM d)
+      |SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+      | CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x19_passage_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1817,27 +1911,10 @@ object ExtensionQueries {
         | CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
-    "x30_language_budget" ->
-      s"""WITH s AS ($langScoreSql),
-        |d AS (SELECT doc_id,
-        |        CASE WHEN s_en > 0 AND s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en'
-        |             WHEN s_fr > 0 AND s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr'
-        |             WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
-        |             WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
-        |             ELSE 'und' END AS lang,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        |        (doc_id * 48271) % 2147483647 AS h
-        |      FROM s),
-        |c AS (SELECT *,
-        |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
-        |        SUM(n_tok) OVER (PARTITION BY lang) AS total_tokens
-        |      FROM d)
-        |SELECT lang, COUNT(*) AS n_docs,
-        | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        | CAST(SUM(CASE WHEN cum_tok*2 <= total_tokens THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
-        | CAST(MAX(total_tokens) AS BIGINT) AS total_tokens
-        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "x30_language_budget" -> x30BudgetSql,
+    // x30b's sharded prefix scan is bit-identical to x30 by
+    // construction (range shards of the hash order) — same oracle
+    "x30b_language_budget_sharded" -> x30BudgetSql,
 
     "x22_topic_balance" ->
       """WITH e AS (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) v FROM
@@ -2752,6 +2829,7 @@ object ExtensionQueries {
     "x19_passage_dedup"      -> (x19PassageDedup _),
     "x20_source_budget"      -> (x20SourceBudget _),
     "x30_language_budget"    -> (x30LanguageBudget _),
+    "x30b_language_budget_sharded" -> (x30bLanguageBudgetSharded _),
     "t10_name_match"         -> (t10NameMatch _),
     "t11_bm25_topk"          -> (t11Bm25TopK _),
     "x25_heavy_hitters"      -> (x25HeavyHitters _),

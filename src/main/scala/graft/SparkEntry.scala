@@ -35,6 +35,9 @@ object SparkEntry {
     "q_tpch_q13"        -> (CoreQueries.qTpchQ13 _),
     "q_tpch_q17"        -> (CoreQueries.qTpchQ17 _),
     "q_tpch_q22"        -> (CoreQueries.qTpchQ22 _),
+    "q_tpch_q2"         -> (CoreQueries.qTpchQ2 _),
+    "q_tpch_q15"        -> (CoreQueries.qTpchQ15 _),
+    "q_tpch_q20"        -> (CoreQueries.qTpchQ20 _),
     "c3_exists"         -> (CoreQueries.c3Exists _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
@@ -295,6 +298,65 @@ object SparkEntry {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  MIN(l_extendedprice) AS ps_supplycost, SUM(l_quantity) AS ps_availqty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+        |       ps.ps_supplycost
+        |FROM part p
+        |JOIN ps ON ps.ps_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE p.p_size < 10 AND p.p_type = 'ECONOMY'
+        |  AND r.r_name = 'EUROPE'
+        |  AND ps.ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  MIN(l_extendedprice) AS ps_supplycost, SUM(l_quantity) AS ps_availqty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s.s_name, s.s_suppkey
+        |FROM supplier s
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+        |  AND s.s_suppkey IN (
+        |    SELECT ps.ps_suppkey FROM ps
+        |    WHERE ps.ps_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND ps.ps_availqty * 2 > (
+        |        SELECT COALESCE(SUM(l.l_quantity), 0) FROM lineitem l
+        |        WHERE l.l_partkey = ps.ps_partkey
+        |          AND l.l_suppkey = ps.ps_suppkey
+        |          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+        |ORDER BY s.s_name, s.s_suppkey""".stripMargin,
 
     "c3_exists" ->
       """SELECT o_orderkey, o_orderstatus FROM orders o

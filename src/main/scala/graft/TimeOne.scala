@@ -279,6 +279,41 @@ object TimeOne {
               sum(when(col("pos") * 2 <= col("n_members"), col("vec_id"))
                 .otherwise(0L)).as("kept_id_sum"))
         }
+      // x30's cap stage under a crawl-realistic language distribution:
+      // 15M docs with ONE language owning 50% (English in a web
+      // crawl), the rest spread across 37. Text parse excluded — the
+      // fixture isolates the per-language running-sum BUDGET stage.
+      // "x30stress" is the shipped single-sort window (the hot
+      // language's 7.5M rows sort in ONE task); "x30stress_shard" the
+      // exact range-sharded two-pass prefix scan (Packing.keyedOffsets
+      // — same kept set, per-task sort bounded by shard).
+      case "x30stress" | "x30stress_shard" =>
+        val docs = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k0"))
+          .select(col("k0"), explode(sequence(lit(0), lit(99))).as("c"))
+          .select((pmod(col("k0"), lit(1000000)) * 100 + col("c")).as("doc_id"))
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) < 5, lit("en"))
+              .otherwise(concat(lit("l"), pmod(col("doc_id"), lit(37)))).as("lang"),
+            (lit(50L) + pmod(col("doc_id"), lit(100))).as("n_tok"),
+            operators.Sampling.minstdHash(col("doc_id")).as("h"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val cum =
+          if (name == "x30stress") {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+              .rowsBetween(Long.MinValue, 0)
+            docs.withColumn("cum_tok", sum(col("n_tok")).over(w))
+          } else
+            operators.Packing.keyedOffsets(docs, "lang", "n_tok", "h",
+                "doc_id", outCol = "off", numShards = 32)
+              .withColumn("cum_tok", col("off") + col("n_tok"))
+        val totals = docs.groupBy("lang").agg(sum("n_tok").as("total_tokens"))
+        cum.join(broadcast(totals), Seq("lang"))
+          .withColumn("kept", col("cum_tok") * 2 <= col("total_tokens"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
       case "sig128" => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 128)
       case "sig64"  => operators.Dedup.minhashSignature(Tables.documents(spark, sfDir), "doc_id", "text", 3, 64)
       case "x2stress" => operators.Dedup.ngramJaccardPairs(docs20x, "doc_id", "text", 3, 0.8, maxDocFreq = Some(1000))

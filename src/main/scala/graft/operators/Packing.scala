@@ -97,6 +97,65 @@ object Packing {
       .drop("_bkt")
   }
 
+  /** Keyed twin of [[globalOffsets]] — adds `outCol` = EXCLUSIVE
+    * running sum of `sizeCol` per `keyCol`, in (`hashCol`, `tieCol`)
+    * order, with the per-task sort bounded by a SHARD of a key, never
+    * a whole key. This is the scale path for the fraction-cap budget
+    * family (x20 per-source, x30 per-language): the plain
+    * `Window.partitionBy(key)` running sum sorts each key's entire
+    * membership in ONE task, and language is the most skewed natural
+    * key a crawl has (English ≈ half the corpus).
+    *
+    * Exactness: the admit order is a uniform HASH order, so sharding
+    * by fixed RANGES of the hash value preserves the global order —
+    * every row of shard i precedes every row of shard i+1 within its
+    * key. Two passes: (1) per-(key, shard) totals (O(keys·shards)
+    * rows) → exclusive shard offsets via a tiny partitioned window;
+    * (2) within-shard running sum (parallel across key×shard) + the
+    * broadcast offset. The result is BIT-IDENTICAL to the single-sort
+    * window — same kept set, same oracle rows — unlike x22c's
+    * per-shard-floor cap, which trades the kept set for the bound.
+    *
+    * One explicit exchange of the input by (key, shard) feeds both
+    * the totals aggregate and the rank window (the capHalfPerCluster
+    * device); the `min(hash)·0 + min(tie)·0` guard keeps the totals
+    * branch from pruning columns below the shared exchange. Callers
+    * with payload columns beyond (key, size, hash, tie) should expect
+    * the subtrees to stop canonicalizing equal — project first.
+    *
+    * `hashCol` must be non-negative and < `hashMax` (minstd's modulus
+    * by default); `numShards · hashMax` must not overflow a long. */
+  def keyedOffsets(df: DataFrame, keyCol: String, sizeCol: String,
+      hashCol: String, tieCol: String, outCol: String = "start_off",
+      numShards: Int = 8, hashMax: Long = 2147483647L): DataFrame = {
+    // COALESCE makes _shard provably non-null: the downstream
+    // (key, _shard) join would otherwise infer IsNotNull(_shard) and
+    // push it into ONE branch's scan as a per-row filter, breaking the
+    // two consumers' exchange canonicalization (the x28 inferred-
+    // IsNotNull trap — here it cost the ReusedExchange, not a double
+    // parse). A null hash sorts NULLS FIRST in the window form; shard
+    // 0 is the first range, so the sharded order stays identical.
+    val sharded = df
+      .withColumn("_shard",
+        expr(s"CAST(COALESCE(($hashCol * ${numShards}L) DIV ${hashMax}L, 0L) AS INT)"))
+      .repartition(col(keyCol), col("_shard"))
+    val wPre = Window.partitionBy(keyCol).orderBy("_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col(keyCol), col("_shard"))
+      .agg((sum(col(sizeCol).cast("long")) +
+        min(col(hashCol)) * 0 + min(col(tieCol)) * 0).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(wPre), lit(0L)))
+      .drop("_tot")
+    val wIn = Window.partitionBy(keyCol, "_shard")
+      .orderBy(col(hashCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded.withColumn("_cum", sum(col(sizeCol).cast("long")).over(wIn))
+      .join(broadcast(offsets), Seq(keyCol, "_shard"))
+      .withColumn(outCol,
+        col("_cum") - col(sizeCol).cast("long") + col("_off"))
+      .drop("_shard", "_cum", "_off")
+  }
+
   /** Concat-and-chunk packing manifest: for each document, the packed
     * sequences it lands in — `first_seq`/`last_seq` (inclusive,
     * 0-based) and its byte-free `start_off` in the token stream. A

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** The durable cluster-map story: [[ExtensionQueries.writeClusterMap]]
+  * persists the once-per-snapshot doc_id → cluster_id table and a
+  * FRESH session consumes it without re-running pair generation or
+  * label propagation — the materialization a 100 TB pipeline actually
+  * has, which the session memo only stands in for. */
+class ClusterMapSpec extends SparkTestBase {
+  private val d = "/root/testdata/sf0.001"
+  private val table = "g_cluster_map_spec"
+
+  test("a fresh session reads the written map without rebuilding") {
+    val built = ExtensionQueries.nearDupClusterMap(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    ExtensionQueries.writeClusterMap(spark, d, table)
+    val buildsAfterWrite = ExtensionQueries.clusterMapBuilds.get()
+
+    // newSession: fresh session state, SHARED catalog — the stand-in
+    // for tomorrow's job reading today's snapshot table
+    val s2 = spark.newSession()
+    val back = ExtensionQueries.readClusterMap(s2, table)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(back === built)
+    assert(ExtensionQueries.clusterMapBuilds.get() === buildsAfterWrite,
+      "read-back must not re-run label propagation")
+
+    // the artifact is bucketed — downstream doc-keyed consumers start
+    // hash-partitioned
+    val meta = s2.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(meta.bucketSpec.exists(b =>
+      b.numBuckets == 8 && b.bucketColumnNames == Seq("doc_id")))
+  }
+
+  test("a doc_id aggregate over the bucketed map plans no shuffle") {
+    val agg = ExtensionQueries.readClusterMap(spark, table)
+      .groupBy("doc_id").agg(max("cluster_id").as("c"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"bucketed scan should satisfy the aggregate's distribution: $plan")
+  }
+
+  test("evictClusterMap unpersists and a rebuild is a fresh build") {
+    val before = ExtensionQueries.clusterMapBuilds.get()
+    ExtensionQueries.nearDupClusterMap(spark, d) // memoized — no build
+    assert(ExtensionQueries.clusterMapBuilds.get() === before)
+    ExtensionQueries.evictClusterMap(spark, d)
+    ExtensionQueries.nearDupClusterMap(spark, d).count()
+    assert(ExtensionQueries.clusterMapBuilds.get() === before + 1,
+      "after eviction the next caller rebuilds once")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}

@@ -108,6 +108,43 @@ class CurationQueriesSpec extends SparkTestBase {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("x30b sharded prefix scan ≡ x30 single-sort window, bit for bit") {
+    // the range-sharded two-pass running sum must reproduce the
+    // window's kept set EXACTLY (the whole point of sharding a hash
+    // order — no x22c-style per-shard-floor semantic price)
+    val a = ExtensionQueries.x30LanguageBudget(spark, d).collect()
+    val b = ExtensionQueries.x30bLanguageBudgetSharded(spark, d).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("x30 ≡ st7's batch admission with cap = ⌊total/2⌋ per language") {
+    // welds the batch fractional budget to the streaming absolute
+    // budget the way st6/x25 are welded: x30's 50% fraction cap over
+    // a language IS StreamBudget's prefix cut at that language's
+    // ⌊total/2⌋, admitting in the same deterministic (minstd, doc_id)
+    // order (hash stands in for event time)
+    import graft.operators.{Sampling, TextAnalysis}
+    import graft.streaming.StreamBudget
+    val docs = Tables.wide(Tables.documents(spark, d))
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("key"),
+        TextAnalysis.wordCount(col("text")).as("n_tok"),
+        Sampling.minstdHash(col("doc_id")).as("ts"))
+    val x30 = ExtensionQueries.x30LanguageBudget(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val totals = docs.groupBy("key").agg(sum("n_tok").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals.keySet === x30.keySet)
+    totals.foreach { case (lang, tot) =>
+      val adm = StreamBudget.batch(docs.filter(col("key") === lang), tot / 2)
+        .filter(col("admitted"))
+        .agg(count(lit(1)).as("n"), coalesce(sum("n_tok"), lit(0L)).as("tok"))
+        .head()
+      assert((adm.getLong(0), adm.getLong(1)) === x30(lang),
+        s"language $lang: stream-budget cut diverges from x30")
+    }
+  }
+
   test("t12: exactly top-3 per doc, and the rarest token outranks common ones") {
     val out = ExtensionQueries.t12TfidfKeywords(spark, d).collect()
     val perDoc = out.groupBy(_.getLong(0))

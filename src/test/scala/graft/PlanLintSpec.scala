@@ -148,7 +148,7 @@ class PlanLintSpec extends SparkTestBase {
     val all = SparkEntry.queries ++ SparkEntry.benchOnly
     for (name <- Seq("x22_topic_balance", "x22b_topic_native",
         "x22c_topic_sharded", "x20_source_budget", "x28_domain_budget",
-        "x30_language_budget")) {
+        "x30_language_budget", "x30b_language_budget_sharded")) {
       val plan = all(name)(spark, d).queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("unboundedfollowing"),
         s"$name: unbounded window frame in the physical plan")
@@ -173,7 +173,8 @@ class PlanLintSpec extends SparkTestBase {
     // or a refactor de-duplicating their subtrees doubles the
     // pair-graph cost unnoticed (x29 measured 5.2 s → 2.6 s).
     for (name <- Seq("x28_domain_budget", "x22_topic_balance",
-        "x22b_topic_native", "x29_leakage_split", "x22c_topic_sharded")) {
+        "x22b_topic_native", "x29_leakage_split", "x22c_topic_sharded",
+        "x30b_language_budget_sharded")) {
       val df = all(name)(spark, d)
       // collect(), not a noop write: the write wraps the plan in its
       // own QueryExecution and this df's adaptive plan never finalizes

@@ -44,6 +44,66 @@ class PackingSpec extends SparkTestBase {
     assert(given == probed)
   }
 
+  // keyed fixture: a dominant key ("en" — 60 of 100 rows) plus small
+  // keys, hash-ordered admit — rows deliberately span many shard
+  // boundaries so the shard-offset join is load-bearing
+  private def keyedCorpus = {
+    val rows = (1L to 100L).map { id =>
+      val key = if (id % 10 < 6) "en" else s"l${id % 7}"
+      (id, key, 50L + id % 13)
+    }
+    rows.toDF("doc_id", "key", "n_tok")
+      .withColumn("h", Sampling.minstdHash(col("doc_id")))
+  }
+
+  test("keyedOffsets matches the per-key window prefix exactly") {
+    for (shards <- Seq(1, 3, 8, 32)) {
+      val got = Packing.keyedOffsets(keyedCorpus, "key", "n_tok", "h",
+          "doc_id", numShards = shards)
+        .select("doc_id", "start_off").as[(Long, Long)].collect().toMap
+      val want = keyedCorpus
+        .withColumn("start_off",
+          coalesce(sum($"n_tok").over(
+            Window.partitionBy("key").orderBy($"h", $"doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("doc_id", "start_off").as[(Long, Long)].collect().toMap
+      assert(got == want, s"shards=$shards")
+    }
+  }
+
+  test("keyedOffsets preserves payload columns and row count") {
+    val out = Packing.keyedOffsets(keyedCorpus, "key", "n_tok", "h", "doc_id")
+    assert(out.columns.toSet ===
+      Set("doc_id", "key", "n_tok", "h", "start_off"))
+    assert(out.count() === 100L)
+  }
+
+  test("keyedOffsets plans no whole-key single-task sort window") {
+    // the running sum over the DATA rows must be partitioned by
+    // (key, _shard) — a partitionBy(key)-only window over the rows is
+    // the hot-key funnel this operator exists to avoid. The only
+    // 1-key window allowed is the offsets prefix over the
+    // O(keys·shards) aggregate rows.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Packing.keyedOffsets(keyedCorpus, "key", "n_tok", "h",
+        "doc_id", numShards = 8)
+      .queryExecution.executedPlan match {
+      // AQE's root is a leaf node — collect over the pre-adaptive tree
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size === 2, s"expected 2 windows, got ${windows.size}")
+    windows.foreach { w =>
+      val overAggregate = w.child.exists(_.isInstanceOf[BaseAggregateExec])
+      if (!overAggregate)
+        assert(w.partitionSpec.size === 2,
+          s"data window must partition by (key, shard): $w")
+    }
+  }
+
   test("packManifest spans cut boundaries correctly") {
     val df = Seq((1L, 100L), (2L, 100L), (3L, 400L), (4L, 56L))
       .toDF("id", "n_tok")
