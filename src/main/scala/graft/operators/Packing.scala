@@ -123,8 +123,10 @@ object Packing {
     * with payload columns beyond (key, size, hash, tie) should expect
     * the subtrees to stop canonicalizing equal — project first.
     *
-    * `hashCol` must be non-negative and < `hashMax` (minstd's modulus
-    * by default); `numShards · hashMax` must not overflow a long. */
+    * `hashCol` and `tieCol` must be NUMERIC columns (the pruning guard
+    * below does typed arithmetic on them); `hashCol` must be
+    * non-negative and < `hashMax` (minstd's modulus by default);
+    * `numShards · hashMax` must not overflow a long. */
   def keyedOffsets(df: DataFrame, keyCol: String, sizeCol: String,
       hashCol: String, tieCol: String, outCol: String = "start_off",
       numShards: Int = 8, hashMax: Long = 2147483647L): DataFrame = {
@@ -141,9 +143,13 @@ object Packing {
       .repartition(col(keyCol), col("_shard"))
     val wPre = Window.partitionBy(keyCol).orderBy("_shard")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the coalesce keeps _tot non-null when a (key, shard) group holds
+    // only null-hash/null-tie rows — a bare min() guard would NULL the
+    // whole total and silently understate every later shard's offset
     val offsets = sharded.groupBy(col(keyCol), col("_shard"))
       .agg((sum(col(sizeCol).cast("long")) +
-        min(col(hashCol)) * 0 + min(col(tieCol)) * 0).as("_tot"))
+        coalesce(min(col(hashCol)), lit(0L)) * 0 +
+        coalesce(min(col(tieCol)), lit(0L)) * 0).as("_tot"))
       .withColumn("_off", coalesce(sum(col("_tot")).over(wPre), lit(0L)))
       .drop("_tot")
     val wIn = Window.partitionBy(keyCol, "_shard")

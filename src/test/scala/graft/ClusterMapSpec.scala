@@ -13,6 +13,19 @@ class ClusterMapSpec extends SparkTestBase {
   private val d = "/root/testdata/sf0.001"
   private val table = "g_cluster_map_spec"
 
+  // each suite run starts from a clean catalog + memo, and the table
+  // is dropped even when an assertion aborts mid-suite (a stale table
+  // would let the no-shuffle test pass against last run's data)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    ExtensionQueries.evictClusterMap(spark, d)
+  }
+  override def afterAll(): Unit = {
+    try spark.sql(s"DROP TABLE IF EXISTS $table")
+    finally super.afterAll()
+  }
+
   test("a fresh session reads the written map without rebuilding") {
     val built = ExtensionQueries.nearDupClusterMap(spark, d)
       .collect().map(_.toSeq).sortBy(_.toString)
@@ -57,6 +70,5 @@ class ClusterMapSpec extends SparkTestBase {
     ExtensionQueries.nearDupClusterMap(spark, d).count()
     assert(ExtensionQueries.clusterMapBuilds.get() === before + 1,
       "after eviction the next caller rebuilds once")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
