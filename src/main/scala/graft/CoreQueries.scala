@@ -585,6 +585,202 @@ object CoreQueries {
         |ORDER BY s.s_name, s.s_suppkey""".stripMargin)
   }
 
+  /** Q4-shape (extension) — order-priority checking: per-priority
+    * order counts gated on a correlated EXISTS against lineitem. The
+    * fixture has no commit/receipt dates, so "late" is a returned
+    * line (l_returnflag = 'R') — the decorrelation shape (EXISTS →
+    * left-semi hash join, date filter pushed into the orders scan) is
+    * the query's point, not the predicate. */
+  def qTpchQ4(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM g_orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM g_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Q6-shape (extension) — the forecast-revenue-change scan: one
+    * tight filter over lineitem, one global DECIMAL sum, zero joins.
+    * The single-row final merge is the legitimate SinglePartition
+    * class (whitelisted in PlanLintSpec with the other global aggs);
+    * everything below it is a map-side partial over the pruned scan,
+    * so the shape is scan-bound at any scale. */
+  def qTpchQ6(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |   CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lineitems
+        |FROM g_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** Q8-shape (extension) — national market share: the 8-table join
+    * (part→lineitem→supplier→orders→customer→nation×2→region) with a
+    * conditional share per order-year. The share is an exact integer
+    * ppm via the multiplied-out q14 trick — a rounded DECIMAL ratio
+    * would land on a rounding boundary whenever the denominator is
+    * 2-5-smooth and the two engines break the tie differently. */
+  def qTpchQ8(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    Tables.region(s, d).createOrReplaceTempView("g_region")
+    s.sql(
+      """WITH vol AS (
+        | SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
+        |    AS volume,
+        |  n2.n_name AS supp_nation
+        | FROM g_part p
+        | JOIN g_lineitem l ON l.l_partkey = p.p_partkey
+        | JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
+        | JOIN g_orders o ON o.o_orderkey = l.l_orderkey
+        | JOIN g_customer c ON c.c_custkey = o.o_custkey
+        | JOIN g_nation n1 ON n1.n_nationkey = c.c_nationkey
+        | JOIN g_region r ON r.r_regionkey = n1.n_regionkey
+        | JOIN g_nation n2 ON n2.n_nationkey = s.s_nationkey
+        | WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'),
+        |g AS (
+        | SELECT o_year,
+        |  SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS nv,
+        |  SUM(volume) AS tv
+        | FROM vol GROUP BY o_year)
+        |SELECT o_year,
+        | CAST(ROUND(nv, 2) AS DOUBLE) AS nation_volume,
+        | CAST(ROUND(tv, 2) AS DOUBLE) AS total_volume,
+        | CAST(CAST(ROUND(nv, 2) * 100 AS BIGINT) * 1000000
+        |      div CAST(ROUND(tv, 2) * 100 AS BIGINT) AS BIGINT) AS share_ppm
+        |FROM g ORDER BY o_year""".stripMargin)
+  }
+
+  /** Q9-shape (extension) — product-type profit: the 6-way join with
+    * the two-key partsupp hop (l_partkey AND l_suppkey — the compound
+    * equi key Q9 is known for), a LIKE part filter, and profit =
+    * revenue − supplycost·qty, all DECIMAL until one round+cast.
+    * partsupp is the derived surrogate (see [[partsuppSql]]), so the
+    * supplycost side is itself an aggregate — two passes over
+    * lineitem, both key-partitioned, no per-row subquery. */
+  def qTpchQ9(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    s.sql(
+      s"""WITH ps AS (${partsuppSql.format("g_lineitem")})
+        |SELECT n.n_name AS nation,
+        | CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        | CAST(ROUND(SUM(
+        |   CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |     (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4))) -
+        |   CAST(ps.ps_supplycost AS DECIMAL(18,4)) *
+        |     CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_profit
+        |FROM g_part p
+        |JOIN g_lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN ps ON ps.ps_partkey = l.l_partkey
+        |       AND ps.ps_suppkey = l.l_suppkey
+        |JOIN g_orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN g_nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  /** Q11-shape (extension) — important stock: per-part inventory value
+    * HAVING-filtered against a global-share scalar (value · 1000 >
+    * Σvalue, multiplied out so the 0.001 fraction never touches the
+    * DECIMAL boundary). The scalar is the same two-pass
+    * aggregate-once-then-1-row-merge class as Q15's MAX — the 1-row
+    * merge is whitelisted in PlanLintSpec (same commit), and the big
+    * per-part aggregate stays distributed. */
+  def qTpchQ11(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    s.sql(
+      s"""WITH ps AS (${partsuppSql.format("g_lineitem")}),
+        |v AS (
+        | SELECT ps.ps_partkey,
+        |  SUM(CAST(ps.ps_supplycost AS DECIMAL(18,4)) *
+        |      CAST(ps.ps_availqty AS DECIMAL(18,4))) AS value
+        | FROM ps
+        | JOIN g_supplier s ON s.s_suppkey = ps.ps_suppkey
+        | JOIN g_nation n ON n.n_nationkey = s.s_nationkey
+        | WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2')
+        | GROUP BY ps.ps_partkey)
+        |SELECT ps_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+        |FROM v
+        |WHERE value * 1000 > (SELECT SUM(value) FROM v)
+        |ORDER BY value DESC, ps_partkey""".stripMargin)
+  }
+
+  /** Q12-shape (extension) — shipping-mode priority buckets: the
+    * two-bucket CASE aggregation (urgent/high vs the rest) per line
+    * class over an orders⋈lineitem join with a ship-date window. The
+    * fixture carries no l_shipmode; l_returnflag ('A'/'R', IN-filtered
+    * like Q12's two modes) plays its role — the conditional-count agg
+    * shape is what's under test. */
+  def qTpchQ12(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT l.l_returnflag AS ret_mode,
+        | CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM g_orders o
+        |JOIN g_lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_returnflag IN ('A','R')
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_returnflag
+        |ORDER BY ret_mode""".stripMargin)
+  }
+
+  /** Q16-shape (extension) — supplier breadth per part family: COUNT
+    * DISTINCT suppliers per (brand, type, size) with a NOT IN
+    * exclusion subquery. NOT IN over a non-null key planks down to a
+    * null-aware anti join (broadcast at this side's size); the
+    * complaint filter is negative account balance (no s_comment in
+    * the fixture). */
+  def qTpchQ16(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+    s.sql(
+      s"""WITH ps AS (${partsuppSql.format("g_lineitem")})
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        | COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        |FROM ps
+        |JOIN g_part p ON p.p_partkey = ps.ps_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND ps.ps_suppkey NOT IN
+        |      (SELECT s_suppkey FROM g_supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
   /** C3 (extension) — correlated EXISTS / NOT EXISTS through the SQL
     * entry point: Catalyst decorrelates them into left-semi and
     * left-anti hash joins (no per-row subquery execution — verified in

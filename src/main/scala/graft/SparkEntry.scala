@@ -38,6 +38,13 @@ object SparkEntry {
     "q_tpch_q2"         -> (CoreQueries.qTpchQ2 _),
     "q_tpch_q15"        -> (CoreQueries.qTpchQ15 _),
     "q_tpch_q20"        -> (CoreQueries.qTpchQ20 _),
+    "q_tpch_q4"         -> (CoreQueries.qTpchQ4 _),
+    "q_tpch_q6"         -> (CoreQueries.qTpchQ6 _),
+    "q_tpch_q8"         -> (CoreQueries.qTpchQ8 _),
+    "q_tpch_q9"         -> (CoreQueries.qTpchQ9 _),
+    "q_tpch_q11"        -> (CoreQueries.qTpchQ11 _),
+    "q_tpch_q12"        -> (CoreQueries.qTpchQ12 _),
+    "q_tpch_q16"        -> (CoreQueries.qTpchQ16 _),
     "c3_exists"         -> (CoreQueries.c3Exists _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
@@ -337,6 +344,127 @@ object SparkEntry {
         |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
         |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |   CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q8" ->
+      """WITH vol AS (
+        | SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
+        |    AS volume,
+        |  n2.n_name AS supp_nation
+        | FROM part p
+        | JOIN lineitem l ON l.l_partkey = p.p_partkey
+        | JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        | JOIN orders o ON o.o_orderkey = l.l_orderkey
+        | JOIN customer c ON c.c_custkey = o.o_custkey
+        | JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        | JOIN region r ON r.r_regionkey = n1.n_regionkey
+        | JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        | WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'),
+        |g AS (
+        | SELECT o_year,
+        |  SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS nv,
+        |  SUM(volume) AS tv
+        | FROM vol GROUP BY o_year)
+        |SELECT o_year,
+        | CAST(ROUND(nv, 2) AS DOUBLE) AS nation_volume,
+        | CAST(ROUND(tv, 2) AS DOUBLE) AS total_volume,
+        | CAST(CAST(ROUND(nv, 2) * 100 AS BIGINT) * 1000000
+        |      // CAST(ROUND(tv, 2) * 100 AS BIGINT) AS BIGINT) AS share_ppm
+        |FROM g ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  MIN(l_extendedprice) AS ps_supplycost, SUM(l_quantity) AS ps_availqty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT n.n_name AS nation,
+        | CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        | CAST(ROUND(SUM(
+        |   CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |     (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4))) -
+        |   CAST(ps.ps_supplycost AS DECIMAL(18,4)) *
+        |     CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_profit
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN ps ON ps.ps_partkey = l.l_partkey
+        |       AND ps.ps_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  MIN(l_extendedprice) AS ps_supplycost, SUM(l_quantity) AS ps_availqty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |v AS (
+        | SELECT ps.ps_partkey,
+        |  SUM(CAST(ps.ps_supplycost AS DECIMAL(18,4)) *
+        |      CAST(ps.ps_availqty AS DECIMAL(18,4))) AS value
+        | FROM ps
+        | JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        | JOIN nation n ON n.n_nationkey = s.s_nationkey
+        | WHERE n.n_name IN ('NATION_0','NATION_1','NATION_2')
+        | GROUP BY ps.ps_partkey)
+        |SELECT ps_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+        |FROM v
+        |WHERE value * 1000 > (SELECT SUM(value) FROM v)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l.l_returnflag AS ret_mode,
+        | CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders o
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_returnflag IN ('A','R')
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_returnflag
+        |ORDER BY ret_mode""".stripMargin,
+
+    "q_tpch_q16" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  MIN(l_extendedprice) AS ps_supplycost, SUM(l_quantity) AS ps_availqty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        | COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        |FROM ps
+        |JOIN part p ON p.p_partkey = ps.ps_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND ps.ps_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q_tpch_q20" ->
       """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,

@@ -22,6 +22,8 @@ class PlanLintSpec extends SparkTestBase {
     "x24_pagerank",        // node count N: one row, broadcast
     "x25_heavy_hitters",   // Misra-Gries merge: one row, O(k) state, broadcast
     "st6_heavy_hitters",   // 4-row shard-sketch merge: one row, O(shards·k)
+    "q_tpch_q6",           // global forecast-revenue sum: 1-row merge of map-side partials
+    "q_tpch_q11",          // global stock-value share scalar: 1-row merge, big agg stays distributed
     "q_tpch_q15",          // scalar MAX(total_revenue): 1-row merge of distributed partials
     "q_tpch_q19",          // single-row global revenue agg: 1-row merge
     "q_tpch_q17",          // single-row global revenue agg: 1-row merge
