@@ -1578,6 +1578,28 @@ object ExtensionQueries {
   def x22cTopicBalanceSharded(s: SparkSession, d: String): DataFrame =
     capHalfPerClusterSharded(x22NativeAssigned(s, d), shards = 8)
 
+  /** x22's FITTED-codebook form — the SemDeDup shape a production
+    * deployment actually runs: a fixed-K k-means codebook trained on a
+    * 10% hash sample (the [[Similarity.fitCodebook]] machinery x5c's
+    * IVF already stress-measured at 1M vectors), map-only
+    * nearest-centroid assignment, then the identical capHalfPerCluster
+    * stage. Differs from x22/x22b deliberately: their every-20th-vector
+    * codebook GROWS with the corpus (an oracle determinism device) —
+    * this one holds K fixed, which is what makes the broadcast-codebook
+    * assignment O(n·K) at any corpus size. benchOnly: k-means cluster
+    * ids aren't portable to a SQL oracle; FittedTopicSpec pins the
+    * contract (exact partition of the corpus, cap arithmetic, seed
+    * determinism, and fitted distortion beating an untrained codebook
+    * of the same K). */
+  def x22dTopicFitted(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.wide(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"))
+    val model = Similarity.fitCodebook(emb, "vec_id", "embedding",
+      nLists = 16, seed = 42L, trainFraction = 10)
+    capHalfPerCluster(
+      Similarity.fittedAssignments(emb, "vec_id", "embedding", model))
+  }
+
   private[graft] def capHalfPerClusterSharded(assigned: DataFrame,
       shards: Int): DataFrame = {
     val spread = assigned
@@ -2920,5 +2942,6 @@ object ExtensionQueries {
     "x6n_neardup_native"  -> (x6nNearDupNative _),
     "x22b_topic_native"   -> (x22bTopicBalanceNative _),
     "x22c_topic_sharded"  -> (x22cTopicBalanceSharded _),
+    "x22d_topic_fitted"   -> (x22dTopicFitted _),
   )
 }
