@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds an N×-replicated copy of a driver corpus dir so the bench can
+  * run above sf0.1 — the local stage-latency floor (~0.3-1 s/query)
+  * hides per-row costs at sf0.1, and this is the "generate the next SF
+  * up" tool the round-6 verdict asked for (r5 item 6). Usage:
+  *
+  *   runMain graft.MakeScale [srcDir] [dstDir] [copies]
+  *
+  * Replication semantics (documented distortions and all):
+  *  - every id domain is offset by copy·1e8, so keys stay unique and
+  *    every FK relationship (order→lineitem, customer→orders, …)
+  *    replicates copy-locally: join fan-outs match a true larger SF;
+  *  - region/nation are dimensions — copied, not replicated (a bigger
+  *    corpus has the same 25 nations);
+  *  - `documents.text` is replicated VERBATIM: duplicate density grows
+  *    with corpus size by construction (5 exact copies of every doc),
+  *    which is the honest upper-bound stress for the dedup family —
+  *    a real recrawl dups MORE with scale, not proportionally less;
+  *  - `part.p_name` gets a per-copy suffix so the DISTINCT name
+  *    vocabulary (t5/t10's real input) grows with the corpus instead
+  *    of collapsing back to sf0.1 under distinct();
+  *  - `embeddings.embedding` is rotated by 13·copy dims per copy:
+  *    intra-copy geometry (norms, cosines, cluster structure) is
+  *    preserved exactly, cross-copy cosines decorrelate — vector count
+  *    grows 5× without manufacturing 5-way exact-duplicate vectors;
+  *  - date/price/text distributions are unchanged, so every literal
+  *    predicate keeps its sf0.1 selectivity fraction. */
+object MakeScale {
+  private val S = 100000000L // id stride per copy; far above any sf0.1 id
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/sf0.5x"
+    val copies = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // tolerate either events.ts generation (nanos-as-long or micros)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def rep(name: String, idCols: Seq[String],
+        mutate: Map[String, Column => Column] = Map.empty,
+        nCopies: Int = copies): Unit = {
+      val df = Tables.load(spark, src, name)
+      val out = df
+        .select(col("*"), explode(sequence(lit(0), lit(nCopies - 1))).as("_k"))
+        .select(df.columns.map { c =>
+          if (idCols.contains(c)) (col(c) + col("_k") * S).as(c)
+          else mutate.get(c).map(f => f(col(c)).as(c)).getOrElse(col(c))
+        }: _*)
+      out.repartition(8).write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+      println(s"[makescale] $name -> ${nCopies}x")
+    }
+
+    // dimensions: plain copy — a bigger corpus has the same 25 nations
+    rep("region", Seq.empty, nCopies = 1)
+    rep("nation", Seq.empty, nCopies = 1)
+    rep("customer", Seq("c_custkey"))
+    rep("supplier", Seq("s_suppkey"))
+    rep("part", Seq("p_partkey"), Map(
+      "p_name" -> (c => when(col("_k") === 0, c)
+        .otherwise(concat(c, lit(" v"), col("_k"))))))
+    rep("orders", Seq("o_orderkey", "o_custkey"))
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("events", Seq("event_id", "user_id"))
+    rep("documents", Seq("doc_id"))
+    rep("embeddings", Seq("vec_id"), Map(
+      "embedding" -> { c =>
+        val rot = pmod(col("_k") * 13, lit(64)).cast("int")
+        concat(slice(c, rot + 1, lit(64) - rot), slice(c, lit(1), rot))
+          .cast("array<float>")
+      }))
+    println(s"[makescale] done: $dst (${copies}x $src)")
+    spark.stop()
+  }
+}

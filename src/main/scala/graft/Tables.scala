@@ -40,16 +40,26 @@ object Tables {
     if (alreadyWide) df else df.repartition(p)
   }
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as raw long (runtime-settable
-    * legacy conf) and truncate to microsecond TimestampType — the same
-    * truncation DuckDB applies when casting, so differential results
-    * agree. Integer `div` (not `/`) avoids double-precision loss on
-    * ~1.7e18 nano values. */
+  /** events.parquet has shipped `ts` two ways across driver corpus
+    * generations, and this loader absorbs both so every consumer sees
+    * one shape — session-TZ (UTC) microsecond TimestampType:
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader rejects:
+    *    read nanos as raw long (runtime-settable legacy conf) and
+    *    truncate — the same truncation DuckDB applies when casting, so
+    *    differential results agree. Integer `div` (not `/`) avoids
+    *    double-precision loss on ~1.7e18 nano values.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+    *    TIMESTAMP_NTZ: cast to TimestampType — under the UTC session
+    *    the wall-clock values are unchanged, matching DuckDB's naive
+    *    reading of the same column. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

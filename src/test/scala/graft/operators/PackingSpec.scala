@@ -104,6 +104,35 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("x20's source budget through keyedOffsets is bit-identical " +
+      "(skew guard for a mega-source corpus)") {
+    // x20 keeps the plain partitionBy(source) window on a "low-skew by
+    // construction" argument; this pins that the keyedOffsets swap is
+    // drop-in — same kept set, same aggregate rows — so a corpus that
+    // ships a mega-source needs a one-line change, not a new operator.
+    import graft.{ExtensionQueries, Tables}
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.wide(Tables.documents(spark, d))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.wordCount(col("text")).as("n_tok"),
+        Sampling.minstdHash(col("doc_id")).as("h"))
+    val totals = docs.groupBy("source").agg(sum("n_tok").as("total_tokens"))
+    val sharded = Packing.keyedOffsets(docs, "source", "n_tok", "h",
+        "doc_id", outCol = "off", numShards = 8)
+      .withColumn("cum_tok", col("off") + col("n_tok"))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("kept", col("cum_tok") * 2 <= col("total_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        max(col("total_tokens")).as("total_tokens"))
+      .orderBy("source")
+      .collect().toSeq
+    val window = ExtensionQueries.x20SourceBudget(spark, d).collect().toSeq
+    assert(sharded === window)
+  }
+
   test("packManifest spans cut boundaries correctly") {
     val df = Seq((1L, 100L), (2L, 100L), (3L, 400L), (4L, 56L))
       .toDF("id", "n_tok")
