@@ -37,11 +37,22 @@ object MakeScale {
     val dst = if (args.length > 1) args(1) else "/tmp/sf0.5x"
     val copies = if (args.length > 2) args(2).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // getOrCreate: under a test harness this reuses (and must not
+    // stop) the suite's session — main only stops what it created
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, copies)
+    if (!hadSession) spark.stop()
+  }
+
+  /** The replication pass itself, session supplied by the caller. */
+  def run(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
     // tolerate either events.ts generation (nanos-as-long or micros)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -79,6 +90,5 @@ object MakeScale {
           .cast("array<float>")
       }))
     println(s"[makescale] done: $dst (${copies}x $src)")
-    spark.stop()
   }
 }
