@@ -20,7 +20,10 @@ import graft.streaming.{EventSessions, EventWindows, StreamBudget, StreamCurate,
 object ExtensionQueries {
 
   /** Exact-decimal per-dimension table: (vec_id, i, v) with v =
-    * DECIMAL(9,6) quantized — the relational dot-product layout. */
+    * DECIMAL(9,6) quantized — the relational dot-product layout. The
+    * REFERENCE formulation: the oracle queries now run the bit-equal
+    * quantized-long path ([[quantizedVectors]]); this layout survives
+    * as the independently-derived form ScaledVectorSpec pins it to. */
   private def expandDecimal(df: DataFrame): DataFrame = {
     // tiny single-row-group parquet scans as 1 task: fan the vectors
     // out before the per-dimension explode (no-op on wide scans;
@@ -30,6 +33,43 @@ object ExtensionQueries {
       .select(col("vec_id"), (col("i0") + 1).as("i"),
         col("x").cast("double").cast("decimal(9,6)").as("v"))
   }
+
+  // ----------------------- exact quantized vector path (scale-6 longs)
+  // Same DECIMAL(9,6) arithmetic as expandDecimal — a DECIMAL(9,6) is
+  // an integer count of 1e-6 units — minus the per-dimension explode,
+  // the dot-product shuffle and the per-pair hash aggregate: one
+  // native codegen'd integer loop per pair (ScaledVector.scala has the
+  // bit-equality argument; ScaledVectorSpec pins it row-for-row).
+
+  private def q6(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.QuantizeDecimal6(
+        org.apache.spark.sql.graft.ColumnShim.expression(
+          c.cast("array<double>"))))
+
+  private def sdot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.ScaledDotProduct(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
+  private def s12ToDouble(c: Column): Column = c.cast("double") / lit(1e12)
+
+  /** The cosine formula of the decimal path, verbatim, on scale-12
+    * longs: both conversions are correctly-rounded-to-nearest, so the
+    * doubles (and their ROUND(…,6)) are bit-identical. */
+  private def scaledCos(dot: Column, na: Column, nb: Column): Column =
+    round(s12ToDouble(dot) /
+      (sqrt(s12ToDouble(na)) * sqrt(s12ToDouble(nb))), 6)
+
+  /** (vec_id, q: array<long> scale-6, n2: long scale-12) — each vector
+    * quantized ONCE per row. The explode(array(…)) Generate is the
+    * projection barrier (CLAUDE.md): without it CollapseProject inlines
+    * the quantization into n2 and every downstream consumer. */
+  private def quantizedVectors(df: DataFrame): DataFrame =
+    Tables.wide(df)
+      .select(col("vec_id"), explode(array(q6(col("embedding")))).as("q"))
+      .select(col("vec_id"), col("q"), sdot(col("q"), col("q")).as("n2"))
 
   // ------------------------------------------------------------ dedup
 
@@ -253,38 +293,69 @@ object ExtensionQueries {
   // ------------------------------------------- similarity search
 
   /** Brute-force cosine top-10 for 8 query vectors against the whole
-    * corpus, through the exact-decimal relational dot product. */
-  def x5AnnCosineTopK(s: SparkSession, d: String): DataFrame = {
-    val e = expandDecimal(Tables.embeddings(s, d))
-    annTopK(e, e.filter(col("vec_id") < 8), k = 10)
-  }
+    * corpus — exact DECIMAL(9,6) arithmetic on the quantized-long
+    * path (bit-equal decimal-relational reference kept for the spec). */
+  def x5AnnCosineTopK(s: SparkSession, d: String): DataFrame =
+    x5AnnCosineTopKImpl(s, d, decimalRef = false)
 
-  private def annTopK(e: DataFrame, seedRows: DataFrame, k: Int): DataFrame = {
-    val seeds = seedRows.select(col("vec_id").as("qa"), col("i").as("si"),
-      col("v").as("sv"))
-    val dots = broadcast(seeds)
-      .join(e, col("si") === col("i") && col("vec_id") =!= col("qa"))
-      .groupBy(col("qa"), col("vec_id").as("vb"))
-      .agg(sum(col("sv") * col("v")).as("dot"))
-    val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
-    val scored = dots
-      .join(norms.toDF("na_id", "na"), col("qa") === col("na_id"))
-      .join(norms.toDF("nb_id", "nb"), col("vb") === col("nb_id"))
-      .select(col("qa").as("query_id"), col("vb").as("neighbor_id"),
-        round(col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
-          .as("cos"))
+  private[graft] def x5AnnCosineTopKImpl(s: SparkSession, d: String,
+      decimalRef: Boolean): DataFrame = {
+    val scored =
+      if (decimalRef) {
+        val e = expandDecimal(Tables.embeddings(s, d))
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qa"), col("i").as("si"), col("v").as("sv"))
+        val dots = broadcast(seeds)
+          .join(e, col("si") === col("i") && col("vec_id") =!= col("qa"))
+          .groupBy(col("qa"), col("vec_id").as("vb"))
+          .agg(sum(col("sv") * col("v")).as("dot"))
+        val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+        dots
+          .join(norms.toDF("na_id", "na"), col("qa") === col("na_id"))
+          .join(norms.toDF("nb_id", "nb"), col("vb") === col("nb_id"))
+          .select(col("qa").as("query_id"), col("vb").as("neighbor_id"),
+            round(col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+              .as("cos"))
+      } else {
+        val e = quantizedVectors(Tables.embeddings(s, d))
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qa"), col("q").as("_sq"),
+            col("n2").as("_sn2"))
+        broadcast(seeds).join(e, col("vec_id") =!= col("qa"))
+          .select(col("qa").as("query_id"), col("vec_id").as("neighbor_id"),
+            scaledCos(sdot(col("_sq"), col("q")), col("_sn2"), col("n2"))
+              .as("cos"))
+      }
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .drop("rn")
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Exact cosine restricted to a given pair set on the quantized-long
+    * path: two narrow id joins attach each side's (q, n2), one native
+    * integer dot per pair — the rerank stage every approximate
+    * candidate generator shares, minus the relational detour. */
+  private def scaledCosOnPairs(vecs: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val va = vecs.select(col("vec_id").as("_pa"), col("q").as("_qa"),
+      col("n2").as("_na"))
+    val vb = vecs.select(col("vec_id").as("_pb"), col("q").as("_qb"),
+      col("n2").as("_nb"))
+    pairs
+      .join(va, col(aCol) === col("_pa"))
+      .join(vb, col(bCol) === col("_pb"))
+      .select(col(aCol), col(bCol),
+        scaledCos(sdot(col("_qa"), col("_qb")), col("_na"), col("_nb"))
+          .as("cos"))
+  }
+
   /** Exact-decimal cosine restricted to a given pair set: dots and
     * norms from the relational (vec_id, i, v) layout, computed ONLY on
-    * the `(aCol, bCol)` pairs — the rerank stage every approximate
-    * candidate generator shares. */
+    * the `(aCol, bCol)` pairs — the REFERENCE rerank the spec pins
+    * [[scaledCosOnPairs]] against. */
   private def decimalCosOnPairs(e: DataFrame, pairs: DataFrame,
       aCol: String, bCol: String): DataFrame = {
     val ea = e.toDF("_pa", "ia", "_wa")
@@ -311,13 +382,19 @@ object ExtensionQueries {
     * the bucketed path reproduces the exact result on this corpus
     * (recall measured 1.000 at sf0.001/0.01/0.1 — see AnnRecall;
     * same contract shape as x3's MinHash-LSH vs exact Jaccard). */
-  def x5bAnnLshTopK(s: SparkSession, d: String): DataFrame = {
+  def x5bAnnLshTopK(s: SparkSession, d: String): DataFrame =
+    x5bAnnLshTopKImpl(s, d, decimalRef = false)
+
+  private[graft] def x5bAnnLshTopKImpl(s: SparkSession, d: String,
+      decimalRef: Boolean): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cand = Similarity.lshCandidatePairsMulti(
         emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         dim = 64, nPlanes = 4, nTables = 16, multiProbe = true)
       .select(col("query_id").as("qa"), col("neighbor_id").as("vb"))
-    val scored = decimalCosOnPairs(expandDecimal(emb), cand, "qa", "vb")
+    val scored = (if (decimalRef)
+        decimalCosOnPairs(expandDecimal(emb), cand, "qa", "vb")
+      else scaledCosOnPairs(quantizedVectors(emb), cand, "qa", "vb"))
       .select(col("qa").as("query_id"), col("vb").as("neighbor_id"), col("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -355,29 +432,51 @@ object ExtensionQueries {
 
   /** Embedding near-dup pairs: originals (vec_id<200) ∪ perturbed
     * copies, all pairs with cosine ≥ 0.99 — exact decimal math. */
-  def x6EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+  def x6EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    x6EmbeddingNearDupImpl(s, d, decimalRef = false)
+
+  private[graft] def x6EmbeddingNearDupImpl(s: SparkSession, d: String,
+      decimalRef: Boolean): DataFrame = {
+    val all = x6Corpus(s, d)
+    val scored =
+      if (decimalRef) {
+        val e = expandDecimal(all)
+        val a = e.toDF("ida", "ia", "va")
+        val b = e.toDF("idb", "ib", "vb")
+        val dots = a.join(b, col("ia") === col("ib") && col("ida") < col("idb"))
+          .groupBy("ida", "idb").agg(sum(col("va") * col("vb")).as("dot"))
+        val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+        dots
+          .join(norms.toDF("na_id", "na"), col("ida") === col("na_id"))
+          .join(norms.toDF("nb_id", "nb"), col("idb") === col("nb_id"))
+          .select(col("ida"), col("idb"),
+            round(col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+              .as("cos"))
+      } else {
+        val e = quantizedVectors(all)
+        val a = e.select(col("vec_id").as("ida"), col("q").as("_qa"),
+          col("n2").as("_na"))
+        val b = e.select(col("vec_id").as("idb"), col("q").as("_qb"),
+          col("n2").as("_nb"))
+        a.join(broadcast(b), col("ida") < col("idb"))
+          .select(col("ida"), col("idb"),
+            scaledCos(sdot(col("_qa"), col("_qb")), col("_na"), col("_nb"))
+              .as("cos"))
+      }
+    scored.filter(col("cos") >= 0.99).orderBy("ida", "idb")
+  }
+
+  /** x6/x6b's shared fixture corpus: originals (vec_id<200) plus
+    * perturbed copies. */
+  private def x6Corpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       .select(col("vec_id"), col("embedding"))
     val copies = base.select((col("vec_id") + 1000000).as("vec_id"),
       transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
-    val all = base.select(col("vec_id"),
+    base.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       .union(copies)
-    val e = expandDecimal(all)
-    val a = e.toDF("ida", "ia", "va")
-    val b = e.toDF("idb", "ib", "vb")
-    val dots = a.join(b, col("ia") === col("ib") && col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(sum(col("va") * col("vb")).as("dot"))
-    val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
-    dots
-      .join(norms.toDF("na_id", "na"), col("ida") === col("na_id"))
-      .join(norms.toDF("nb_id", "nb"), col("idb") === col("nb_id"))
-      .select(col("ida"), col("idb"),
-        round(col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
-          .as("cos"))
-      .filter(col("cos") >= 0.99)
-      .orderBy("ida", "idb")
   }
 
   /** The near-dup scale path held to x6's exact answer: hyperplane-LSH
@@ -388,19 +487,18 @@ object ExtensionQueries {
     * pair that the O(n²) cartesian finds. Near-dup pairs are nearly
     * parallel vectors (cos ≥ 0.99), so bucket agreement is near-certain
     * and the candidate set is a true superset. */
-  def x6bNearDupLsh(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
-      .select(col("vec_id"), col("embedding"))
-    val copies = base.select((col("vec_id") + 1000000).as("vec_id"),
-      transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
-    val all = base.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      .union(copies)
+  def x6bNearDupLsh(s: SparkSession, d: String): DataFrame =
+    x6bNearDupLshImpl(s, d, decimalRef = false)
+
+  private[graft] def x6bNearDupLshImpl(s: SparkSession, d: String,
+      decimalRef: Boolean): DataFrame = {
+    val all = x6Corpus(s, d)
     val cand = Similarity.lshNearDupCandidates(
       all.select(col("vec_id"),
         col("embedding").cast("array<float>").as("embedding")),
       "vec_id", "embedding", dim = 64, nPlanes = 12, multiProbe = true)
-    decimalCosOnPairs(expandDecimal(all), cand, "ida", "idb")
+    (if (decimalRef) decimalCosOnPairs(expandDecimal(all), cand, "ida", "idb")
+     else scaledCosOnPairs(quantizedVectors(all), cand, "ida", "idb"))
       .filter(col("cos") >= 0.99)
       .orderBy("ida", "idb")
   }
@@ -1449,20 +1547,42 @@ object ExtensionQueries {
     * k-means-fitted centers (Similarity.ivfTopK is that machinery,
     * spec-tested + stress-measured); this query pins the SEMANTICS both
     * paths must produce. */
-  def x22TopicBalance(s: SparkSession, d: String): DataFrame = {
-    val e = expandDecimal(Tables.embeddings(s, d))
-    val cents = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("c_id"), col("i"), col("v").as("cv"))
-    val dots = e.join(cents, Seq("i"))
-      .groupBy(col("vec_id"), col("c_id"))
-      .agg(sum(col("v") * col("cv")).as("dot"))
-    val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
-    val cnorms = norms.select(col("vec_id").as("c_id"), col("n2").as("cn2"))
-    val scored = dots.join(norms, "vec_id").join(cnorms, "c_id")
-      .select(col("vec_id"), col("c_id"),
-        round(col("dot").cast("double") /
-          (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))),
-          6).as("cos"))
+  def x22TopicBalance(s: SparkSession, d: String): DataFrame =
+    x22TopicBalanceImpl(s, d, decimalRef = false)
+
+  /** Both exact scorers behind one body: the quantized-long path (the
+    * shipped query) and the decimal-relational reference it must equal
+    * bit-for-bit (ScaledVectorSpec). Only the `scored` stage differs —
+    * assignment window and cap stage are shared verbatim. */
+  private[graft] def x22TopicBalanceImpl(s: SparkSession, d: String,
+      decimalRef: Boolean): DataFrame = {
+    val scored =
+      if (decimalRef) {
+        val e = expandDecimal(Tables.embeddings(s, d))
+        val cents = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("c_id"), col("i"), col("v").as("cv"))
+        val dots = e.join(cents, Seq("i"))
+          .groupBy(col("vec_id"), col("c_id"))
+          .agg(sum(col("v") * col("cv")).as("dot"))
+        val norms = e.groupBy("vec_id").agg(sum(col("v") * col("v")).as("n2"))
+        val cnorms = norms.select(col("vec_id").as("c_id"), col("n2").as("cn2"))
+        dots.join(norms, "vec_id").join(cnorms, "c_id")
+          .select(col("vec_id"), col("c_id"),
+            round(col("dot").cast("double") /
+              (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))),
+              6).as("cos"))
+      } else {
+        // same codebook, scored by the broadcast quantized centroids:
+        // n·K fused integer loops, no per-dimension shuffle
+        val e = quantizedVectors(Tables.embeddings(s, d))
+        val cents = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("c_id"), col("q").as("_cq"),
+            col("n2").as("_cn2"))
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("c_id"),
+            scaledCos(sdot(col("q"), col("_cq")), col("n2"), col("_cn2"))
+              .as("cos"))
+      }
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("c_id").asc)
     val assigned = scored.withColumn("rn", row_number().over(wAssign))
