@@ -32,6 +32,28 @@ class ScaledVectorSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("quantize_decimal6 == cast over seeded random regimes " +
+      "(magnitudes, float artifacts, exact 0.5e-6 ties)") {
+    // no scalatest-scalacheck bridge offline — seeded Gen loop, the
+    // ColumnFunctionsSpec pattern, batched into one comparison
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val regimes: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(-999.999999, 999.999999),
+      Gen.chooseNum(-1.0, 1.0),
+      Gen.chooseNum(-1e-5, 1e-5),
+      Gen.chooseNum(-999f, 999f).map(_.toDouble), // float artifacts
+      Gen.chooseNum(-1999999L, 1999999L).map(_ / 2e6)) // exact ties
+    val vals = (0 until 2000).map(i =>
+      regimes.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    val df = Seq(Tuple1(vals)).toDF("arr")
+    val want = df.select(posexplode(col("arr")))
+      .select((col("col").cast("decimal(9,6)") * 1000000).cast("long"))
+      .as[Long].collect().toSeq
+    val got = df.select(explode(q6(col("arr")))).as[Long].collect().toSeq
+    assert(got === want)
+  }
+
   test("quantize_decimal6 overflows loudly past DECIMAL(9,6)") {
     val df = Seq(Tuple1(Seq(1000.0))).toDF("arr")
     val e = intercept[Exception] {
