@@ -1538,15 +1538,20 @@ object ExtensionQueries {
     * nearest deterministic centroid (every 20th vector), then cap each
     * topic cluster at 50% membership in reproducible minstd order: the
     * step that keeps one topic from dominating a training mix. Scoring
-    * is the proven exact-DECIMAL relational dot product (order-
-    * independent sums, engine-identical); assignment is a top-1 window
-    * per vector, the cap the shared [[capHalfPerCluster]] stage
-    * (running-frame rank + groupBy count joined back — no unbounded
-    * window frame). At 100 TB the relational O(n·K·dim) scorer gives way
-    * to the native CosineSimilarity against broadcast centroids and
-    * k-means-fitted centers (Similarity.ivfTopK is that machinery,
-    * spec-tested + stress-measured); this query pins the SEMANTICS both
-    * paths must produce. */
+    * is exact DECIMAL(9,6) arithmetic on the quantized-long native
+    * path (broadcast quantized centroids, one fused integer dot per
+    * pair — order-independent integer sums, engine-identical,
+    * bit-equal to the relational decimal explode it replaced:
+    * ScaledVectorSpec); assignment is a top-1 window per vector
+    * (WindowGroupLimit-eligible), the cap the shared
+    * [[capHalfPerCluster]] stage (running-frame rank + groupBy count
+    * joined back — no unbounded window frame). The remaining 100 TB
+    * caveat is the oracle CODEBOOK, not the scorer: every-20th-vector
+    * centroids grow with the corpus (O(n²/400) pairs — a determinism
+    * device); the deployment form holds K fixed with fitted centers —
+    * [[x22dTopicFitted]] / Similarity.ivfTopK, spec-tested +
+    * stress-measured. This query pins the SEMANTICS all paths must
+    * produce. */
   def x22TopicBalance(s: SparkSession, d: String): DataFrame =
     x22TopicBalanceImpl(s, d, decimalRef = false)
 
@@ -1640,10 +1645,12 @@ object ExtensionQueries {
       .orderBy("cluster_id")
   }
 
-  /** x22's PRODUCTION assignment path benched as itself: centroids as
+  /** x22's FLOAT assignment path benched as itself: centroids as
     * whole broadcast arrays, scoring through the native codegen'd
-    * cosine — n·K fused float loops instead of the relational
-    * O(n·K·dim) exploded join the oracle form pays. The cap stage is
+    * float cosine. Since the oracle form moved to the quantized-long
+    * path the two share one physical shape (broadcast + fused per-row
+    * loop) and differ only in arithmetic — float multiply-add here vs
+    * exact integer there. The cap stage is
     * byte-identical to x22 (integer minstd admit order), so once the
     * per-vector argmax agrees the whole output is integer-equal; the
     * argmax from float cosines can flip only when a vector's top two
