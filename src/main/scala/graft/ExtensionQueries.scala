@@ -1232,6 +1232,50 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** T14 — bigram LM quality score, the CCNet-style language-model
+    * filter with no log table: score every document by how PREDICTABLE
+    * its word bigrams are under the corpus's own bigram model.
+    * p(w2|w1) is approximated per bigram as c(w1,w2)/c(w1·) over
+    * observed bigram starts, carried as an exact integer ppm (the
+    * t13 no-log surprisal trick — ratios as `x·10⁶ div y`, never a
+    * double until nothing is left to divide), plus the count of
+    * corpus-novel bigrams (c=1 — hapax transitions, the gibberish
+    * signal). Scale shape: tokenize map-side; the re-index and `lead`
+    * windows are doc-keyed (per-task state bounded by one document —
+    * uniform key by construction); the bigram/context vocabularies are
+    * plain hash aggregates; the per-doc rollup is one more. Docs with
+    * fewer than two kept tokens have no bigrams and are absent from
+    * the output in both engines. */
+  def t14BigramLm(s: SparkSession, d: String): DataFrame =
+    t14BigramLmOn(Tables.wide(Tables.documents(s, d)))
+
+  /** t14's body over an arbitrary (doc_id, text) corpus — shared with
+    * the degenerate-corpus spec. */
+  private[graft] def t14BigramLmOn(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("i", "term")))
+      .filter(col("term") =!= "" && length(col("term")) <= 64)
+    // consecutive KEPT tokens: re-index after the empty/length filter
+    // so a dropped token doesn't break a bigram in one engine only
+    val wSeq = Window.partitionBy("doc_id").orderBy("i")
+    val big = tok
+      .withColumn("nxt", lead(col("term"), 1).over(wSeq))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("term").as("w1"), col("nxt").as("w2"))
+    val uni = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    big.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col("doc_id"),
+        expr("c12 * 1000000 div c1").as("cond_ppm"),
+        when(col("c12") === 1, 1L).otherwise(0L).as("is_novel"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(cond_ppm) div count(1)").as("mean_cond_ppm"),
+        sum(col("is_novel")).as("n_novel"))
+      .orderBy("doc_id")
+  }
+
   /** X27 — containment (asymmetric) near-dup pairs: snippet docs (the
     * first ⌈0.4·nwords⌉ words of every 20th document, the quote /
     * boilerplate-wrapper shape) are planted in the corpus; the operator
@@ -2803,6 +2847,32 @@ object ExtensionQueries {
         | CAST(SUM(is_rare) AS BIGINT) AS n_rare
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "t14_bigram_lm" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term,
+        |    generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1)
+        |      AS i
+        |  FROM documents),
+        |tokf AS (SELECT doc_id, term, i FROM tok0
+        |         WHERE term <> '' AND length(term) <= 64),
+        |big AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, term AS w1,
+        |           lead(term) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |    FROM tokf) WHERE w2 IS NOT NULL),
+        |uni AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        |bi  AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    CAST(b.c12 * 1000000 // u.c1 AS BIGINT) AS cond_ppm,
+        |    CASE WHEN b.c12 = 1 THEN 1 ELSE 0 END AS is_novel
+        |  FROM big g JOIN bi b USING (w1, w2) JOIN uni u USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | CAST(SUM(cond_ppm) // COUNT(*) AS BIGINT) AS mean_cond_ppm,
+        | CAST(SUM(is_novel) AS BIGINT) AS n_novel
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // x26: the oracle never parses anything — it states the canonical
     // URL straight from the key arithmetic; Spark must recover the
     // identical string from the messy variant
@@ -3036,6 +3106,7 @@ object ExtensionQueries {
     "x26_url_canonical"      -> (x26UrlCanonical _),
     "x27_containment_pairs"  -> (x27ContainmentPairs _),
     "t13_token_rarity"       -> (t13TokenRarity _),
+    "t14_bigram_lm"          -> (t14BigramLm _),
     "x28_domain_budget"      -> (x28DomainBudget _),
     "x29_leakage_split"      -> (x29LeakageSplit _),
     "x22_topic_balance"      -> (x22TopicBalance _),

@@ -72,6 +72,33 @@ class CurationQueriesSpec extends SparkTestBase {
     assert(r.getLong(1) == 2 && r.getLong(2) == 500000 && r.getLong(3) == 0)
   }
 
+  // first principles: c(a·)=3 across docs 1-3, c(a,b)=2, c(a,c)=1 →
+  // cond_ppm 666666 / 666666 / 333333; only (a,c) is corpus-novel;
+  // the single-token doc has no bigrams and must be absent.
+  test("t14 bigram LM: cross-doc conditional ppm and novel transitions") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val out = ExtensionQueries.t14BigramLmOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(
+      1L -> (1L, 666666L, 0L),
+      2L -> (1L, 666666L, 0L),
+      3L -> (1L, 333333L, 1L)))
+  }
+
+  test("t14 re-indexes after the token filter: a dropped blob token " +
+      "does not break the bigram chain") {
+    import spark.implicits._
+    // "aa <100-char blob> bb": the blob is dropped by the 64-char cap,
+    // so (aa, bb) must still form a bigram
+    val docs = Seq((1L, "aa " + "c" * 100 + " bb")).toDF("doc_id", "text")
+    val r = ExtensionQueries.t14BigramLmOn(docs).head()
+    assert(r.getLong(1) === 1L && r.getLong(2) === 1000000L &&
+      r.getLong(3) === 1L)
+  }
+
   test("x19: every distinct chunk is kept exactly once, globally") {
     val out = ExtensionQueries.x19PassageDedup(spark, d)
     val totalKept = out.agg(sum("n_kept")).head().getLong(0)
