@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   *    preserved exactly, cross-copy cosines decorrelate — vector count
   *    grows 5× without manufacturing 5-way exact-duplicate vectors;
   *  - date/price/text distributions are unchanged, so every literal
-  *    predicate keeps its sf0.1 selectivity fraction. */
+  *    predicate keeps its sf0.1 selectivity fraction.
+  *
+  * Replicas are BENCH-ONLY for events: a TIMESTAMP(NANOS)-generation
+  * source reads `events.ts` as raw nanos longs ([[Tables.events]]
+  * absorbs both layouts) and the replica writes it back as plain
+  * INT64 — a DuckDB oracle pointed at a replica dir would see BIGINT,
+  * not TIMESTAMP, so event-query oracle diffs must run on the driver
+  * corpus, never a replica. */
 object MakeScale {
   private val S = 100000000L // id stride per copy; far above any sf0.1 id
 

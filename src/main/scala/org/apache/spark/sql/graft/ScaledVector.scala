@@ -31,10 +31,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Decima
   * are both correctly-rounded-to-nearest, so the doubles — and any
   * ROUND(…, 6) of them — are bit-identical to the decimal-cast path.
   *
-  * Domain: |element| must stay under ~3.0e3 so a 64-dim scale-12 sum
-  * fits a long with headroom ([[ScaledDotProduct]] uses exact ops and
-  * throws on overflow rather than wrapping silently); embeddings here
-  * are unit-scale (|v| ≤ 0.58).
+  * Domain: bit-equality with the decimal-cast path additionally needs
+  * the scale-12 result within ±2^53 — beyond that, long→double is no
+  * longer exact and the cast+divide double-rounds relative to a
+  * BigDecimal `.doubleValue()`. [[ScaledDotProduct]] therefore throws
+  * both on long wraparound (exact ops) AND when |result| exceeds 2^53,
+  * so the contract cannot be silently exceeded; embeddings here are
+  * unit-scale (|v| ≤ 0.58), far inside the exact region.
   */
 case class QuantizeDecimal6(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -64,6 +67,10 @@ object QuantizeDecimal6 {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"quantize_decimal6: null element at index $i — the decimal " +
+            "reference null-skips via SUM; quantized vectors must be dense")
       val d = Decimal(x.getDouble(i))
       if (!d.changePrecision(9, 6))
         throw new ArithmeticException(
@@ -99,14 +106,24 @@ case class ScaledDotProduct(left: Expression, right: Expression)
 }
 
 object ScaledDotProduct {
+  private final val Exact53 = 1L << 53
+
   def dot(x: ArrayData, y: ArrayData): Long = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"scaled_dot: dimension mismatch ($n vs ${y.numElements()}) — " +
+          "equal dims are an invariant of every call site")
     var acc = 0L
     var i = 0
     while (i < n) {
       acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
       i += 1
     }
+    if (acc > Exact53 || acc < -Exact53)
+      throw new ArithmeticException(
+        s"scaled_dot: |$acc| exceeds 2^53 — long→double is no longer " +
+          "exact here, breaking bit-equality with the decimal reference")
     acc
   }
 }

@@ -70,6 +70,35 @@ class ScaledVectorSpec extends SparkTestBase {
     assert(got === 2000000L * 1000000L + (-3L * 7L) + 500000L * -4L)
   }
 
+  test("scaled_dot throws on dimension mismatch instead of truncating") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] { df.select(sdot(col("a"), col("b"))).collect() }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("dimension mismatch"))
+  }
+
+  test("scaled_dot throws loudly past the 2^53 exact-double bound") {
+    // 3e9 * 4e9 = 1.2e19 wraps a long → addExact/multiplyExact throws;
+    // 1e8 * 1e8 = 1e16 > 2^53 ≈ 9.007e15 fits a long but breaks the
+    // bit-equality contract → the explicit guard throws.
+    val wrap = Seq((Seq(3000000000L), Seq(4000000000L))).toDF("a", "b")
+    intercept[Exception] { wrap.select(sdot(col("a"), col("b"))).collect() }
+    val inexact = Seq((Seq(100000000L), Seq(100000000L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      inexact.select(sdot(col("a"), col("b"))).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("2^53"))
+  }
+
+  test("quantize_decimal6 throws on null array elements (decimal " +
+      "reference null-skips via SUM — silent divergence otherwise)") {
+    val df = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 2.0))).toDF("arr")
+    val e = intercept[Exception] { df.select(q6(col("arr"))).collect() }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("null element"))
+  }
+
   private val queryPairs: Seq[(String, String,
       (org.apache.spark.sql.SparkSession, String, Boolean) =>
         org.apache.spark.sql.DataFrame)] = Seq(
