@@ -91,6 +91,21 @@ object ExtensionQueries {
         n = 3, threshold = 0.5)
       .orderBy("ida", "idb")
 
+  /** X2b — the PRODUCTION near-dup form: x2 with the stop-shingle cap
+    * `maxDocFreq=3`. The uncapped pair stage costs Σ df² over shingle
+    * doc-frequencies — quadratic under heavy duplication (PERF.md's 5×
+    * adjudication) — so any boilerplate-heavy corpus must drop posting
+    * lists longer than the cap before pairing. Semantics under the cap:
+    * the intersection count keeps only shingles with df ≤ cap while
+    * set sizes stay FULL, so capped Jaccard underestimates — pairs
+    * held together only by corpus-common boilerplate fall out (21 vs
+    * 25 pairs at sf0.01). The oracle applies the identical df-filter
+    * before pairing; x2stress times this path at scale. */
+  def x2bNgramJaccardCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = Some(3))
+      .orderBy("ida", "idb")
+
   /** MinHash(128)+LSH(32 bands × 4 rows) with exact verification. The
     * oracle is the exact-Jaccard pair set: precision is exact (each
     * candidate is re-verified), and at threshold 0.8 banding recall is
@@ -1296,6 +1311,28 @@ object ExtensionQueries {
       .orderBy("id_sub", "id_super")
   }
 
+  /** X27b — capped containment, the production form of x27 (see
+    * [[x2bNgramJaccardCapped]] for why the Σdf² pair stage must be
+    * capped on duplication-heavy corpora). Containment is MORE
+    * cap-sensitive than Jaccard: the denominator is the SUB side's
+    * full set size while the intersection drops df>cap shingles, so a
+    * snippet whose source spawned many copies loses containment
+    * evidence — cap=5 keeps the planted-snippet recall at sf0.01
+    * (73 of 77 directed pairs survive; cap=4 would halve it) while
+    * bounding the pair stage. */
+  def x27bContainmentCapped(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 2 + 4) div 5 as int)")
+    val snippets = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    Dedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text",
+        n = 3, thresholdPct = 90, maxDocFreq = Some(5))
+      .orderBy("id_sub", "id_super")
+  }
+
   /** X26 — URL canonicalization + URL-level dedup: the first pass of a
     * web-crawl curation pipeline. Messy URL variants (scheme/host case,
     * explicit default ports, shuffled query-param order, utm_* tracking
@@ -2063,6 +2100,36 @@ object ExtensionQueries {
 
   private val jaccardPairsSql = jaccardPairsCte + "\nORDER BY ida, idb"
 
+  /** Capped variant of [[jaccardPairsCte]]: shingles with doc-frequency
+    * above %CAP% are dropped before pairing (the `maxDocFreq` stop-
+    * shingle cap), intersection counts shrink, set sizes stay full —
+    * the exact DuckDB statement of Dedup.coShinglePairs' posting-list
+    * length filter. */
+  private val jaccardPairsCappedSql =
+    """WITH words AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM documents)
+      |), sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2
+      |), df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  JOIN df ON df.shingle = a.shingle
+      |  WHERE df.df <= %CAP%
+      |  GROUP BY 1,2)
+      |SELECT ida, idb, jaccard FROM (
+      |  SELECT ida, idb, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) AS jaccard
+      |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+      |             JOIN sizes sb ON sb.doc_id=idb) t
+      |WHERE jaccard >= %THRESH%
+      |ORDER BY ida, idb""".stripMargin
+
   private val langScoreSql = {
     def hits(w: String) =
       s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
@@ -2211,6 +2278,46 @@ object ExtensionQueries {
         |GROUP BY text ORDER BY doc_id_kept""".stripMargin,
 
     "x2_dedup_ngram_jaccard" -> jaccardPairsSql.replace("%THRESH%", "0.5"),
+
+    "x2b_dedup_jaccard_capped" -> jaccardPairsCappedSql
+      .replace("%THRESH%", "0.5").replace("%CAP%", "3"),
+
+    // x27b: x27's corpus/shingle CTEs with the df-cap applied before
+    // pairing, mirroring Dedup.coShinglePairs(maxDocFreq=5)
+    "x27b_containment_capped" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*2+4)//5 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM corpus)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  JOIN df ON df.shingle = a.shingle
+        |  WHERE df.df <= 5
+        |  GROUP BY 1,2),
+        |dir AS (
+        |  SELECT ida AS id_sub, idb AS id_super, c, sa.n AS nsub
+        |  FROM inter JOIN sizes sa ON sa.doc_id = ida
+        |  UNION ALL
+        |  SELECT idb, ida, c, sb.n FROM inter JOIN sizes sb ON sb.doc_id = idb)
+        |SELECT id_sub, id_super, CAST(c * 1000000 // nsub AS BIGINT) AS cont_ppm
+        |FROM dir WHERE c * 100 >= 90 * nsub
+        |ORDER BY id_sub, id_super""".stripMargin,
 
     // x27: exact containment over the snippet-augmented corpus; same
     // word/shingle CTE shape as the Jaccard oracle but with corpus =
@@ -3065,6 +3172,7 @@ object ExtensionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_dedup_exact"         -> (x1DedupExact _),
     "x2_dedup_ngram_jaccard" -> (x2NgramJaccard _),
+    "x2b_dedup_jaccard_capped" -> (x2bNgramJaccardCapped _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
@@ -3105,6 +3213,7 @@ object ExtensionQueries {
     "t12_tfidf_keywords"     -> (t12TfidfKeywords _),
     "x26_url_canonical"      -> (x26UrlCanonical _),
     "x27_containment_pairs"  -> (x27ContainmentPairs _),
+    "x27b_containment_capped" -> (x27bContainmentCapped _),
     "t13_token_rarity"       -> (t13TokenRarity _),
     "t14_bigram_lm"          -> (t14BigramLm _),
     "x28_domain_budget"      -> (x28DomainBudget _),
