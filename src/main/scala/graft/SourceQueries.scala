@@ -316,6 +316,53 @@ object SourceQueries {
       .orderBy("source")
   }
 
+  /** S8 — JDBC relational extract, driver-visible end-to-end (the
+    * reference's PostgreSQL boundary, `BlueForty.py:300-321`): load
+    * the supplier parquet INTO an embedded Derby database over Spark's
+    * JDBC writer (Derby stands in for PG — same DriverManager path,
+    * in-JVM so the offline container can run it), extract it back
+    * through [[graft.sources.Jdbc.readTableOrFixture]] as a
+    * range-partitioned parallel scan (8 concurrent range predicates on
+    * the key — the knob that makes a relational extract
+    * cluster-parallel), land the extract as parquet (the reference's
+    * landing-file posture), and aggregate per nation. The oracle
+    * recomputes from the ORIGINAL parquet, so a hash match proves the
+    * whole parquet→JDBC-write→typed-read→parquet chain is lossless for
+    * bigint/int/double/varchar. JdbcSpec covers the connection-level
+    * contract (pushdown, partition count); this row makes S8 visible
+    * to the driver's correctness ledger. */
+  def s8JdbcExtract(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Jdbc
+    val url = "jdbc:derby:memory:graft_s8;create=true"
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    sup.write.format("jdbc")
+      .option("url", url).option("dbtable", "supplier_case")
+      .option("createTableColumnTypes",
+        "s_suppkey BIGINT, s_name VARCHAR(64), s_nationkey INT, " +
+          "s_acctbal DOUBLE")
+      .mode("overwrite").save()
+    // range bounds for the partitioned extract: one tiny min/max scan
+    // of the dimension table (driver-side by nature, not a hot path)
+    val Array(lo, hi) = sup
+      .agg(min(col("s_suppkey")), max(col("s_suppkey")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val extracted = Jdbc.readTableOrFixture(s, Some(Jdbc.Options(url,
+        "supplier_case",
+        partitioning = Some(Jdbc.Partitioning("s_suppkey", lo, hi + 1, 8)))),
+      fixturePath = d + "/supplier.parquet")
+    val land = tmpDir("graft_jdbc_land")
+    extracted.write.mode("overwrite").parquet(land)
+    s.read.parquet(land)
+      .groupBy(col("s_nationkey").cast("int").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(length(col("s_name"))).as("sum_name_len"),
+        round(sum(col("s_acctbal").cast("decimal(18,2)")), 2)
+          .cast("double").as("total_bal"))
+      .orderBy("nation")
+  }
+
   /** S11/S12/S13/S14 — CTAS, append-INSERT, view registration, SQL
     * entry point: materialize a filtered slice, append a second, read
     * back through a registered temp view with spark.sql. */

@@ -55,6 +55,7 @@ object SparkEntry {
     "p17_haversine"     -> (CoreQueries.p17Haversine _),
     "j2_crosstype_join" -> (CoreQueries.j2CrossTypeJoin _),
     "s1_csv_roundtrip"  -> (SourceQueries.s1CsvRoundtrip _),
+    "s8_jdbc_extract"   -> (SourceQueries.s8JdbcExtract _),
     "s2_staged_partitions" -> (SourceQueries.s2StagedPartitions _),
     "s10_tsv"           -> (SourceQueries.s10Tsv _),
     "s7_xml_shred"      -> (SourceQueries.s7XmlShred _),
@@ -574,6 +575,13 @@ object SparkEntry {
         | COUNT(l_shipdate) AS n_dates
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s8_jdbc_extract" ->
+      """SELECT CAST(s_nationkey AS INT) AS nation,
+        | COUNT(*) AS n_suppliers,
+        | CAST(SUM(length(s_name)) AS BIGINT) AS sum_name_len,
+        | CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+        |FROM supplier GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "s2_staged_partitions" ->
       """SELECT yr, mo,
