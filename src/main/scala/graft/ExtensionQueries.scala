@@ -1886,7 +1886,8 @@ object ExtensionQueries {
 
   /** Binary-payload plumbing: byte length, content hash, frame-sample
     * count — the codec-independent part a real image/audio pipeline
-    * shares (decode itself is stubbed, see Multimodal). */
+    * shares. Real image decode is oracle-checked in [[m1bImageDecode]];
+    * audio/video feature extraction stays stubbed (see Multimodal). */
   def m1MultimodalStub(s: SparkSession, d: String): DataFrame = {
     val m = Multimodal.asMedia(Tables.wide(Tables.documents(s, d)), "text", "image/fake")
     m.select(
@@ -1897,6 +1898,31 @@ object ExtensionQueries {
           .as("n_frames"),
         length(Multimodal.resizeStub(256)(col("content"))).cast("bigint")
           .as("n_resized_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** M1b — REAL image decode, oracle-checked: one tiny PNG per
+    * document is encoded DISTRIBUTED (typed mapPartitions →
+    * `javax.imageio`, real PNG streams), landed as a parquet binary
+    * column (the m2b corpus layout), read back, and decoded by
+    * [[Multimodal.decodeImages]] — `Dataset.mapPartitions` with typed
+    * encoders, no `df.rdd` hop. Every decoded property (width, height,
+    * red-channel pixel sum) is closed-form in doc_id
+    * ([[Multimodal.syntheticPng]]), so the DuckDB oracle restates them
+    * with pure arithmetic: a hash match proves the bytes on disk are
+    * real decodable PNGs AND the decode read the pixels the encoder
+    * wrote. The payload byte length is deliberately NOT an oracle
+    * column — PNG stream size is encoder-implementation-defined. */
+  def m1bImageDecode(s: SparkSession, d: String): DataFrame = {
+    val dir = Scratch.dir("graft_png")
+    val ids = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id").cast("long"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+    Multimodal.encodePngs(ids).toDF()
+      .write.mode("overwrite").parquet(dir)
+    Multimodal.decodeImages(s.read.parquet(dir), "doc_id", "content")
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("pix_sum"))
       .orderBy("doc_id")
   }
 
@@ -3070,6 +3096,23 @@ object ExtensionQueries {
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // m1b: decoded width/height/pixel-sum restated in closed form from
+    // doc_id (syntheticPng's pixel formula) — pure arithmetic, no codec
+    "m1b_image_decode" ->
+      """WITH wx AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 8 AS BIGINT))) AS x
+        |  FROM documents),
+        |wxy AS (
+        |  SELECT doc_id, x,
+        |    unnest(generate_series(0, CAST(doc_id % 6 AS BIGINT))) AS y
+        |  FROM wx)
+        |SELECT doc_id,
+        | CAST(1 + doc_id % 8 AS INT) AS width,
+        | CAST(1 + doc_id % 6 AS INT) AS height,
+        | CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS pix_sum
+        |FROM wxy GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "m1_multimodal_stub" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -3222,6 +3265,7 @@ object ExtensionQueries {
     "t8_quality_signals"     -> (t8QualitySignals _),
     "t9_quality_classifier"  -> (t9QualityClassifier _),
     "m1_multimodal_stub"     -> (m1MultimodalStub _),
+    "m1b_image_decode"       -> (m1bImageDecode _),
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "m2b_batched_ingest"     -> (m2bBatchedIngest _),
     "m3_frame_manifest"      -> (m3FrameManifest _),

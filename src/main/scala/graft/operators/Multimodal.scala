@@ -1,23 +1,104 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Typed payload/decode records for the image path. TOP-LEVEL by
+  * contract: case classes nested in a companion break the codegen'd
+  * encoder serializer under janino and every projection falls back to
+  * interpreted eval (see CLAUDE.md / MisraGriesAgg). */
+case class MediaPayload(doc_id: Long, content: Array[Byte])
+case class DecodedImage(doc_id: Long, width: Int, height: Int,
+    pix_sum: Long, n_bytes: Long)
+
 /** Multimodal-column plumbing: image/audio/video payloads modeled as
   * opaque `binary` columns with a typed metadata struct, plus
-  * feature-extraction / frame-sampling operators whose Spark-side
-  * shape (schema, partitioning, batch iteration) is real while the
-  * actual codec call is STUBBED — the image/audio libraries are not in
-  * this container, so decode is a clearly-marked deterministic fake.
+  * feature-extraction / frame-sampling operators. The IMAGE codec path
+  * is REAL — JDK-built-in `javax.imageio` encodes/decodes PNG with no
+  * external library ([[encodePngs]]/[[decodeImages]]); audio/video
+  * feature extraction stays a clearly-marked deterministic stub
+  * ([[decodeFeaturesStub]], [[resizeStub]]) since those codecs aren't
+  * in the container.
   *
   * Scale notes: payloads stay as parquet binary (no base64 inflation);
-  * per-item work is map-only; [[decodeBatch]] shows the
-  * mapPartitions batch pattern (the Scala analog of mapInPandas) so a
-  * real codec would amortize model/codec init per partition, not per
-  * row.
+  * per-item work is map-only; the codec boundary is
+  * `Dataset.mapPartitions` with typed encoders — codec/model state
+  * initializes once per PARTITION (the Scala analog of a Pandas UDF
+  * over mapInPandas), and unlike an `df.rdd` hop the plan stays in the
+  * Dataset lane, so AQE and downstream whole-stage codegen survive.
   */
 object Multimodal {
+
+  // BufferedImage/ImageIO need no display, but only with headless AWT
+  System.setProperty("java.awt.headless", "true")
+
+  /** Deterministic tiny PNG: `width = 1 + id%8`, `height = 1 + id%6`,
+    * gray pixel `v(x,y) = (id·31 + x·7 + y·13) mod 256` in all three
+    * channels — every decoded property is closed-form in `id`, so a
+    * SQL oracle can state the decoded width/height/pixel-sum without
+    * running a codec, while the bytes on disk are a REAL PNG stream
+    * (signature, IHDR, zlib-compressed scanlines) produced by
+    * `javax.imageio`. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 1 + (id % 8).toInt
+    val h = 1 + (id % 6).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG decode (JDK ImageIO): width, height, and the sum of the
+    * red channel over all pixels — the integrity checksum the m1b
+    * oracle recomputes in closed form. */
+  def decodePng(id: Long, bytes: Array[Byte]): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"decodePng: payload for id=$id is not a decodable image")
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        sum += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(id, img.getWidth, img.getHeight, sum, bytes.length.toLong)
+  }
+
+  /** Distributed PNG encode: ids → real PNG payloads, one codec stage
+    * per partition via typed mapPartitions. */
+  def encodePngs(ids: Dataset[Long]): Dataset[MediaPayload] =
+    ids.mapPartitions(it => it.map(id => MediaPayload(id, syntheticPng(id))))(
+      Encoders.product[MediaPayload])
+
+  /** Batch image decode over a (id, binary) DataFrame — the REAL codec
+    * boundary: `Dataset.mapPartitions` with a typed encoder (no
+    * `df.rdd` hop), ImageIO init amortized per partition. */
+  def decodeImages(df: DataFrame, idCol: String,
+      contentCol: String): Dataset[DecodedImage] =
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .mapPartitions { rows =>
+        // per-partition init lives here (ImageIO is stateless; a
+        // JNI/model codec would load its handle once per task)
+        rows.map(r => decodePng(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(Encoders.product[DecodedImage])
 
   val MetadataSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -87,23 +168,20 @@ object Multimodal {
     df.repartition(parts)
   }
 
-  /** Batch decode via mapPartitions — the Scala analog of a Pandas UDF
-    * over mapInPandas: codec/model state would be initialized once per
-    * partition (`???` marks where the real library call goes; the
-    * deterministic fallback keeps the plumbing testable). */
-  def decodeBatch(df: DataFrame, contentCol: String, useRealCodec: Boolean = false): DataFrame = {
-    val spark = df.sparkSession
-    import org.apache.spark.sql.Row
+  /** Schema-generic batch stage via `Dataset.mapPartitions` with a row
+    * encoder — appends `decoded_len` to whatever schema arrives. For
+    * the REAL image decode use [[decodeImages]]; this generic form is
+    * the pattern for codecs whose output schema is input-dependent. */
+  def decodeBatch(df: DataFrame, contentCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
     val outSchema = StructType(df.schema.fields :+
       StructField("decoded_len", LongType))
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       // per-partition init happens here (codec handle, model weights…)
-      if (useRealCodec) ??? // real image/audio decoder: not in container
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentCol)
+        val bytes = r.getAs[Array[Byte]](idx)
         Row.fromSeq(r.toSeq :+ (if (bytes == null) 0L else bytes.length.toLong))
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 }

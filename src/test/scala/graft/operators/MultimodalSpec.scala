@@ -88,4 +88,52 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lens === Map(1L -> 100L, 2L -> 2L, 3L -> 200L))
   }
+
+  test("syntheticPng emits a real PNG stream and decodePng recovers " +
+      "the closed-form pixels exactly") {
+    val bytes = Multimodal.syntheticPng(42L)
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+    assert(bytes.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val dec = Multimodal.decodePng(42L, bytes)
+    assert(dec.width === 1 + (42 % 8).toInt)
+    assert(dec.height === 1 + (42 % 6).toInt)
+    val want = (for {
+      y <- 0 until dec.height; x <- 0 until dec.width
+    } yield (42L * 31 + x * 7 + y * 13) % 256).sum
+    assert(dec.pix_sum === want)
+    assert(dec.n_bytes === bytes.length.toLong)
+  }
+
+  test("decodePng throws loudly on undecodable bytes") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePng(7L, "not a png".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("encodePngs→parquet→decodeImages round-trips distributed, and " +
+      "the codec boundary stays in the Dataset lane (no RDD hop)") {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("graft_mm_png")
+    Multimodal.encodePngs(spark.range(0, 50).as[Long]).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val decoded = Multimodal.decodeImages(
+      spark.read.parquet(dir), "doc_id", "content")
+    // no df.rdd hop: the physical plan still starts at the parquet
+    // FileScan (an RDD hop would plan Scan ExistingRDD and sever AQE)
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"), plan)
+    val rows = decoded.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      assert(r.width === 1 + (r.doc_id % 8).toInt)
+      assert(r.height === 1 + (r.doc_id % 6).toInt)
+      val want = (for {
+        y <- 0 until r.height; x <- 0 until r.width
+      } yield (r.doc_id * 31 + x * 7 + y * 13) % 256).sum
+      assert(r.pix_sum === want, s"doc ${r.doc_id}")
+    }
+  }
 }
