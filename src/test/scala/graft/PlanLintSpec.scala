@@ -47,6 +47,42 @@ class PlanLintSpec extends SparkTestBase {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  // The whitelist's provenance, enforced per entry: a whitelisted name
+  // only ever gets to plan `Exchange SinglePartition` as the MERGE of
+  // an aggregate whose partials ran distributed — the exchange's child
+  // must be a partial-mode aggregate, never a raw child sort/exchange.
+  // Without this, the name-based whitelist would silently absorb a
+  // future bad plan (e.g. a refactor funnelling the raw table through
+  // one task) behind a whitelisted query name.
+  test("whitelisted SinglePartition stages merge aggregate partials only") {
+    val d = "/root/testdata/sf0.001"
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    var seen = 0
+    val bad = globalAggWhitelist.toSeq.sorted.flatMap { name =>
+      val lines = all(name)(spark, d).queryExecution.executedPlan
+        .toString.linesIterator.toVector
+      lines.zipWithIndex.flatMap { case (l, i) =>
+        if (!l.contains("Exchange SinglePartition")) None
+        else {
+          seen += 1
+          val child = lines.lift(i + 1).getOrElse("")
+          val partialAgg = child.contains("Aggregate") &&
+            child.contains("partial_")
+          if (partialAgg) None
+          else Some(s"$name: SinglePartition above a non-partial-agg " +
+            s"child: ${child.trim}")
+        }
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    // not vacuous: the whitelist exists because these queries DO plan
+    // a single-partition merge — if none shows up the lint went blind
+    // (plan format drift) and needs its matcher updated
+    assert(seen >= globalAggWhitelist.size / 2,
+      s"only $seen SinglePartition exchanges seen across " +
+        s"${globalAggWhitelist.size} whitelisted queries — matcher drift?")
+  }
+
   // Queries whose per-key admit/top-k decision MUST stay a
   // WindowGroupLimit (map-side bound on rows per partition key) — a
   // refactor that consumes the rank inside an aggregate instead of a
