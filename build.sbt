@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra -D/-X flags for constrained-memory probes (graft.SpillProbe):
+  // e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.memory.fraction=0.2"
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)
