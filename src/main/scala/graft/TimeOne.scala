@@ -103,6 +103,35 @@ object TimeOne {
       case "skewsalted_noaqe" =>
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         skewAgg(operators.Skew.saltedJoin(skewProbe, skewBuild.hint("merge"), "k", 8))
+      // AQE's own skew-join split as the zero-code alternative to
+      // salting, with thresholds tuned so the hot partition actually
+      // qualifies (the 256 MB default never fires at this scale).
+      // "aqetuned" leaves forceOptimizeSkewedJoin at its false default:
+      // in this join→same-key-aggregate shape the SMJ's hash(k) output
+      // feeds the groupBy(k) with NO exchange, so splitting the join
+      // would INTRODUCE one — AQE declines, the hot reducer stays.
+      // "aqeforce" opts into that extra shuffle and the split fires.
+      case "skewnaive_aqetuned" | "skewnaive_aqeforce" =>
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        if (name.endsWith("aqeforce"))
+          spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        skewAgg(skewProbe.join(skewBuild.hint("merge"), Seq("k")))
+      // control: the pure join→GLOBAL-agg shape, where partials are
+      // distribution-agnostic so the split introduces no extra shuffle
+      // and tuned AQE fires WITHOUT force
+      case "skewglobal_naive" | "skewglobal_aqetuned" =>
+        if (name.endsWith("aqetuned")) {
+          spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        }
+        skewProbe.join(skewBuild.hint("merge"), Seq("k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(col("qty")), 2).cast("double").as("sum_qty"))
       case "asofstress" => asofStress
       case "rangestress" =>
         operators.RangeJoin.pointInInterval(rangePoints, "cents",
@@ -381,6 +410,15 @@ object TimeOne {
       val t0 = System.nanoTime()
       dfFor(name).write.format("noop").mode("overwrite").save()
       println(f"[timeone] $name rep$r: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    // SPARK_GRAFT_EXPLAIN=1: dump the FINAL adaptive plan (collect()
+    // so AQE finalizes on this very QueryExecution — a noop write
+    // wraps the df in its own) for skew/reuse adjudication
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      val df = dfFor(name)
+      df.collect()
+      println(s"[timeone] final adaptive plan for $name:\n" +
+        df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
