@@ -228,6 +228,24 @@ object ExtensionQueries {
     * ClusterMapSpec pins the no-shuffle doc_id aggregate. */
   def writeClusterMap(s: SparkSession, d: String, table: String,
       buckets: Int = 8): Unit = {
+    // A previous JVM's default-warehouse directory can outlive its
+    // in-memory metastore; saveAsTable then refuses to adopt the
+    // orphan location (LOCATION_ALREADY_EXISTS) and every fresh
+    // session would fall back to the memo build forever. Remove the
+    // orphan iff the catalog genuinely has no such table — never a
+    // live table's data.
+    if (!s.catalog.tableExists(table)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val leaf = table.split('.').last.toLowerCase
+      val orphan = java.nio.file.Paths.get(wh, leaf)
+      if (java.nio.file.Files.exists(orphan)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(orphan).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     memoizedClusterMap(s, d).write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(table)
