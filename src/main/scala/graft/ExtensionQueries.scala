@@ -100,10 +100,15 @@ object ExtensionQueries {
     * set sizes stay FULL, so capped Jaccard underestimates — pairs
     * held together only by corpus-common boilerplate fall out (21 vs
     * 25 pairs at sf0.01). The oracle applies the identical df-filter
-    * before pairing; x2stress times this path at scale. */
+    * before pairing; x2stress times this path at scale. Scored and
+    * gated in exact-integer ppm (r8 advice): the cap changes the
+    * (c,na,nb) combinations vs x2, so x2's never-hit-a-rounding-tie
+    * history doesn't transfer, and here the rounded value also gates
+    * the ≥0.5 row set — [[Dedup.ngramJaccardPairsPpm]] keeps both
+    * engines in long arithmetic end to end. */
   def x2bNgramJaccardCapped(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = Some(3))
+    Dedup.ngramJaccardPairsPpm(Tables.documents(s, d), "doc_id", "text",
+        n = 3, thresholdPpm = 500000L, maxDocFreq = Some(3))
       .orderBy("ida", "idb")
 
   /** MinHash(128)+LSH(32 bands × 4 rows) with exact verification. The
@@ -237,13 +242,26 @@ object ExtensionQueries {
     if (!s.catalog.tableExists(table)) {
       val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         .stripPrefix("file:")
-      val leaf = table.split('.').last.toLowerCase
-      val orphan = java.nio.file.Paths.get(wh, leaf)
+      // default-db tables live at <wh>/<leaf>; any other database at
+      // <wh>/<db>.db/<leaf> — derive both segments from the identifier
+      // so a db-qualified name can't no-op here while deleting an
+      // unrelated same-named directory at the warehouse root
+      val parts = table.split('.').map(_.toLowerCase)
+      val leaf = parts.last
+      val db = parts.length match {
+        case 1 => "default"
+        case 2 => parts(0)
+        case _ => parts(parts.length - 2) // catalog.db.table
+      }
+      val orphan =
+        if (db == "default") java.nio.file.Paths.get(wh, leaf)
+        else java.nio.file.Paths.get(wh, s"$db.db", leaf)
       if (java.nio.file.Files.exists(orphan)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(orphan).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        val walk = java.nio.file.Files.walk(orphan)
+        try {
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { val _ = java.nio.file.Files.deleteIfExists(f) })
+        } finally walk.close() // the stream holds a directory handle
       }
     }
     memoizedClusterMap(s, d).write.mode("overwrite")
@@ -2148,7 +2166,10 @@ object ExtensionQueries {
     * above %CAP% are dropped before pairing (the `maxDocFreq` stop-
     * shingle cap), intersection counts shrink, set sizes stay full —
     * the exact DuckDB statement of Dedup.coShinglePairs' posting-list
-    * length filter. */
+    * length filter. Scored in exact-integer ppm with an integer
+    * membership gate (`c·10⁶ ≥ %THRESHPPM%·(union)`) — no double
+    * ratio, no rounding tie (see [[Dedup.ngramJaccardPairsPpm]]);
+    * `//` is floor division, == truncation for these positives. */
   private val jaccardPairsCappedSql =
     """WITH words AS (
       |  SELECT doc_id, w, i FROM (
@@ -2167,11 +2188,10 @@ object ExtensionQueries {
       |  JOIN df ON df.shingle = a.shingle
       |  WHERE df.df <= %CAP%
       |  GROUP BY 1,2)
-      |SELECT ida, idb, jaccard FROM (
-      |  SELECT ida, idb, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) AS jaccard
-      |  FROM inter JOIN sizes sa ON sa.doc_id=ida
-      |             JOIN sizes sb ON sb.doc_id=idb) t
-      |WHERE jaccard >= %THRESH%
+      |SELECT ida, idb, (c*1000000)//(sa.n+sb.n-c) AS jaccard_ppm
+      |FROM inter JOIN sizes sa ON sa.doc_id=ida
+      |           JOIN sizes sb ON sb.doc_id=idb
+      |WHERE c*1000000 >= %THRESHPPM%*(sa.n+sb.n-c)
       |ORDER BY ida, idb""".stripMargin
 
   private val langScoreSql = {
@@ -2324,7 +2344,7 @@ object ExtensionQueries {
     "x2_dedup_ngram_jaccard" -> jaccardPairsSql.replace("%THRESH%", "0.5"),
 
     "x2b_dedup_jaccard_capped" -> jaccardPairsCappedSql
-      .replace("%THRESH%", "0.5").replace("%CAP%", "3"),
+      .replace("%THRESHPPM%", "500000").replace("%CAP%", "3"),
 
     // x27b: x27's corpus/shingle CTEs with the df-cap applied before
     // pairing, mirroring Dedup.coShinglePairs(maxDocFreq=5)

@@ -30,12 +30,14 @@ import org.apache.spark.sql.functions._
   *  - date/price/text distributions are unchanged, so every literal
   *    predicate keeps its sf0.1 selectivity fraction.
   *
-  * Replicas are BENCH-ONLY for events: a TIMESTAMP(NANOS)-generation
-  * source reads `events.ts` as raw nanos longs ([[Tables.events]]
-  * absorbs both layouts) and the replica writes it back as plain
-  * INT64 — a DuckDB oracle pointed at a replica dir would see BIGINT,
-  * not TIMESTAMP, so event-query oracle diffs must run on the driver
-  * corpus, never a replica. */
+  * Replicas are oracle-compatible, events included: `events` loads
+  * through [[Tables.events]] (which absorbs both driver `ts`
+  * generations into session-TZ micros) and is written back as
+  * TIMESTAMP_NTZ — parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+  * the same logical type as the driver's micros generation — so a
+  * DuckDB oracle pointed at a replica dir sees plain TIMESTAMP and
+  * `check_oracle.py` can diff event queries above sf0.1. (Before
+  * round 9 the replica wrote raw INT64 nanos and was bench-only.) */
 object MakeScale {
   private val S = 100000000L // id stride per copy; far above any sf0.1 id
 
@@ -66,7 +68,14 @@ object MakeScale {
     def rep(name: String, idCols: Seq[String],
         mutate: Map[String, Column => Column] = Map.empty,
         nCopies: Int = copies): Unit = {
-      val df = Tables.load(spark, src, name)
+      // events must round-trip through the ts-absorbing loader so the
+      // replica lands as one canonical TIMESTAMP_NTZ micros layout
+      // regardless of which generation the source corpus shipped
+      val df =
+        if (name == "events")
+          Tables.events(spark, src)
+            .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        else Tables.load(spark, src, name)
       val out = df
         .select(col("*"), explode(sequence(lit(0), lit(nCopies - 1))).as("_k"))
         .select(df.columns.map { c =>

@@ -344,10 +344,18 @@ object SourceQueries {
           "s_acctbal DOUBLE")
       .mode("overwrite").save()
     // range bounds for the partitioned extract: one tiny min/max scan
-    // of the dimension table (driver-side by nature, not a hot path)
-    val Array(lo, hi) = sup
+    // of the dimension table (driver-side by nature, not a hot path).
+    // min/max over an empty fixture are NULL — fail with a clear
+    // message instead of an opaque NPE deep in the cast. The Derby
+    // memory db is intentionally reuse-overwrite (mode=overwrite drops
+    // and recreates the table): one in-JVM db per name for the JVM
+    // lifetime is the fixture's contract, not a leak.
+    val bounds = sup
       .agg(min(col("s_suppkey")), max(col("s_suppkey")))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      .collect()(0)
+    require(!bounds.isNullAt(0) && !bounds.isNullAt(1),
+      s"s8_jdbc_extract: supplier fixture at $d is empty — no key range")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val extracted = Jdbc.readTableOrFixture(s, Some(Jdbc.Options(url,
         "supplier_case",
         partitioning = Some(Jdbc.Partitioning("s_suppkey", lo, hi + 1, 8)))),

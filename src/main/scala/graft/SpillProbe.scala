@@ -66,10 +66,19 @@ object SpillProbe {
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously — settle before reading
-      // (listenerBus.waitUntilEmpty is private[spark]; 1 s covers the
-      // default 100-event batches at local scale)
-      Thread.sleep(1000)
+      // listener events drain asynchronously and a fixed sleep can
+      // under-count on a loaded machine (events still in flight bleed
+      // into the NEXT query after its reset) — poll until the counters
+      // hold still, bounded by a 10 s deadline (the SpillSpec pattern;
+      // listenerBus.waitUntilEmpty is private[spark])
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var prev = (-1L, -1L)
+      var cur = (memSpilled.get, diskSpilled.get)
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur
+        Thread.sleep(200)
+        cur = (memSpilled.get, diskSpilled.get)
+      }
       println(f"""{"query":"$name","sec":$sec%.2f,"spill_mem_mb":${
         memSpilled.get / (1 << 20)},"spill_disk_mb":${
         diskSpilled.get / (1 << 20)},"ok":$ok}""")

@@ -175,6 +175,31 @@ object Dedup {
           (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** [[ngramJaccardPairs]] with an exact-INTEGER score: emits
+    * `jaccard_ppm = ⌊c·10⁶ / (na+nb−c)⌋` and gates membership with
+    * `c·10⁶ ≥ thresholdPpm·(na+nb−c)` — pure long arithmetic on both
+    * sides, so no double ratio ever exists to tie at a rounding
+    * boundary (the CLAUDE.md oracle rule: a 2-5-smooth union size
+    * would land `ROUND(c/u, 6)` exactly ON the half-ulp and Spark's
+    * decimal HALF_UP vs DuckDB's binary nearbyint break the tie
+    * differently — and here the score also gates the row SET). Floor
+    * division is monotone, so `ppm ≥ t·10⁶` ⇔ `ratio ≥ t` exactly.
+    * Products stay ≤ ~2·10¹² (c, na, nb ≤ SizeBits range), far under
+    * the long range ANSI mode guards. Count-strategy only: the ppm
+    * form exists for the capped production listing (x2b), whose
+    * thresholds sit below [[PrefixFilterThreshold]]. */
+  def ngramJaccardPairsPpm(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPpm: Long = 500000L,
+      maxDocFreq: Option[Int] = None): DataFrame =
+    coShinglePairs(df, idCol, textCol, n, maxDocFreq)
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("c"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("c") * lit(1000000L) >=
+        lit(thresholdPpm) * (col("na") + col("nb") - col("c")))
+      .select(col("ida"), col("idb"),
+        expr("c * 1000000 div (na + nb - c)").as("jaccard_ppm"))
+
   /** Prefix-filtered exact pairs: AllPairs-style candidate pruning,
     * then set-intersection verification.
     *

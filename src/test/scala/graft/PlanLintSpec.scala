@@ -53,26 +53,44 @@ class PlanLintSpec extends SparkTestBase {
   // must be a partial-mode aggregate, never a raw child sort/exchange.
   // Without this, the name-based whitelist would silently absorb a
   // future bad plan (e.g. a refactor funnelling the raw table through
-  // one task) behind a whitelisted query name.
+  // one task) behind a whitelisted query name. Walks the actual
+  // SparkPlan tree (r8 advice) — adjacent-line string matching would
+  // misattribute the child across a ReusedExchange / subquery-section
+  // / wrapper-line format change.
   test("whitelisted SinglePartition stages merge aggregate partials only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+    // every node of the plan, through the AQE wrapper and into
+    // subquery plans (scalar-subquery merges are SinglePartition too)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      here ++ p.subqueries.flatMap(flatten)
+    }
+    def isPartialAgg(p: SparkPlan): Boolean = p match {
+      case b: BaseAggregateExec =>
+        b.aggregateExpressions.nonEmpty &&
+          b.aggregateExpressions.forall(ae =>
+            ae.mode == Partial || ae.mode == PartialMerge)
+      case _ => false
+    }
     val d = "/root/testdata/sf0.001"
     val all = SparkEntry.queries ++ SparkEntry.benchOnly
     var seen = 0
     val bad = globalAggWhitelist.toSeq.sorted.flatMap { name =>
-      val lines = all(name)(spark, d).queryExecution.executedPlan
-        .toString.linesIterator.toVector
-      lines.zipWithIndex.flatMap { case (l, i) =>
-        if (!l.contains("Exchange SinglePartition")) None
-        else {
+      flatten(all(name)(spark, d).queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
           seen += 1
-          val child = lines.lift(i + 1).getOrElse("")
-          val partialAgg = child.contains("Aggregate") &&
-            child.contains("partial_")
-          if (partialAgg) None
+          if (isPartialAgg(e.child)) None
           else Some(s"$name: SinglePartition above a non-partial-agg " +
-            s"child: ${child.trim}")
-        }
-      }
+            s"child: ${e.child.getClass.getSimpleName}")
+      }.flatten
     }
     assert(bad.isEmpty, bad.mkString("\n"))
     // not vacuous: the whitelist exists because these queries DO plan
