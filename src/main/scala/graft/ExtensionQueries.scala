@@ -1991,6 +1991,34 @@ object ExtensionQueries {
           .as("frame_md5"))
   }
 
+  /** M3b — REAL video-frame decode, oracle-checked: the decode m3's
+    * manifest was planning for. One GVC1 container per document
+    * (magic + frame count + length-prefixed REAL PNG frames,
+    * [[Multimodal.syntheticVideo]]) is encoded distributed, landed as
+    * a parquet binary column, read back, and demuxed+pixel-decoded by
+    * [[Multimodal.decodeVideoFrames]] at stride 2 — even frames get a
+    * full PNG decode, odd frames are byte-skipped (the keyframe
+    * sampling pattern: skipped frames cost a seek, not a codec pass).
+    * Every decoded property is closed-form in (doc_id, frame_idx)
+    * (frame f decodes syntheticPng(doc_id·16+f)), so the DuckDB
+    * oracle restates width/height/pixel-sum with pure arithmetic — a
+    * hash match proves the container bytes demux correctly AND the
+    * frame pixels decode to what the encoder wrote. */
+  def m3bVideoDecode(s: SparkSession, d: String): DataFrame = {
+    val dir = Scratch.dir("graft_gvc")
+    val ids = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id").cast("long"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+    Multimodal.encodeVideos(ids).toDF()
+      .write.mode("overwrite").parquet(dir)
+    Multimodal.decodeVideoFrames(s.read.parquet(dir), "doc_id", "content",
+        stride = 2)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        col("pix_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Real multimodal ingestion boundary: one opaque binary file per
     * document written distributed (mapPartitions-style foreach, no
     * driver collect), read back through Spark's `binaryFile` source —
@@ -3151,6 +3179,34 @@ object ExtensionQueries {
         | CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS pix_sum
         |FROM wxy GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // m3b: the decoded frame set restated in closed form from
+    // (doc_id, frame_idx): frames 0..doc_id%3, stride 2 keeps the even
+    // ones, frame f's pixels follow syntheticPng(doc_id*16+f)'s formula
+    // (scalar unnest(generate_series) — DuckDB's table-function form
+    // can't take lateral parameters, see CLAUDE.md)
+    "m3b_video_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS fi
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, fi, doc_id*16 + fi AS fid FROM f
+        |  WHERE fi % 2 = 0),
+        |wx AS (
+        |  SELECT doc_id, fi, fid,
+        |    unnest(generate_series(0, CAST(fid % 8 AS BIGINT))) AS x
+        |  FROM k),
+        |wxy AS (
+        |  SELECT doc_id, fi, fid, x,
+        |    unnest(generate_series(0, CAST(fid % 6 AS BIGINT))) AS y
+        |  FROM wx)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        | CAST(1 + fid % 8 AS INT) AS width,
+        | CAST(1 + fid % 6 AS INT) AS height,
+        | CAST(SUM((fid*31 + x*7 + y*13) % 256) AS BIGINT) AS pix_sum
+        |FROM wxy GROUP BY doc_id, fi, fid
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "m1_multimodal_stub" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -3307,6 +3363,7 @@ object ExtensionQueries {
     "m2_binaryfile_ingest"   -> (m2BinaryFileIngest _),
     "m2b_batched_ingest"     -> (m2bBatchedIngest _),
     "m3_frame_manifest"      -> (m3FrameManifest _),
+    "m3b_video_decode"       -> (m3bVideoDecode _),
     "j6b_skew_salted"        -> (j6bSkewSalted _),
     "st1_event_window"       -> (st1EventWindow _),
     "st7_stream_budget"      -> (st7BudgetTwin _),

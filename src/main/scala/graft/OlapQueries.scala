@@ -87,10 +87,15 @@ object OlapQueries {
     * root 0); every node is resolved to its root and exact depth by
     * pointer doubling (Hierarchy.resolveToRoot — 6 join rounds cover
     * depth ≤ 63), then rolled up per level. The oracle walks the same
-    * tree with DuckDB's real WITH RECURSIVE, so a hash match proves
-    * the O(log depth) doubling loop computes exactly what the
-    * O(depth) recursion defines. `n_rooted == n_nodes` in every row
-    * certifies convergence (every ancestor pointer reached root 0). */
+    * EDGE SET with DuckDB's real WITH RECURSIVE — steps only through
+    * ids that exist as documents, the operator's actual edges — so a
+    * hash match proves the O(log depth) doubling loop computes exactly
+    * what the O(depth) recursion defines, on sparse id spaces too
+    * (r9: the 5× replica's block-offset ids exposed that an
+    * unconditional arithmetic walk is NOT the same tree). On a dense
+    * corpus every chain reaches 0 and `n_rooted == n_nodes` certifies
+    * convergence; on a sparse one `n_rooted` counts exactly the
+    * chains whose ancestors all exist. */
   def j11Hierarchy(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val edges = docs.filter(col("doc_id") > 0)
@@ -1259,17 +1264,27 @@ object OlapQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // j11: DuckDB's real recursive CTE is the ground truth the
-    // pointer-doubling loop must reproduce exactly
+    // pointer-doubling loop must reproduce exactly. The walk steps
+    // only through nodes that EXIST as documents — the operator's
+    // edge set is (child ∈ docs, child > 0), so an ancestor chain
+    // stops at the first id outside the corpus (r9: the arithmetic
+    // unconditional walk silently assumed a dense id space and
+    // diverged on the sparse 5× replica blocks — 13 vs 16 depth
+    // rows); anc is the stopping ancestor, n_rooted counts chains
+    // that reached root 0.
     "j11_hierarchy" ->
       """WITH RECURSIVE walk AS (
         |  SELECT doc_id, doc_id AS cur, 0 AS d FROM documents
         |  UNION ALL
-        |  SELECT doc_id, (cur - 1) // 2, d + 1 FROM walk WHERE cur > 0),
-        |fin AS (SELECT doc_id, CAST(MAX(d) AS BIGINT) AS depth
+        |  SELECT w.doc_id, (w.cur - 1) // 2, w.d + 1 FROM walk w
+        |  WHERE w.cur > 0
+        |    AND EXISTS (SELECT 1 FROM documents p WHERE p.doc_id = w.cur)),
+        |fin AS (SELECT doc_id, CAST(MAX(d) AS BIGINT) AS depth,
+        |               arg_max(cur, d) AS anc
         |        FROM walk GROUP BY doc_id)
         |SELECT depth, COUNT(*) AS n_nodes,
         |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
-        |       COUNT(*) AS n_rooted
+        |       COUNT(*) FILTER (WHERE anc = 0) AS n_rooted
         |FROM fin GROUP BY depth ORDER BY depth""".stripMargin,
 
     "w8_range_frame" ->

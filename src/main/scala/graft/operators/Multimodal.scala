@@ -11,15 +11,28 @@ import org.apache.spark.sql.types._
 case class MediaPayload(doc_id: Long, content: Array[Byte])
 case class DecodedImage(doc_id: Long, width: Int, height: Int,
     pix_sum: Long, n_bytes: Long)
+case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
+    height: Int, pix_sum: Long)
 
 /** Multimodal-column plumbing: image/audio/video payloads modeled as
   * opaque `binary` columns with a typed metadata struct, plus
   * feature-extraction / frame-sampling operators. The IMAGE codec path
   * is REAL — JDK-built-in `javax.imageio` encodes/decodes PNG with no
-  * external library ([[encodePngs]]/[[decodeImages]]); audio/video
-  * feature extraction stays a clearly-marked deterministic stub
-  * ([[decodeFeaturesStub]], [[resizeStub]]) since those codecs aren't
-  * in the container.
+  * external library ([[encodePngs]]/[[decodeImages]]); VIDEO decode is
+  * real at the container level — [[syntheticVideo]] writes a `GVC1`
+  * container (magic + frame count + length-prefixed real PNG frames)
+  * and [[decodeVideoFrames]] demuxes it and pixel-decodes every
+  * `stride`-th frame, skipping (not decoding) the rest — the keyframe
+  * access pattern. A codec-present deployment swaps exactly one seam:
+  * the demux+PNG step inside `decodeVideoFrames`'s mapPartitions body
+  * becomes an FFmpeg/libavcodec JNI or FFI call (handle opened once
+  * per partition where the comment marks init, frames streamed per
+  * row) — the Spark-side shape (typed encoders, byte-balanced
+  * partitioning via [[repartitionByPayloadBytes]], stride sampling
+  * before pixel work) is the part the engine guarantees and is
+  * identical for both codecs. Only audio feature extraction stays a
+  * clearly-marked deterministic stub ([[decodeFeaturesStub]],
+  * [[resizeStub]]) since no audio codec ships in the JDK.
   *
   * Scale notes: payloads stay as parquet binary (no base64 inflation);
   * per-item work is map-only; the codec boundary is
@@ -99,6 +112,78 @@ object Multimodal {
         // JNI/model codec would load its handle once per task)
         rows.map(r => decodePng(r.getLong(0), r.getAs[Array[Byte]](1)))
       }(Encoders.product[DecodedImage])
+
+  /** Deterministic tiny video: a `GVC1` container holding
+    * `1 + id%3` real PNG frames, frame `f` being
+    * [[syntheticPng]]`(id·16 + f)` — so every decoded frame property
+    * is closed-form in `(doc_id, frame_idx)` and a SQL oracle can
+    * restate the full decode with pure arithmetic, while the payload
+    * is a genuine multi-frame media container (magic, frame count,
+    * length-prefixed zlib-compressed PNG streams). Layout:
+    * `"GVC1" | int32 nFrames | (int32 len | PNG bytes)*`, big-endian. */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val n = 1 + (id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVC1")
+    out.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val png = syntheticPng(id * 16 + f)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Distributed video encode: ids → GVC1 payloads, one codec stage per
+    * partition via typed mapPartitions (the [[encodePngs]] shape). */
+  def encodeVideos(ids: Dataset[Long]): Dataset[MediaPayload] =
+    ids.mapPartitions(it => it.map(id => MediaPayload(id, syntheticVideo(id))))(
+      Encoders.product[MediaPayload])
+
+  /** Real video-frame decode over a (id, binary) DataFrame: demux the
+    * GVC1 container, pixel-decode every `stride`-th frame through
+    * `javax.imageio`, SKIP the bytes of the rest (no decode — the
+    * point of keyframe sampling is that skipped frames cost a seek,
+    * not a codec pass). Same boundary discipline as [[decodeImages]]:
+    * `Dataset.mapPartitions` with typed encoders, no `df.rdd` hop. */
+  def decodeVideoFrames(df: DataFrame, idCol: String, contentCol: String,
+      stride: Int = 1): Dataset[DecodedFrame] =
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .mapPartitions { rows =>
+        // per-partition init lives here (a JNI codec opens its handle
+        // once per task; ImageIO is stateless)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val magic = new Array[Byte](4)
+          in.readFully(magic)
+          if (!java.util.Arrays.equals(magic, "GVC1".getBytes("US-ASCII")))
+            throw new IllegalArgumentException(
+              s"decodeVideoFrames: id=$id is not a GVC1 container")
+          val n = in.readInt()
+          val out = Vector.newBuilder[DecodedFrame]
+          var f = 0
+          while (f < n) {
+            val len = in.readInt()
+            if (f % stride == 0) {
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              val d = decodePng(id, bytes)
+              out += DecodedFrame(id, f, d.width, d.height, d.pix_sum)
+            } else {
+              var toSkip = len
+              while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+            }
+            f += 1
+          }
+          out.result()
+        }
+      }(Encoders.product[DecodedFrame])
 
   val MetadataSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),

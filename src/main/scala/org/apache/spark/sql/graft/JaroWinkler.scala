@@ -86,7 +86,13 @@ object JaroWinkler {
       i += 1
     }
     val md = m.toDouble
-    val jaro = (md / la + md / lb + (md - t / 2.0) / md) / 3.0
+    // t/2 in INTEGER division: DuckDB (rapidfuzz) floors the
+    // transposition count when the raw out-of-order positions are odd
+    // (possible whenever the matched subsequences permute 3+ distinct
+    // chars, e.g. "blue anvil v1"/"blue bolt v1" raw=3 → 1, not 1.5).
+    // Exact halving diverged from the oracle on exactly those pairs —
+    // first surfaced by the 5× replica's per-copy p_name suffixes (r9).
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(la, lb))

@@ -136,4 +136,46 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.pix_sum === want, s"doc ${r.doc_id}")
     }
   }
+
+  private def pngPixSum(fid: Long, w: Int, h: Int): Long =
+    (for { y <- 0 until h; x <- 0 until w }
+      yield (fid * 31 + x * 7 + y * 13) % 256).sum
+
+  test("GVC1 video: encode → demux → stride decode matches the closed form") {
+    import spark.implicits._
+    val vids = Multimodal.encodeVideos(spark.range(0, 30).as[Long]).toDF()
+
+    // stride 1: every frame of every container decodes
+    val all = Multimodal.decodeVideoFrames(vids, "doc_id", "content")
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    val wantKeys = (for {
+      id <- 0L until 30L; fi <- 0 to (id % 3).toInt
+    } yield (id, fi)).toSet
+    assert(all.keySet === wantKeys)
+    all.values.foreach { f =>
+      val fid = f.doc_id * 16 + f.frame_idx
+      assert(f.width === 1 + (fid % 8).toInt)
+      assert(f.height === 1 + (fid % 6).toInt)
+      assert(f.pix_sum === pngPixSum(fid, f.width, f.height),
+        s"doc ${f.doc_id} frame ${f.frame_idx}")
+    }
+
+    // stride 2: exactly the even frames survive, identical values
+    val sampled = Multimodal.decodeVideoFrames(vids, "doc_id", "content",
+        stride = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    assert(sampled.keySet === wantKeys.filter(_._2 % 2 == 0))
+    sampled.foreach { case (k, f) => assert(f === all(k)) }
+  }
+
+  test("decodeVideoFrames rejects a non-GVC1 payload") {
+    import spark.implicits._
+    val bad = Seq((1L, "definitely not a container".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFrames(bad, "doc_id", "content").collect()
+    }
+    assert(e.getMessage.contains("GVC1") ||
+      e.getCause != null && e.getCause.getMessage.contains("GVC1"))
+  }
 }

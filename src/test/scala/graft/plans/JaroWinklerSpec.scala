@@ -17,7 +17,12 @@ class JaroWinklerSpec extends SparkTestBase {
     ("", "abc", 0.0),
     ("", "", 1.0),
     ("xy", "yx", 0.0),             // window 0: no matches
-    ("abcdxxxx", "abcdyyyy", 0.666667) // jaro ≤ 0.7 → no prefix boost
+    ("abcdxxxx", "abcdyyyy", 0.666667), // jaro ≤ 0.7 → no prefix boost
+    // ODD raw out-of-order counts: DuckDB floors the transposition
+    // count (raw//2), it does not halve exactly — pinned after the 5×
+    // replica's suffixed p_names exposed the divergence (r9)
+    ("blue anvil v1", "blue bolt v1", 0.866239),
+    ("blue anvil v1", "blue bolt v2", 0.831410)
   )
 
   test("scorer matches textbook / DuckDB values") {

@@ -6,14 +6,18 @@ compares rows (column-name-sorted, row-sorted) against the Spark parquet.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, json, math, glob
+import sys, json, math, glob, os
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver corpora ship single files; MakeScale replicas are
+    # Spark-written DIRECTORIES of part files — glob those
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
