@@ -341,6 +341,30 @@ object ExtensionQueries {
       .orderBy("ida", "idb")
   }
 
+  /** T5's PRODUCTION form — the x2b remedy applied to the fuzzy-dedup
+    * composition: the candidate pair stage runs df-capped
+    * (`maxDocFreq=4` drops stop-shingle posting lists before pairing,
+    * bounding the Σdf² term that makes uncapped t5 the suite's largest
+    * super-linear shape under heavy duplication — 25× bench evidence
+    * in PERF.md), and the candidate gate is exact-integer ppm
+    * (`c·10⁶ ≥ 300000·union`) instead of a rounded double ratio, so no
+    * boundary tie can flip the candidate set between engines. The
+    * verify stage is unchanged: exact levenshtein on the 60-char
+    * prefix, emitted only for candidates. */
+  def t5bEditPairsCapped(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cand = Dedup.ngramJaccardPairsPpm(docs, "doc_id", "text",
+      n = 3, thresholdPpm = 300000L, maxDocFreq = Some(4))
+    val pfx = docs.select(col("doc_id"), substring(col("text"), 1, 60).as("p"))
+    cand
+      .join(pfx.toDF("ida2", "pa"), col("ida") === col("ida2"))
+      .join(pfx.toDF("idb2", "pb"), col("idb") === col("idb2"))
+      .select(col("ida"), col("idb"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= 10)
+      .orderBy("ida", "idb")
+  }
+
   // ------------------------------------------- similarity search
 
   /** Brute-force cosine top-10 for 8 query vectors against the whole
@@ -2198,7 +2222,7 @@ object ExtensionQueries {
     * membership gate (`c·10⁶ ≥ %THRESHPPM%·(union)`) — no double
     * ratio, no rounding tie (see [[Dedup.ngramJaccardPairsPpm]]);
     * `//` is floor division, == truncation for these positives. */
-  private val jaccardPairsCappedSql =
+  private val jaccardPairsCappedCte =
     """WITH words AS (
       |  SELECT doc_id, w, i FROM (
       |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
@@ -2219,8 +2243,10 @@ object ExtensionQueries {
       |SELECT ida, idb, (c*1000000)//(sa.n+sb.n-c) AS jaccard_ppm
       |FROM inter JOIN sizes sa ON sa.doc_id=ida
       |           JOIN sizes sb ON sb.doc_id=idb
-      |WHERE c*1000000 >= %THRESHPPM%*(sa.n+sb.n-c)
-      |ORDER BY ida, idb""".stripMargin
+      |WHERE c*1000000 >= %THRESHPPM%*(sa.n+sb.n-c)""".stripMargin
+
+  private val jaccardPairsCappedSql =
+    jaccardPairsCappedCte + "\nORDER BY ida, idb"
 
   private val langScoreSql = {
     def hits(w: String) =
@@ -2373,6 +2399,18 @@ object ExtensionQueries {
 
     "x2b_dedup_jaccard_capped" -> jaccardPairsCappedSql
       .replace("%THRESHPPM%", "500000").replace("%CAP%", "3"),
+
+    // t5b: the capped candidate CTE (integer-ppm gate) feeding the
+    // same exact levenshtein verify as t5
+    "t5b_edit_pairs_capped" ->
+      s"""SELECT p.ida, p.idb,
+        | levenshtein(substr(da.text,1,60), substr(db.text,1,60)) AS dist
+        |FROM (${jaccardPairsCappedCte
+          .replace("%THRESHPPM%", "300000").replace("%CAP%", "4")}) p
+        |JOIN documents da ON da.doc_id = p.ida
+        |JOIN documents db ON db.doc_id = p.idb
+        |WHERE levenshtein(substr(da.text,1,60), substr(db.text,1,60)) <= 10
+        |ORDER BY ida, idb""".stripMargin,
 
     // x27b: x27's corpus/shingle CTEs with the df-cap applied before
     // pairing, mirroring Dedup.coShinglePairs(maxDocFreq=5)
@@ -3328,6 +3366,7 @@ object ExtensionQueries {
     "t2_langid"              -> (t2LangId _),
     "t3_fingerprint"         -> (t3Fingerprint _),
     "t5_edit_pairs"          -> (t5EditPairs _),
+    "t5b_edit_pairs_capped"  -> (t5bEditPairsCapped _),
     "t4_json_props"          -> (t4JsonProps _),
     "t6_pii_scrub"           -> (t6PiiScrub _),
     "t7_chunking"            -> (t7Chunking _),

@@ -530,4 +530,40 @@ object SourceQueries {
           .as("name_as_num"),
         try_variant_get(col("value"), "$.missing", "string").as("absent"))
   }
+
+  /** S19 (extension) — training-shard export with manifest: the final
+    * materialization step of a curation pipeline. Documents are
+    * assigned to a fixed shard count by the engine-portable minstd
+    * hash (reproducible across engines and reruns), written as one
+    * parquet file per shard (`repartition(n, shard)` puts every row of
+    * a shard value in exactly one task; `partitionBy` then gives each
+    * shard its own directory), read back, and summarized as the
+    * manifest a downstream trainer consumes: per-shard doc count,
+    * byte/token mass, id range — and the FILE count, which the oracle
+    * pins to literal 1: a hash match proves the one-file-per-shard
+    * layout, not just the row routing. 100 TB shape: assignment is
+    * map-only; the write is one hash exchange wide; shard count scales
+    * with the cluster (here 8 so every shard is non-empty at sf0.001).
+    */
+  def s19ShardManifest(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val nShards = 8
+    val dir = tmpDir("graft_shards")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        pmod(Sampling.minstdHash(col("doc_id")), lit(nShards.toLong))
+          .cast("int").as("shard"))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    s.read.parquet(dir)
+      .withColumn("fname", input_file_name())
+      .groupBy(col("shard").cast("bigint").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).cast("bigint").as("sum_bytes"),
+        sum(operators.TextAnalysis.wordCount(col("text"))).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        count_distinct(col("fname")).as("n_files"))
+      .orderBy("shard")
+  }
 }

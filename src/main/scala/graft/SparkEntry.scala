@@ -67,6 +67,7 @@ object SparkEntry {
     "v2_variant_flatten"  -> (SourceQueries.v2VariantFlatten _),
     "s17_zorder_layout"   -> (SourceQueries.s17ZorderLayout _),
     "s18_gzip_csv"        -> (SourceQueries.s18GzipCsv _),
+    "s19_shard_manifest"  -> (SourceQueries.s19ShardManifest _),
   ) ++ ExtensionQueries.queries ++ OlapQueries.queries
 
   /** Spec-verified queries timed by Bench but excluded from the driver's
@@ -708,5 +709,20 @@ object SparkEntry {
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus IN ('F','O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // s19: the oracle recomputes the minstd shard route and the
+    // per-shard masses from the original parquet, and states n_files
+    // as the literal 1 — Spark's count_distinct(input_file_name())
+    // must agree, which pins the one-file-per-shard write layout
+    "s19_shard_manifest" ->
+      """WITH d AS (SELECT doc_id, text,
+        |        ((doc_id * 48271) % 2147483647) % 8 AS shard
+        |      FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        | CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        | CAST(1 AS BIGINT) AS n_files
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
   ) ++ ExtensionQueries.oracles ++ OlapQueries.oracles
 }
