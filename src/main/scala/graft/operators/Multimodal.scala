@@ -45,6 +45,14 @@ object Multimodal {
 
   // BufferedImage/ImageIO need no display, but only with headless AWT
   System.setProperty("java.awt.headless", "true")
+  // ImageIO stream read/write defaults to a DISK-backed cache — one
+  // temp file created+deleted per encode/decode. At 25x corpus scale
+  // that is millions of tmp-file churns per query across 32 threads
+  // (measured: m1b 27-30 s warm, DEGRADING across reps as the tmp dir
+  // churns; 2.3 s with the memory cache, m3b 35-60 s -> 3.1 s — see
+  // PERF.md round 9). Tiny in-memory payloads never need the disk
+  // spool.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic tiny PNG: `width = 1 + id%8`, `height = 1 + id%6`,
     * gray pixel `v(x,y) = (id·31 + x·7 + y·13) mod 256` in all three
