@@ -26,9 +26,15 @@ object SpillProbe {
       else Seq("x10_corpus_pipeline", "x28_domain_budget",
         "a4_quantile_stats", "x22d_topic_fitted", "w6_scd2_history")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Per-task input = partition size: at a FIXED executor memory the
+    // partition COUNT must scale with the input (the canonical cluster
+    // operating rule — a 25x corpus over the same 32 partitions is 25x
+    // the per-task state). This knob is that rule; see the PERF.md
+    // round-9 spill rows for the measured OOM-vs-spill flip on q21.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
