@@ -695,6 +695,74 @@ object ExtensionQueries {
       .limit(20)
   }
 
+  /** X31 — BPE vocabulary learning: the LLM-tokenizer training loop
+    * (byte-pair encoding, Sennrich et al. 2016) run distributed. Eight
+    * merge rounds: count adjacent symbol pairs weighted by word
+    * frequency, adopt the most frequent pair (ties → lexicographically
+    * smallest pair string), apply it to every word, repeat. Output is
+    * the learned merge table — the artifact a tokenizer ships.
+    *
+    * Scale shape (the classic BPE reduction): ONE linear pass builds
+    * the distinct-word histogram, then every round operates on the
+    * VOCAB-sized working set (distinct words ≈ 1e6-1e8 at web scale,
+    * not corpus-sized), weighting pair counts by the histogram. Per
+    * round: a map-only native pair explode
+    * ([[org.apache.spark.sql.graft.WordShingleMulti]]) + hash
+    * aggregate + TakeOrdered(1) (map-side partial top-1, no global
+    * sort), then a map-only native merge
+    * ([[org.apache.spark.sql.graft.BpeMerge]] — left-to-right
+    * non-overlapping, the left==right run semantics regex replace
+    * cannot express). The argmax per round is an inherent driver-side
+    * action (the merge RULE is global state, like x25's candidate
+    * set); the histogram is persisted so the corpus is scanned once
+    * and each round's lineage replays only cheap vocab-sized maps.
+    * Restricting to lowercase-alpha tokens keeps charset semantics
+    * engine-portable (no surrogate-pair split divergence).
+    *
+    * The DuckDB oracle restates each round independently: pair counts
+    * via zipped list slices, the merge via a `list_reduce` fold whose
+    * token-boundary append rule is exactly BpeMerge's semantics. */
+  def x31BpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.{BpeMerge, ColumnShim, WordShingleMulti}
+    def pairsOf(c: Column): Column =
+      ColumnShim.column(WordShingleMulti(ColumnShim.expression(c), 2))
+    def mergeStep(sym: Column, l: String, r: String): Column =
+      ColumnShim.column(BpeMerge(ColumnShim.expression(sym),
+        ColumnShim.expression(lit(l)), ColumnShim.expression(lit(r))))
+    val words = Tables.wide(Tables.documents(s, d))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"))
+      .persist()
+    try {
+      var syms = words
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var round = 1
+      var exhausted = false
+      while (round <= 8 && !exhausted) {
+        val top = syms
+          .select(col("cnt"), explode(pairsOf(col("sym"))).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val sep = pair.indexOf(' ')
+          val (l, r) = (pair.substring(0, sep), pair.substring(sep + 1))
+          merges += ((round, l, r, l + r, top(0).getLong(1)))
+          syms = syms.withColumn("sym", mergeStep(col("sym"), l, r))
+          round += 1
+        }
+      }
+      merges.result().toDF("round", "left_sym", "right_sym", "merged",
+        "pair_count").orderBy("round")
+    } finally words.unpersist()
+  }
+
   /** The full corpus-curation pipeline in one composed query — the
     * end-to-end shape this engine exists for: detect language and
     * filter to English → quality-score floor → exact dedup (keep the
@@ -1440,16 +1508,18 @@ object ExtensionQueries {
       .otherwise(lit(""))
     val messy = concat(scheme, lit("://"), host, port, path, lit("?"), params, frag)
     val raw = Tables.orders(s, d).select(k.as("k"), messy.as("url"))
+    // canonicalParts = ONE native byte-level parse per row producing
+    // both fields (the relational composition re-scanned the URL with
+    // five regexes per consumer; PERF.md round 9 — x26 1.5→sub-second)
     val parsed =
       if (barrier)
-        raw.select(col("k"), explode(array(struct(
-            canonicalUrl(col("url")).as("canonical_url"),
-            registeredDomain(urlHost(col("url"))).as("reg_domain")))).as("cu"))
+        raw.select(col("k"), explode(array(canonicalParts(col("url")))).as("cu"))
           .select(col("k"), col("cu.canonical_url").as("canonical_url"),
             col("cu.reg_domain").as("reg_domain"))
       else
-        raw.select(col("k"), canonicalUrl(col("url")).as("canonical_url"),
-          registeredDomain(urlHost(col("url"))).as("reg_domain"))
+        raw.select(col("k"),
+          canonicalParts(col("url")).getField("canonical_url").as("canonical_url"),
+          canonicalParts(col("url")).getField("reg_domain").as("reg_domain"))
     parsed
       .groupBy("canonical_url", "reg_domain")
       .agg(count(lit(1)).as("n_raw"), min(col("k")).as("min_key"))
@@ -2660,6 +2730,48 @@ object ExtensionQueries {
          |ORDER BY rank_scaled DESC, doc_id LIMIT 20""".stripMargin
     },
 
+    // x31: each round restated independently — pair counts via zipped
+    // adjacent list slices, the argmax with the same (count DESC, pair
+    // string ASC) tie-break, the merge as a list_reduce fold whose
+    // "append without separator when the accumulator's last token is
+    // the left symbol" rule is exactly BpeMerge's left-to-right
+    // non-overlapping semantics (incl. left==right runs:
+    // a a a a a -> aa aa a). Backreference is \1 in DuckDB's RE2.
+    "x31_bpe_merges" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""|p$k AS (
+            |  SELECT a || ' ' || b AS pair, SUM(cnt) AS pc FROM (
+            |    SELECT cnt, unnest(ss[1:len(ss)-1]) AS a,
+            |           unnest(ss[2:len(ss)]) AS b
+            |    FROM (SELECT cnt, string_split(sym,' ') AS ss FROM s${k - 1}))
+            |  GROUP BY 1),
+            |b$k AS (SELECT string_split(pair,' ')[1] AS l,
+            |              string_split(pair,' ')[2] AS r, pc
+            |       FROM p$k ORDER BY pc DESC, pair LIMIT 1),
+            |s$k AS (
+            |  SELECT cnt, list_reduce(string_split(sym,' '),
+            |    (acc, x) -> CASE WHEN x = bst.r AND (acc = bst.l
+            |                       OR ends_with(acc, ' ' || bst.l))
+            |                  THEN acc || x ELSE acc || ' ' || x END) AS sym
+            |  FROM s${k - 1}, b$k bst)"""
+          .stripMargin
+      }.mkString(",\n")
+      val out = (1 to 8).map { k =>
+        s"SELECT $k AS round, l AS left_sym, r AS right_sym, " +
+          s"l || r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$k"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |  GROUP BY w),
+         |s0 AS (SELECT cnt,
+         |  rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym FROM words),
+         |$rounds
+         |SELECT * FROM ($out)
+         |ORDER BY round""".stripMargin
+    },
+
     // x23: same minstd form as x9; all-integer weights, `//` == DIV on
     // positives, so the kept set and HT weights are bit-identical
     "x23_weighted_sample" ->
@@ -3355,6 +3467,7 @@ object ExtensionQueries {
     "x9_hash_sample"         -> (x9HashSample _),
     "x23_weighted_sample"    -> (x23WeightedSample _),
     "x24_pagerank"           -> (x24Pagerank _),
+    "x31_bpe_merges"         -> (x31BpeMerges _),
     "x10_corpus_pipeline"    -> (x10CorpusPipeline _),
     "x11_dup_clusters"       -> (x11DupClusters _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),

@@ -52,8 +52,25 @@ object UrlFunctions {
     array_join(array_sort(params), "&")
   }
 
+  /** Both canonicalization outputs from ONE fused byte-level pass —
+    * `struct(canonical_url, reg_domain)` via the native
+    * [[org.apache.spark.sql.graft.CanonicalUrl]] expression (pinned
+    * bit-equal to the relational reference by UrlFunctionsSpec). Use
+    * this form on hot paths: the relational composition scans the URL
+    * with five regexes + an interpreted HOF pair per consumer. */
+  def canonicalParts(url: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.CanonicalUrl(
+        org.apache.spark.sql.graft.ColumnShim.expression(url)))
+
   /** The canonical form: scheme://host path [?sorted-query]. */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column): Column =
+    canonicalParts(url).getField("canonical_url")
+
+  /** The composed-builtins reference formulation of [[canonicalUrl]] —
+    * kept as the independent semantic definition the native expression
+    * is pinned against (UrlFunctionsSpec bit-equality). */
+  def relationalCanonicalUrl(url: Column): Column = {
     val q = urlQuery(url)
     concat(urlScheme(url), lit("://"), urlHost(url), urlPath(url),
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))

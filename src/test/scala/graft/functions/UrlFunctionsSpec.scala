@@ -54,6 +54,36 @@ class UrlFunctionsSpec extends SparkTestBase {
     assert(got === Seq("example.com", "example.com", ""))
   }
 
+  test("native canonicalParts is bit-equal to the relational reference") {
+    // adversarial corpus: malformed schemes, empty authorities, '?' in
+    // fragments, repeated/trailing separators, consecutive-dot hosts,
+    // non-default ports, non-ASCII params, bare strings
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?x=1#frag",
+      "http://h.io:8080/p", "https://h.io:80/p", "http://h.io:443/p",
+      "http://h:80:80/p", // only the TRAILING :80 strips
+      "https://a.co/p?utm_source=x&b=2&a=1&utm_campaign=y",
+      "https://a.co/p?", "https://a.co/p?&&a=1&utm_x=2&A=1&b",
+      "http://h/p?z=9&a=\u00e9&y=2", // non-ASCII param value
+      "http://h/p#frag?x=1",         // first '?' is inside the fragment
+      "http://?x=1", "http://#f", "http://",
+      "http://a..b/p", "http://x.a..b/p", "http://a.b./p",
+      "HtTp://MiXeD.CaSe.Org//", "ftp://X.Y:21/a//",
+      "a:b://x", "ab:cd://x", "a.b://x/y", "h2+x-y://H/P",
+      "", "notaurl", "www.example.com/x", "a?b#c", "?only=query",
+      "http:/missing", "http://h/p???a=1", "http://h/p?a=1&a=1&a=0")
+    val df = urls.toDF("url")
+    val got = df.select(
+      UrlFunctions.canonicalUrl(col("url")).as("c"),
+      UrlFunctions.canonicalParts(col("url")).getField("reg_domain").as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = df.select(
+      UrlFunctions.relationalCanonicalUrl(col("url")).as("c"),
+      UrlFunctions.registeredDomain(UrlFunctions.urlHost(col("url"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === want)
+  }
+
   test("x26: groups are exactly the canonical cells; collapsing conserves rows") {
     val d = "/root/testdata/sf0.001"
     val out = graft.ExtensionQueries.x26UrlCanonical(spark, d).collect()
