@@ -134,8 +134,8 @@ object ExtensionQueries {
     * DuckDB oracle recomputes exactly, closing the rows-only gap x4's
     * xxhash64 leaves. */
   def x4bSimhashPortable(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupsWith(Tables.documents(s, d), "doc_id", "text",
-        Dedup.md5Hash60, nBits = 60, maxHamming = 3)
+    Dedup.simhashNearDupsSig(Tables.documents(s, d), "doc_id", "text",
+        md5Variant = true, nBits = 60, maxHamming = 3)
       .orderBy("ida", "idb")
 
   /** Near-dup clusters: connected components over the exact-Jaccard

@@ -418,6 +418,19 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** The SimHash signature as a NATIVE map-only column — one fused
+    * pass per row ([[org.apache.spark.sql.graft.SimHashSig]]: token
+    * split, per-token hash, ±1 bit votes, majority assembly), pinned
+    * bit-equal to [[simhashWith]]'s explode+64-sum aggregate by
+    * DedupSpec for both token hashes. The signature is per-document
+    * state, so at 100 TB it belongs fused into the scan, not behind a
+    * token explode and a 64-column shuffle. */
+  def simhashSig(text: Column, nBits: Int, md5Variant: Boolean): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.SimHashSig(
+        org.apache.spark.sql.graft.ColumnShim.expression(text),
+        nBits, md5Variant))
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxHamming:
     * pigeonhole on 4×16-bit chunks — any pair within distance 3 shares
     * at least one exact chunk, so candidates meet in a chunk-keyed
@@ -426,13 +439,26 @@ object Dedup {
     * correctly but may miss pairs whose codes differ in all 4 chunks. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
-    simhashNearDupsWith(df, idCol, textCol, xxhash64(_), 64, maxHamming)
+    simhashNearDupsSig(df, idCol, textCol, md5Variant = false, 64, maxHamming)
 
-  /** [[simhashNearDups]] with a pluggable token hash / bit width (the
-    * md5Hash60 variant is the differentially-verifiable path). */
+  /** [[simhashNearDups]] on the native signature with a selectable
+    * token hash (md5Variant = the differentially-verifiable path). */
+  def simhashNearDupsSig(df: DataFrame, idCol: String, textCol: String,
+      md5Variant: Boolean, nBits: Int, maxHamming: Int): DataFrame =
+    simhashBandedPairs(
+      ensureParallelism(df).select(col(idCol).as("_id"),
+        simhashSig(col(textCol), nBits, md5Variant).as("simhash")),
+      maxHamming)
+
+  /** [[simhashNearDups]] with a pluggable relational token hash — the
+    * composed-builtins reference path DedupSpec pins the native
+    * signature against. */
   def simhashNearDupsWith(df: DataFrame, idCol: String, textCol: String,
-      hashFn: Column => Column, nBits: Int, maxHamming: Int): DataFrame = {
-    val sh = simhashWith(df, idCol, textCol, hashFn, nBits)
+      hashFn: Column => Column, nBits: Int, maxHamming: Int): DataFrame =
+    simhashBandedPairs(simhashWith(df, idCol, textCol, hashFn, nBits),
+      maxHamming)
+
+  private def simhashBandedPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = sh.select(col("_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*))

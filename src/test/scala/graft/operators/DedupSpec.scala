@@ -81,6 +81,25 @@ class DedupSpec extends SparkTestBase {
     assert(reported === want)
   }
 
+  test("native SimHashSig is bit-equal to the explode+sum aggregate, both hashes") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq((9001L, ""), (9002L, "solo"), (9003L, "a  b"),
+      (9004L, " lead"), (9005L, "trail "), (9006L, "café über"))
+      .toDF("doc_id", "text")
+    val docs = corpus.unionByName(edge)
+    for ((md5v, nBits) <- Seq((false, 64), (true, 60))) {
+      val native = docs.select(col("doc_id"),
+          Dedup.simhashSig(col("text"), nBits, md5v).as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (md5v) Dedup.md5Hash60 else org.apache.spark.sql.functions.xxhash64(_)
+      val rel = Dedup.simhashWith(docs, "doc_id", "text", hashFn, nBits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === rel, s"md5Variant=$md5v nBits=$nBits")
+    }
+  }
+
   test("prefix-filtered and count-based exact jaccard agree at any threshold") {
     val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
