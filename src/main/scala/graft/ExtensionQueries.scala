@@ -763,6 +763,46 @@ object ExtensionQueries {
     } finally words.unpersist()
   }
 
+  /** X31b — BPE ENCODING with the learned merge table: the apply side
+    * of x31 (a tokenizer is trained once, then tokenizes every
+    * corpus). Token accounting per document — alpha-token count,
+    * char mass, post-merge BPE token count, and exact integer
+    * chars-per-token ppm (the compression ratio a tokenizer ships).
+    *
+    * Scale shape: the 8 learned merges fold into ONE nested native
+    * projection ([[org.apache.spark.sql.graft.BpeMerge]] ×8) applied
+    * to the DISTINCT-WORD table (vocab-sized), which then broadcast
+    * joins the corpus's exploded words — the corpus-linear work is
+    * one explode + one broadcast lookup + one hash agg; no per-doc
+    * merge application (words repeat; the vocab is where the merge
+    * cost belongs — same reduction as x31's learning side). */
+  def x31bBpeEncode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.{BpeMerge, ColumnShim}
+    def mergeStep(sym: Column, l: String, r: String): Column =
+      ColumnShim.column(BpeMerge(ColumnShim.expression(sym),
+        ColumnShim.expression(lit(l)), ColumnShim.expression(lit(r))))
+    val merges = x31BpeMerges(s, d).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val docs = Tables.wide(Tables.documents(s, d))
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val init = rtrim(regexp_replace(col("w"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(init) { case (c, (l, r)) => mergeStep(c, l, r) }
+    val vocab = docWords.select(col("w")).distinct()
+      .select(col("w"), length(col("w")).cast("long").as("w_chars"),
+        size(split(encoded, " ")).cast("long").as("w_tok"))
+    docWords.join(broadcast(vocab), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_chars")).as("n_chars"),
+        sum(col("w_tok")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr("n_chars * 1000000 DIV n_bpe_tokens").as("chars_per_token_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** The full corpus-curation pipeline in one composed query — the
     * end-to-end shape this engine exists for: detect language and
     * filter to English → quality-score floor → exact dedup (keep the
@@ -2772,6 +2812,49 @@ object ExtensionQueries {
          |ORDER BY round""".stripMargin
     },
 
+    // x31b: the same 8 learned rounds (w carried through), then the
+    // final per-word token count joins the corpus's exploded words —
+    // all-integer accounting, one `//` for the ppm
+    "x31b_bpe_encode" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""|p$k AS (
+            |  SELECT a || ' ' || b AS pair, SUM(cnt) AS pc FROM (
+            |    SELECT cnt, unnest(ss[1:len(ss)-1]) AS a,
+            |           unnest(ss[2:len(ss)]) AS b
+            |    FROM (SELECT cnt, string_split(sym,' ') AS ss FROM s${k - 1}))
+            |  GROUP BY 1),
+            |b$k AS (SELECT string_split(pair,' ')[1] AS l,
+            |              string_split(pair,' ')[2] AS r, pc
+            |       FROM p$k ORDER BY pc DESC, pair LIMIT 1),
+            |s$k AS (
+            |  SELECT w, cnt, list_reduce(string_split(sym,' '),
+            |    (acc, x) -> CASE WHEN x = bst.r AND (acc = bst.l
+            |                       OR ends_with(acc, ' ' || bst.l))
+            |                  THEN acc || x ELSE acc || ' ' || x END) AS sym
+            |  FROM s${k - 1}, b$k bst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH docwords AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')),
+         |words AS (SELECT w, COUNT(*) AS cnt FROM docwords GROUP BY w),
+         |s0 AS (SELECT w, cnt,
+         |  rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym FROM words),
+         |$rounds,
+         |vocab AS (SELECT w, CAST(len(w) AS BIGINT) AS w_chars,
+         |                 CAST(len(string_split(sym,' ')) AS BIGINT) AS w_tok
+         |          FROM s8)
+         |SELECT d.doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(v.w_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(v.w_tok) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(CAST(SUM(v.w_chars) AS BIGINT) * 1000000
+         |       // CAST(SUM(v.w_tok) AS BIGINT) AS BIGINT) AS chars_per_token_ppm
+         |FROM docwords d JOIN vocab v USING (w)
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // x23: same minstd form as x9; all-integer weights, `//` == DIV on
     // positives, so the kept set and HT weights are bit-identical
     "x23_weighted_sample" ->
@@ -3468,6 +3551,7 @@ object ExtensionQueries {
     "x23_weighted_sample"    -> (x23WeightedSample _),
     "x24_pagerank"           -> (x24Pagerank _),
     "x31_bpe_merges"         -> (x31BpeMerges _),
+    "x31b_bpe_encode"        -> (x31bBpeEncode _),
     "x10_corpus_pipeline"    -> (x10CorpusPipeline _),
     "x11_dup_clusters"       -> (x11DupClusters _),
     "x5_ann_cosine_topk"     -> (x5AnnCosineTopK _),

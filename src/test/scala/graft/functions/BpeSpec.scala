@@ -45,6 +45,18 @@ class BpeSpec extends SparkTestBase {
     assert(pairs("l l l") === Seq("l l", "l l"))
   }
 
+  test("x31b encoding bounds: words <= bpe tokens <= chars, ppm exact") {
+    val out = graft.ExtensionQueries
+      .x31bBpeEncode(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, c, t, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w <= t && t <= c, s"bounds violated for ${r.getLong(0)}")
+      assert(ppm === c * 1000000L / t)
+    }
+  }
+
   test("x31 learns a deterministic 8-merge table on the fixture") {
     val d = "/root/testdata/sf0.001"
     val out = graft.ExtensionQueries.x31BpeMerges(spark, d).collect()
