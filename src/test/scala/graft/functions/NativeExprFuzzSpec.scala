@@ -1,0 +1,101 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Seeded property fuzz over the round-9 native expressions, each
+  * pinned to an INDEPENDENT formulation (the relational composition
+  * for URL/SimHash; the DuckDB-oracle-style suffix fold for BPE) —
+  * the generators aim at the boundary cases a fixture corpus never
+  * hits: malformed schemes, '?' inside fragments, empty tokens,
+  * multi-space runs, left==right merge chains. */
+class NativeExprFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(4242L + i)))
+
+  test("fuzz: canonicalParts == relational canonicalization, 600 URLs") {
+    val scheme = Gen.oneOf("http", "HTTPS", "hTTp", "ftp", "h2+x.y-z",
+      "a:b", "1http", "", "http")
+    val label = Gen.oneOf("Ex", "a", "", "über", "x9")
+    val host = Gen.choose(0, 4).flatMap(n =>
+      Gen.listOfN(n, label).map(_.mkString(".")))
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":80:80")
+    val path = Gen.oneOf("", "/", "/a/b", "/a//b///", "/A B", "//")
+    val query = Gen.oneOf("", "?", "?a=1&b=2", "?utm_source=x&z=9&a=1",
+      "?&&a=1&a=0", "?z=\u00e9&utm_", "?b&a&c")
+    val frag = Gen.oneOf("", "#f", "#f?x=1", "#?")
+    val structured = for {
+      s <- scheme; h <- host; po <- port; pa <- path; q <- query; f <- frag
+    } yield s"$s://$h$po$pa$q$f"
+    val garbageChar = Gen.oneOf("a:/?#.&= %\u00e9".toSeq)
+    val garbage = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, garbageChar).map(_.mkString))
+    val urls = sample(Gen.frequency(3 -> structured, 1 -> garbage), 600)
+    val df = urls.toDF("url")
+    val mismatches = df.select(
+        UrlFunctions.canonicalParts(col("url")).as("n"),
+        struct(
+          UrlFunctions.relationalCanonicalUrl(col("url")).as("canonical_url"),
+          UrlFunctions.registeredDomain(
+            UrlFunctions.urlHost(col("url"))).as("reg_domain")).as("r"),
+        col("url"))
+      .filter(col("n") =!= col("r"))
+      .collect()
+    assert(mismatches.isEmpty,
+      mismatches.take(5).map(_.toString).mkString("; "))
+  }
+
+  test("fuzz: SimHashSig == explode+sum aggregate, both hashes, 300 texts") {
+    val tok = Gen.oneOf("", "a", "bb", "the", "caf\u00e9", "x1")
+    val text = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val docs = sample(text, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((md5v, nBits) <- Seq((false, 64), (true, 60))) {
+      val native = docs.select(col("doc_id"),
+          Dedup.simhashSig(col("text"), nBits, md5v).as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (md5v) Dedup.md5Hash60 else xxhash64(_)
+      val rel = Dedup.simhashWith(docs, "doc_id", "text", hashFn, nBits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === rel, s"md5Variant=$md5v")
+    }
+  }
+
+  test("fuzz: BpeMerge == the oracle-style suffix fold, 500 sequences") {
+    // independent formulation: the DuckDB oracle's list_reduce rule —
+    // append WITHOUT a separator iff x is the right symbol and the
+    // accumulator's last token is the left symbol
+    def foldMerge(sym: String, l: String, r: String): String = {
+      val toks = sym.split(" ", -1)
+      toks.tail.foldLeft(toks.head) { (acc, x) =>
+        if (x == r && (acc == l || acc.endsWith(" " + l))) acc + x
+        else acc + " " + x
+      }
+    }
+    val sym = Gen.oneOf("a", "b", "c", "ab", "aa")
+    val seqGen = for {
+      n <- Gen.choose(1, 10)
+      ts <- Gen.listOfN(n, sym)
+      l <- sym
+      r <- sym
+    } yield (ts.mkString(" "), l, r)
+    val cases = sample(seqGen, 500)
+    val got = cases.toDF("s", "l", "r").select(
+        org.apache.spark.sql.graft.ColumnShim.column(
+          org.apache.spark.sql.graft.BpeMerge(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("s")),
+            org.apache.spark.sql.graft.ColumnShim.expression(col("l")),
+            org.apache.spark.sql.graft.ColumnShim.expression(col("r")))))
+      .as[String].collect()
+    cases.zip(got).foreach { case ((s, l, r), g) =>
+      assert(g === foldMerge(s, l, r), s"merge($s | $l,$r)")
+    }
+  }
+}
