@@ -67,7 +67,11 @@ class BpeSpec extends SparkTestBase {
       assert(r.getLong(4) > 0L)
     }
     // rerun-stable: the merge table is a deterministic corpus artifact
-    val again = graft.ExtensionQueries.x31BpeMerges(spark, d).collect()
-    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // (buildBpeMerges bypasses the session memo, so this re-learns)
+    val a = graft.ExtensionQueries.buildBpeMerges(spark, d)
+    val b = graft.ExtensionQueries.buildBpeMerges(spark, d)
+    assert(a === b)
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq === a)
   }
 }

@@ -68,6 +68,24 @@ class NativeExprFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("round-9 natives are registered as SQL functions via GraftExtensions") {
+    val row = spark.sql(
+      """SELECT canonical_url('HTTP://A.Ex.COM:80/p/?b=2&utm_s=x&a=1#f').canonical_url,
+        |       canonical_url('https://www.shop.example.com/x').reg_domain,
+        |       simhash_sig('a b a', 60, true),
+        |       bpe_merge('h e l l o', 'l', 'l'),
+        |       size(word_shingle_hashes('a b c', 2))""".stripMargin).head()
+    assert(row.getString(0) === "http://a.ex.com/p?a=1&b=2")
+    assert(row.getString(1) === "example.com")
+    assert(row.getString(3) === "h e ll o")
+    assert(row.getInt(4) === 2)
+    // the SQL form evaluates the same expression the Column API wraps
+    val viaCol = Seq("a b a").toDF("t")
+      .select(Dedup.simhashSig(col("t"), 60, md5Variant = true))
+      .as[Long].head()
+    assert(row.getLong(2) === viaCol)
+  }
+
   test("fuzz: BpeMerge == the oracle-style suffix fold, 500 sequences") {
     // independent formulation: the DuckDB oracle's list_reduce rule —
     // append WITHOUT a separator iff x is the right symbol and the
