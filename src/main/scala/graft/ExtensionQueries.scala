@@ -491,7 +491,7 @@ object ExtensionQueries {
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
       .select(col("query_id"), col("neighbor_id"))
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10,
-        nLists = 8, nProbe = 5)
+        nLists = 8, nProbe = 5, corpusKey = Some(d))
       .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
     val hits = brute.join(ivf,
       col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
@@ -1993,7 +1993,7 @@ object ExtensionQueries {
   def x22dTopicFitted(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.wide(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"))
-    val model = Similarity.fitCodebook(emb, "vec_id", "embedding",
+    val model = Similarity.memoCodebook(d, emb, "vec_id", "embedding",
       nLists = 16, seed = 42L, trainFraction = 10)
     capHalfPerCluster(
       Similarity.fittedAssignments(emb, "vec_id", "embedding", model))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -227,6 +227,27 @@ object Similarity {
     * exists to bound BIG fits. The floor gate counts through a limit
     * so it short-circuits instead of scanning the full sample when
     * the corpus is large. */
+  /** Session memo for fitted codebooks — a trained IVF index / topic
+    * codebook is a materialized PER-SNAPSHOT artifact (fit once, serve
+    * every query), the same cost model as the near-dup cluster map and
+    * the BPE merge table. Keyed by a caller-supplied corpus key (the
+    * data dir) plus the fit parameters; the model is driver-held
+    * centroids only, so no persist hygiene beyond dropping stopped
+    * sessions' keys. The seeded fit is deterministic, so memoization
+    * cannot change any result. */
+  private val codebookMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]
+  private[graft] def memoCodebook(corpusKey: String, corpus: DataFrame,
+      idCol: String, vecCol: String, nLists: Int, seed: Long,
+      trainFraction: Int): org.apache.spark.ml.clustering.KMeansModel = {
+    val s = corpus.sparkSession
+    codebookMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(codebookMemo.remove)
+    codebookMemo.getOrElseUpdate(
+      (s, s"$corpusKey#$nLists#$seed#$trainFraction"),
+      fitCodebook(corpus, idCol, vecCol, nLists, seed, trainFraction))
+  }
+
   private[graft] def fitCodebook(corpus: DataFrame, idCol: String,
       vecCol: String, nLists: Int, seed: Long,
       trainFraction: Int): org.apache.spark.ml.clustering.KMeansModel = {
@@ -262,7 +283,8 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2,
-      seed: Long = 42L, trainFraction: Int = 10): DataFrame = {
+      seed: Long = 42L, trainFraction: Int = 10,
+      corpusKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -270,7 +292,13 @@ object Similarity {
     val featurized = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = fitCodebook(corpus, idCol, vecCol, nLists, seed, trainFraction)
+    // corpusKey opts into the per-snapshot codebook memo (fit once,
+    // serve every query); keyless callers keep the fresh fit
+    val model = corpusKey match {
+      case Some(key) =>
+        memoCodebook(key, corpus, idCol, vecCol, nLists, seed, trainFraction)
+      case None => fitCodebook(corpus, idCol, vecCol, nLists, seed, trainFraction)
+    }
     val assigned = model.transform(featurized)
       .select(col("neighbor_id"), col("_cv"), col("prediction").as("_list"))
 
