@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ColumnFunctions._
@@ -83,6 +83,52 @@ object CoreQueries {
         round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
         round(percentile(col("l_quantity"), lit(0.95)), 6).as("p95"))
       .orderBy("l_returnflag")
+
+  /** A4c — EXACT percentiles via a value-frequency histogram: when the
+    * measure domain is discrete and bounded (l_quantity has 50 distinct
+    * values — price bands, star ratings, token counts are the same
+    * shape), the exact order statistic needs no per-group value buffer
+    * at all: ONE mergeable hash aggregate builds (group, value, cnt),
+    * a 50-row-per-group cumulative window locates the bracketing
+    * values, and the same (n−1)·p interpolation as Spark's
+    * `percentile` / DuckDB's `quantile_cont` finishes on the driver's
+    * scale-free side. Bounded state (O(distinct values) per group, vs
+    * the percentile buffer's O(rows)) — this is the form that never
+    * spills where a4 is one of the three spill-matrix queries; a4b is
+    * the approximate fallback when the domain ISN'T discrete.
+    * Interpolation uses Spark's exact formula ((1−f)·lo + f·hi) so the
+    * output is bit-identical to a4 (CoreQueriesSpec pins it). */
+  def a4cQuantileHist(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("double").as("q"), col("l_partkey"))
+    val hist = li.groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy("q")
+    val tot = hist.groupBy("l_returnflag").agg(sum(col("cnt")).as("n"))
+    val cum = hist
+      .withColumn("hi", sum(col("cnt")).over(w))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .join(broadcast(tot), Seq("l_returnflag"))
+    def rank(p: Double): Column = (col("n") - 1) * lit(p)
+    def vAt(k: Column): Column =
+      max(when(col("lo") <= k && k < col("hi"), col("q")))
+    def lerp(prefix: String, p: Double): Column = {
+      val r = (col("g_n") - 1) * lit(p)
+      val f = r - floor(r)
+      round((lit(1.0) - f) * col(prefix + "_lo") + f * col(prefix + "_hi"), 6)
+    }
+    val pcts = cum.groupBy("l_returnflag").agg(
+        max(col("n")).as("g_n"),
+        vAt(floor(rank(0.5))).as("g50_lo"), vAt(ceil(rank(0.5))).as("g50_hi"),
+        vAt(floor(rank(0.95))).as("g95_lo"), vAt(ceil(rank(0.95))).as("g95_hi"))
+      .select(col("l_returnflag"),
+        lerp("g50", 0.5).as("p50"), lerp("g95", 0.95).as("p95"))
+    li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("dc"))
+      .join(pcts, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("dc"), col("p50"), col("p95"))
+      .orderBy("l_returnflag")
+  }
 
   /** a4's scale path: sketch-based percentiles + HLL distinct count —
     * one streaming aggregation pass, no sort, mergeable partials (the

@@ -48,6 +48,7 @@ object SparkEntry {
     "c3_exists"         -> (CoreQueries.c3Exists _),
     "a3_distinct"       -> (CoreQueries.a3Distinct _),
     "a4_quantile_stats" -> (CoreQueries.a4QuantileStats _),
+    "a4c_quantile_hist" -> (CoreQueries.a4cQuantileHist _),
     "j5_threeway_2key"  -> (CoreQueries.j5ThreeWayTwoKey _),
     "p14_zip_normalize" -> (CoreQueries.p14ZipNormalize _),
     "p5_try_casts"      -> (CoreQueries.p5TryCasts _),
@@ -497,6 +498,14 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "a4_quantile_stats" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dc,
+        | ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // a4c: the bounded-state histogram rewrite must reproduce the same
+    // order statistics quantile_cont defines
+    "a4c_quantile_hist" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dc,
         | ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
         | ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95

@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
   * real fixture. */
 class CoreQueriesSpec extends SparkTestBase {
 
+  test("a4c histogram percentiles are bit-identical to a4's exact buffer form") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = CoreQueries.a4QuantileStats(spark, d).collect().toSeq
+      val hist = CoreQueries.a4cQuantileHist(spark, d).collect().toSeq
+      assert(hist === exact, s"histogram rewrite diverged at $d")
+    }
+  }
+
   test("a4b sketch percentiles + HLL track exact a4 within bounds (sf0.001)") {
     val d = "/root/testdata/sf0.001"
     def byFlag(df: org.apache.spark.sql.DataFrame) =
