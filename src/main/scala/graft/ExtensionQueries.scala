@@ -755,7 +755,10 @@ object ExtensionQueries {
         ColumnShim.expression(lit(l)), ColumnShim.expression(lit(r))))
     val words = Tables.wide(Tables.documents(s, d))
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      // \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline,
+      // DuckDB's RE2 does not — anchor hard so both engines agree even
+      // if a future corpus generation embeds newlines in text
+      .filter(col("w").rlike("\\A[a-z]+\\z"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"))
@@ -804,10 +807,17 @@ object ExtensionQueries {
       ColumnShim.column(BpeMerge(ColumnShim.expression(sym),
         ColumnShim.expression(lit(l)), ColumnShim.expression(lit(r))))
     val merges = bpeMergeTable(s, d).map { case (_, l, r, _, _) => (l, r) }
+    // the oracle builds its vocab through all 8 merge CTEs
+    // unconditionally; a corpus too degenerate to learn 8 merges must
+    // fail loudly here, not silently diverge from the oracle
+    require(merges.size == 8,
+      s"x31b: learned ${merges.size} BPE merges but the oracle assumes 8 " +
+        "— corpus has too few distinct adjacent pairs")
     val docs = Tables.wide(Tables.documents(s, d))
     val docWords = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      // \A..\z: see buildBpeMerges — engine-agreement anchor
+      .filter(col("w").rlike("\\A[a-z]+\\z"))
     val init = rtrim(regexp_replace(col("w"), "(.)", "$1 "))
     val encoded = merges.foldLeft(init) { case (c, (l, r)) => mergeStep(c, l, r) }
     val vocab = docWords.select(col("w")).distinct()

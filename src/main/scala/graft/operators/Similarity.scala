@@ -243,8 +243,14 @@ object Similarity {
     val s = corpus.sparkSession
     codebookMemo.keys.filter(_._1.sparkContext.isStopped)
       .foreach(codebookMemo.remove)
+    // the key must carry the full fit identity: corpus dir AND which
+    // table/columns were fitted (schema tag + id/vec cols) AND every
+    // fit parameter — two callers fitting different columns under the
+    // same data dir must never share a model
+    val tableTag = corpus.schema.fields
+      .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
     codebookMemo.getOrElseUpdate(
-      (s, s"$corpusKey#$nLists#$seed#$trainFraction"),
+      (s, s"$corpusKey#$tableTag#$idCol#$vecCol#$nLists#$seed#$trainFraction"),
       fitCodebook(corpus, idCol, vecCol, nLists, seed, trainFraction))
   }
 

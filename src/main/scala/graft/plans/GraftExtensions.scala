@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions installer: registers graft's native
   * expressions as SQL functions, so `spark.sql("... cosine_sim(a,b)")`
@@ -11,42 +11,57 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * (the (c)-tier extension mechanism; used by Verify/Bench/tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.graft.CosineSimilarity(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("cosine_sim", children, 2)
+        org.apache.spark.sql.graft.CosineSimilarity(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.JaroWinkler].getName, "jaro_winkler"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.graft.JaroWinkler(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("jaro_winkler", children, 2)
+        org.apache.spark.sql.graft.JaroWinkler(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("canonical_url"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.CanonicalUrl].getName, "canonical_url"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.graft.CanonicalUrl(children(0))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("canonical_url", children, 1)
+        org.apache.spark.sql.graft.CanonicalUrl(children(0))
+      }))
     // simhash_sig(text, nBits, md5Variant) — width/variant must be
-    // foldable literals (they parameterize codegen, not per-row data)
+    // foldable literals (they parameterize codegen, not per-row data);
+    // the builder type-checks them so a column-valued, NULL, or
+    // long-typed argument is an analysis error, not an eval crash
     ext.injectFunction((
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.SimHashSig].getName, "simhash_sig"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("simhash_sig", children, 3)
         org.apache.spark.sql.graft.SimHashSig(children(0),
-          children(1).eval().asInstanceOf[Int],
-          children(2).eval().asInstanceOf[Boolean])))
+          foldableInt("simhash_sig", "nBits", children(1)),
+          foldableBoolean("simhash_sig", "md5Variant", children(2)))
+      }))
     ext.injectFunction((
       FunctionIdentifier("bpe_merge"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.BpeMerge].getName, "bpe_merge"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.graft.BpeMerge(children(0), children(1), children(2))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("bpe_merge", children, 3)
+        org.apache.spark.sql.graft.BpeMerge(children(0), children(1), children(2))
+      }))
     ext.injectFunction((
       FunctionIdentifier("word_shingle_hashes"),
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.WordShingleHashes].getName, "word_shingle_hashes"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("word_shingle_hashes", children, 2)
         org.apache.spark.sql.graft.WordShingleHashes(children(0),
-          children(1).eval().asInstanceOf[Int])))
+          foldableInt("word_shingle_hashes", "n", children(1)))
+      }))
     // Opt-in top-1-window → min_by rewrite (see RewriteTop1Window;
     // inert unless spark.graft.rewriteTop1Window=true).
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteTop1Window)
@@ -55,4 +70,69 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graft.RewriteThresholdedLevenshtein)
   }
+}
+
+object GraftExtensions {
+
+  /** Builder-time validation of SQL-registered native functions'
+    * literal parameters: a non-foldable, NULL, or wrongly-typed
+    * argument must surface as an AnalysisException naming the expected
+    * signature, not as an obscure eval/ClassCastException from inside
+    * the builder. Numeric widths accept any integral Number (SQL `60`
+    * parses as an int literal, but a LONG-typed `60L` is fine too). */
+  private def requireArity(fn: String, children: Seq[Expression],
+      n: Int): Unit =
+    if (children.length != n)
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$fn`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  private def foldableValue(fn: String, param: String, paramType: String,
+      e: Expression): Any = {
+    if (!e.foldable)
+      throw new AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`",
+          "paramName" -> s"`$param`",
+          "paramType" -> paramType))
+    val v = e.eval()
+    if (v == null)
+      throw new AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`",
+          "paramName" -> s"`$param` (got NULL)",
+          "paramType" -> paramType))
+    v
+  }
+
+  private def foldableInt(fn: String, param: String, e: Expression): Int =
+    foldableValue(fn, param, "\"INT\"", e) match {
+      case n: java.lang.Number => n.intValue()
+      case other =>
+        throw new AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> s"`$fn`",
+            "paramName" -> s"`$param` (got ${other.getClass.getSimpleName})",
+            "paramType" -> "\"INT\""))
+    }
+
+  private def foldableBoolean(fn: String, param: String,
+      e: Expression): Boolean =
+    foldableValue(fn, param, "\"BOOLEAN\"", e) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other =>
+        throw new AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> s"`$fn`",
+            "paramName" -> s"`$param` (got ${other.getClass.getSimpleName})",
+            "paramType" -> "\"BOOLEAN\""))
+    }
 }

@@ -86,6 +86,34 @@ class NativeExprFuzzSpec extends SparkTestBase {
     assert(row.getLong(2) === viaCol)
   }
 
+  test("SQL builders reject bad literal params as AnalysisException") {
+    import org.apache.spark.sql.AnalysisException
+    // column-valued width: must be an analysis error, not an eval crash
+    val colWidth = intercept[AnalysisException] {
+      Seq((1, "a b")).toDF("n", "t")
+        .selectExpr("simhash_sig(t, n, true)").collect()
+    }
+    assert(colWidth.getCondition === "NON_FOLDABLE_ARGUMENT")
+    // NULL width
+    val nullWidth = intercept[AnalysisException] {
+      spark.sql("SELECT simhash_sig('a', CAST(NULL AS INT), true)").collect()
+    }
+    assert(nullWidth.getCondition === "NON_FOLDABLE_ARGUMENT")
+    // string-typed variant flag
+    val badType = intercept[AnalysisException] {
+      spark.sql("SELECT simhash_sig('a', 60, 'yes')").collect()
+    }
+    assert(badType.getCondition === "NON_FOLDABLE_ARGUMENT")
+    // wrong arity
+    val badArity = intercept[AnalysisException] {
+      spark.sql("SELECT word_shingle_hashes('a b c')").collect()
+    }
+    assert(badArity.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    // a LONG-typed literal width is accepted (integral Number widening)
+    assert(spark.sql("SELECT size(word_shingle_hashes('a b c', 2L))")
+      .head().getInt(0) === 2)
+  }
+
   test("fuzz: BpeMerge == the oracle-style suffix fold, 500 sequences") {
     // independent formulation: the DuckDB oracle's list_reduce rule —
     // append WITHOUT a separator iff x is the right symbol and the
