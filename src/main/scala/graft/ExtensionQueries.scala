@@ -852,7 +852,7 @@ object ExtensionQueries {
     // in every consumer of this subtree — the x28/x26 trap)
     val scored = docs.select(col("doc_id"), col("text"),
         explode(array(struct(
-          TextAnalysis.langId(col("text")).as("lang_detected"),
+          TextAnalysis.langIdNative(col("text")).as("lang_detected"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           TextAnalysis.fingerprintMd5(col("text")).as("fp")))).as("sc"))
       .select(col("doc_id"), col("text"), col("sc.lang_detected").as("lang_detected"),
@@ -898,11 +898,16 @@ object ExtensionQueries {
 
   def t2LangId(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
+    // native one-pass profile counting (LangProfileId /
+    // MultiPatternHitCount); the relational length-replace forms stay
+    // in TextAnalysis as the spec-diffed reference. en_score keeps the
+    // oracle's DOUBLE type — the native BIGINT count is the same value
+    // integer-exactly.
     Tables.wide(Tables.documents(s, d)).select(
         col("doc_id"),
-        TextAnalysis.langId(t).as("lang_detected"),
-        TextAnalysis.langIdCharNgram(t).as("lang_detected_ngram"),
-        TextAnalysis.langScore(t, "en").as("en_score"),
+        TextAnalysis.langIdNative(t).as("lang_detected"),
+        TextAnalysis.langIdCharNgramNative(t).as("lang_detected_ngram"),
+        TextAnalysis.langScoreNative(t, "en").cast("double").as("en_score"),
         col("lang").as("lang_declared"))
       .orderBy("doc_id")
   }
@@ -1765,7 +1770,7 @@ object ExtensionQueries {
   def x30LanguageBudget(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.langIdNative(col("text")).as("lang"),
         TextAnalysis.wordCount(col("text")).as("n_tok"),
         Sampling.minstdHash(col("doc_id")).as("h"))
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
@@ -1799,7 +1804,7 @@ object ExtensionQueries {
   def x30bLanguageBudgetSharded(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.langIdNative(col("text")).as("lang"),
         TextAnalysis.wordCount(col("text")).as("n_tok"),
         Sampling.minstdHash(col("doc_id")).as("h"))
     val totals = docs.groupBy("lang").agg(sum("n_tok").as("total_tokens"))

@@ -15,7 +15,20 @@ object TextAnalysis {
   /** Whitespace tokens (split on single space, the corpus' delimiter). */
   def words(text: Column): Column = split(text, " ")
 
-  def wordCount(text: Column): Column = size(words(text)).cast("bigint")
+  /** Single-space-split token count. `size(split(t, " "))` builds the
+    * whole word array (regex engine + per-word allocations) just to
+    * count it; spaces+1 is the same number (split keeps empty tokens,
+    * so every space adds exactly one token — consecutive and edge
+    * spaces included), countable in one native byte pass.
+    * Value-identical to [[wordCountSplit]], pinned by LangIdSpec. */
+  def wordCount(text: Column): Column =
+    (org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.MultiPatternHitCount(
+        org.apache.spark.sql.graft.ColumnShim.expression(text),
+        Seq(" "), pad = false)) + 1).cast("bigint")
+
+  /** The relational reference form of [[wordCount]] (spec diff base). */
+  def wordCountSplit(text: Column): Column = size(words(text)).cast("bigint")
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alphanumeric marks — a cheap proxy for subword tokenizer load
@@ -111,6 +124,30 @@ object TextAnalysis {
     }
   }
 
+  /** [[langId]] as a native codegen'd expression — ONE byte pass
+    * counting all 16 stopword patterns simultaneously instead of 16
+    * `replace` scans each copying the document (the worst shipped
+    * linear path at 125×: x30, PERF.md round 9). Bit-identical output
+    * pinned by LangIdSpec + NativeExprFuzzSpec; the coalesce matches
+    * the relational when-chain's NULL→'und' behavior. This is the form
+    * the curation queries run ([[langId]] stays as the relational
+    * reference the specs diff against). */
+  def langIdNative(text: Column): Column =
+    coalesce(
+      org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.LangProfileId(
+          org.apache.spark.sql.graft.ColumnShim.expression(text),
+          LangProfiles, pad = true)),
+      lit("und"))
+
+  /** [[langScore]] as a native one-pass count (exact BIGINT; the
+    * relational double is the same value integer-exactly). */
+  def langScoreNative(text: Column, lang: String): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.MultiPatternHitCount(
+        org.apache.spark.sql.graft.ColumnShim.expression(text),
+        LangProfiles.toMap.apply(lang), pad = true))
+
   /** Count non-overlapping occurrences of an arbitrary substring —
     * length-delta trick without word padding (for char n-grams). */
   def substringHits(text: Column, s: String): Column =
@@ -141,14 +178,29 @@ object TextAnalysis {
     }
   }
 
+  /** [[langIdCharNgram]] as a native one-pass expression (unpadded
+    * substring counting; same argmax/tie semantics — see
+    * [[langIdNative]]). */
+  def langIdCharNgramNative(text: Column): Column =
+    coalesce(
+      org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.LangProfileId(
+          org.apache.spark.sql.graft.ColumnShim.expression(text),
+          CharNgramProfiles, pad = false)),
+      lit("und"))
+
   /** Quality score in [0,1]: length factor + stopword density, the
     * shape of heuristic doc-quality filters. Deterministic double math
     * (single divisions), rounded for cross-engine stability. */
   def qualityScore(text: Column): Column = {
     val n = wordCount(text)
     val lengthFactor = least(n.cast("double") / lit(100.0), lit(1.0))
+    // native one-pass stopword count (integer-exact; the relational
+    // double langScore is the same value, so the rounded result is
+    // bit-identical — LangIdSpec pins it)
     val stopDensity =
-      least(langScore(text, "en").cast("double") / (n.cast("double") + lit(1.0)),
+      least(langScoreNative(text, "en").cast("double") /
+          (n.cast("double") + lit(1.0)),
         lit(1.0))
     round(lengthFactor * lit(0.6) + stopDensity * lit(0.4), 6)
   }

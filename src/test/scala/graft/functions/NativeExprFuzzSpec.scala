@@ -86,6 +86,35 @@ class NativeExprFuzzSpec extends SparkTestBase {
     assert(row.getLong(2) === viaCol)
   }
 
+  test("fuzz: native langId/scores == relational length-replace, 400 texts") {
+    import graft.operators.TextAnalysis
+    // tokens aimed at the counting boundaries: stopwords from every
+    // profile, near-miss substrings (theme/lethal), runs that exercise
+    // non-overlapping replace, multi-byte chars, and empty tokens
+    val tok = Gen.oneOf("the", "a", "of", "and", "le", "la", "et", "les",
+      "der", "die", "und", "das", "el", "los", "y", "una",
+      "theme", "lethal", "ción", "caña", "", "th", "sch", "xx")
+    val sep = Gen.frequency(6 -> Gen.const(" "), 1 -> Gen.const("  "))
+    val text = for {
+      n <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(n, tok)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+    } yield ts.zipAll(ss, "", "").map { case (t, s) => t + s }.mkString
+    val texts = sample(text, 400)
+    val rows = texts.toDF("text").select(
+        TextAnalysis.langIdNative(col("text")).as("nid"),
+        TextAnalysis.langId(col("text")).as("rid"),
+        TextAnalysis.langIdCharNgramNative(col("text")).as("ngid"),
+        TextAnalysis.langIdCharNgram(col("text")).as("rgid"),
+        TextAnalysis.langScoreNative(col("text"), "fr").cast("double").as("nsc"),
+        TextAnalysis.langScore(col("text"), "fr").as("rsc"),
+        col("text"))
+      .filter(col("nid") =!= col("rid") || col("ngid") =!= col("rgid") ||
+        col("nsc") =!= col("rsc"))
+      .collect()
+    assert(rows.isEmpty, rows.take(5).map(_.toString).mkString("; "))
+  }
+
   test("SQL builders reject bad literal params as AnalysisException") {
     import org.apache.spark.sql.AnalysisException
     // column-valued width: must be an analysis error, not an eval crash
