@@ -2189,6 +2189,34 @@ object ExtensionQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** M4 — REAL audio decode, oracle-checked: the last multimodal
+    * modality, same death as m1b's images and m3b's video. One tiny
+    * WAV per document (RIFF header + 16-bit mono PCM,
+    * [[Multimodal.syntheticWav]]) is encoded DISTRIBUTED through the
+    * JDK's `javax.sound.sampled` codec, landed as a parquet binary
+    * column, read back, and decoded by [[Multimodal.decodeAudio]] —
+    * `Dataset.mapPartitions` with typed encoders, no `df.rdd` hop.
+    * Every decoded property (sample count, signed sample sum, rate) is
+    * closed-form in doc_id (`s(i) = (id·31+i·7) mod 2001 − 1000` over
+    * `40 + id%23` samples), so the DuckDB oracle restates the decode
+    * with pure arithmetic: a hash match proves the bytes on disk are
+    * real decodable WAV streams AND the decode read the samples the
+    * encoder wrote. Payload byte length is deliberately NOT an oracle
+    * column (RIFF chunk layout is encoder-implementation-defined). */
+  def m4AudioDecode(s: SparkSession, d: String): DataFrame = {
+    val dir = Scratch.dir("graft_wav")
+    val ids = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id").cast("long"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+    Multimodal.encodeWavs(ids).toDF()
+      .write.mode("overwrite").parquet(dir)
+    Multimodal.decodeAudio(s.read.parquet(dir), "doc_id", "content")
+      .toDF()
+      .select(col("doc_id"), col("n_samples"), col("sample_sum"),
+        col("sample_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Real multimodal ingestion boundary: one opaque binary file per
     * document written distributed (mapPartitions-style foreach, no
     * driver collect), read back through Spark's `binaryFile` source —
@@ -3476,6 +3504,21 @@ object ExtensionQueries {
         |FROM wxy GROUP BY doc_id, fi, fid
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // m4: decoded sample count/sum/rate restated in closed form from
+    // doc_id (syntheticWav's PCM formula) — pure arithmetic, no codec
+    // (scalar unnest(generate_series): the table-function form can't
+    // take lateral parameters, see CLAUDE.md)
+    "m4_audio_decode" ->
+      """WITH sm AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(39 + doc_id % 23 AS BIGINT))) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(40 + doc_id % 23 AS BIGINT) AS n_samples,
+        | CAST(SUM((doc_id*31 + i*7) % 2001 - 1000) AS BIGINT) AS sample_sum,
+        | CAST(8000 AS INT) AS sample_rate
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "m1_multimodal_stub" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -3636,6 +3679,7 @@ object ExtensionQueries {
     "m2b_batched_ingest"     -> (m2bBatchedIngest _),
     "m3_frame_manifest"      -> (m3FrameManifest _),
     "m3b_video_decode"       -> (m3bVideoDecode _),
+    "m4_audio_decode"        -> (m4AudioDecode _),
     "j6b_skew_salted"        -> (j6bSkewSalted _),
     "st1_event_window"       -> (st1EventWindow _),
     "st7_stream_budget"      -> (st7BudgetTwin _),

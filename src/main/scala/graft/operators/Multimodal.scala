@@ -13,6 +13,8 @@ case class DecodedImage(doc_id: Long, width: Int, height: Int,
     pix_sum: Long, n_bytes: Long)
 case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
     height: Int, pix_sum: Long)
+case class DecodedAudio(doc_id: Long, n_samples: Long, sample_sum: Long,
+    sample_rate: Int)
 
 /** Multimodal-column plumbing: image/audio/video payloads modeled as
   * opaque `binary` columns with a typed metadata struct, plus
@@ -30,9 +32,16 @@ case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int,
   * row) — the Spark-side shape (typed encoders, byte-balanced
   * partitioning via [[repartitionByPayloadBytes]], stride sampling
   * before pixel work) is the part the engine guarantees and is
-  * identical for both codecs. Only audio feature extraction stays a
-  * clearly-marked deterministic stub ([[decodeFeaturesStub]],
-  * [[resizeStub]]) since no audio codec ships in the JDK.
+  * identical for both codecs. AUDIO decode is real too — the JDK
+  * ships a WAV/PCM codec (`javax.sound.sampled`, headless-safe):
+  * [[syntheticWav]] encodes closed-form 16-bit PCM through
+  * `AudioSystem.write` and [[decodeAudio]] decodes it back through
+  * `AudioSystem.getAudioInputStream` in the same typed-mapPartitions
+  * boundary. The remaining stubs ([[decodeFeaturesStub]],
+  * [[resizeStub]]) are scoped to codecs the JDK does NOT ship
+  * (compressed audio like MP3/Opus, learned feature extractors) —
+  * they stand in for an external-library call, not for the plumbing,
+  * which is proven by the PNG/GVC1/WAV paths.
   *
   * Scale notes: payloads stay as parquet binary (no base64 inflation);
   * per-item work is map-only; the codec boundary is
@@ -193,6 +202,79 @@ object Multimodal {
         }
       }(Encoders.product[DecodedFrame])
 
+  /** Deterministic tiny WAV: 16-bit signed little-endian PCM, mono,
+    * 8 kHz, `40 + id%23` samples, sample
+    * `s(i) = (id·31 + i·7) mod 2001 − 1000` — every decoded property
+    * (sample count, sample sum, rate) is closed-form in `id` so a SQL
+    * oracle restates the decode with pure arithmetic, while the bytes
+    * on disk are a REAL RIFF/WAVE stream (header + PCM data chunk)
+    * produced by `javax.sound.sampled.AudioSystem`. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 40 + (id % 23).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 31 + i * 7) % 2001 - 1000).toInt
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV/PCM decode (JDK `javax.sound.sampled`): parse the RIFF
+    * header, stream the PCM frames, and fold sample count + signed
+    * sample sum — the integrity checksum the m4 oracle recomputes in
+    * closed form. Rejects anything that is not 16-bit mono PCM (the
+    * contract [[syntheticWav]] writes); a real deployment widens this
+    * switch per format instead. */
+  def decodeWav(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      throw new IllegalArgumentException(
+        s"decodeWav: id=$id is not 16-bit mono signed PCM ($fmt)")
+    val le = !fmt.isBigEndian
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val lo = if (le) data(2 * i) & 0xff else data(2 * i + 1) & 0xff
+      val hi = if (le) data(2 * i + 1) else data(2 * i)
+      sum += (hi << 8 | lo).toShort
+      i += 1
+    }
+    DecodedAudio(id, n.toLong, sum, fmt.getSampleRate.toInt)
+  }
+
+  /** Distributed WAV encode: ids → real RIFF/WAVE payloads, one codec
+    * stage per partition via typed mapPartitions. */
+  def encodeWavs(ids: Dataset[Long]): Dataset[MediaPayload] =
+    ids.mapPartitions(it => it.map(id => MediaPayload(id, syntheticWav(id))))(
+      Encoders.product[MediaPayload])
+
+  /** Batch audio decode over a (id, binary) DataFrame — same boundary
+    * discipline as [[decodeImages]]: `Dataset.mapPartitions` with typed
+    * encoders, no `df.rdd` hop, codec init amortized per partition. */
+  def decodeAudio(df: DataFrame, idCol: String,
+      contentCol: String): Dataset[DecodedAudio] =
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .mapPartitions { rows =>
+        // per-partition init lives here (AudioSystem is stateless; a
+        // JNI/FFI codec would load its handle once per task)
+        rows.map(r => decodeWav(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(Encoders.product[DecodedAudio])
+
   val MetadataSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
     StructField("width", IntegerType),
@@ -209,10 +291,14 @@ object Multimodal {
         pmod(xxhash64(lit(1), col(payloadCol)), lit(1080)).cast("int").as("height"),
         (length(col(payloadCol)) * 40L).cast("bigint").as("duration_ms")))
 
-  /** STUB decode — deterministic fake features in place of a codec.
-    * A real deployment replaces the body with e.g. a JNI/FFI image
-    * decode; the signature (binary → fixed-width float vector) and the
-    * column-level contract are what the engine guarantees. */
+  /** STUB decode — deterministic fake features in place of a codec
+    * the JDK does NOT ship (compressed audio like MP3/Opus, learned
+    * feature extractors). Every JDK-codec format has a REAL decode
+    * path above (PNG → [[decodeImages]], GVC1 video →
+    * [[decodeVideoFrames]], WAV/PCM → [[decodeAudio]]); this stub only
+    * stands in for the external-library call itself — the signature
+    * (binary → fixed-width float vector) and the column-level contract
+    * are what the engine guarantees. */
   def decodeFeaturesStub(content: Column, dim: Int = 8): Column =
     transform(sequence(lit(0), lit(dim - 1)), i =>
       (pmod(xxhash64(i, content), lit(1000)).cast("double") / lit(1000.0)))

@@ -168,6 +168,60 @@ class MultimodalSpec extends SparkTestBase {
     sampled.foreach { case (k, f) => assert(f === all(k)) }
   }
 
+  test("syntheticWav emits a real RIFF/WAVE stream and decodeWav " +
+      "recovers the closed-form samples exactly") {
+    val bytes = Multimodal.syntheticWav(42L)
+    // RIFF....WAVE header
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val dec = Multimodal.decodeWav(42L, bytes)
+    val n = 40 + (42 % 23).toInt
+    assert(dec.n_samples === n.toLong)
+    assert(dec.sample_rate === 8000)
+    val want = (0 until n).map(i => (42L * 31 + i * 7) % 2001 - 1000).sum
+    assert(dec.sample_sum === want)
+  }
+
+  test("decodeWav rejects non-WAV and non-PCM-s16-mono payloads") {
+    intercept[Exception] { // UnsupportedAudioFileException or similar
+      Multimodal.decodeWav(7L, "not audio at all".getBytes("UTF-8"))
+    }
+    // a real WAV but stereo 8-bit: must hit the format guard
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 2, true, false)
+    val pcm = new Array[Byte](64)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 32L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(8L, bos.toByteArray)
+    }
+    assert(e.getMessage.contains("not 16-bit mono"))
+  }
+
+  test("encodeWavs→parquet→decodeAudio round-trips distributed in the " +
+      "Dataset lane (no RDD hop)") {
+    import spark.implicits._
+    val dir = graft.Scratch.dir("graft_mm_wav")
+    Multimodal.encodeWavs(spark.range(0, 60).as[Long]).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val decoded = Multimodal.decodeAudio(
+      spark.read.parquet(dir), "doc_id", "content")
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"), plan)
+    val rows = decoded.collect()
+    assert(rows.length === 60)
+    rows.foreach { r =>
+      val n = 40 + (r.doc_id % 23).toInt
+      assert(r.n_samples === n.toLong, s"doc ${r.doc_id}")
+      assert(r.sample_rate === 8000)
+      val want = (0 until n).map(i => (r.doc_id * 31 + i * 7) % 2001 - 1000).sum
+      assert(r.sample_sum === want, s"doc ${r.doc_id}")
+    }
+  }
+
   test("decodeVideoFrames rejects a non-GVC1 payload") {
     import spark.implicits._
     val bad = Seq((1L, "definitely not a container".getBytes("UTF-8")))
