@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * hides per-row costs at sf0.1, and this is the "generate the next SF
   * up" tool the round-6 verdict asked for (r5 item 6). Usage:
   *
-  *   runMain graft.MakeScale [srcDir] [dstDir] [copies]
+  *   runMain graft.MakeScale [srcDir] [dstDir] [copies] [--mutate]
   *
   * Replication semantics (documented distortions and all):
   *  - every id domain is offset by copy·1e8, so keys stay unique and
@@ -37,14 +37,44 @@ import org.apache.spark.sql.functions._
   * the same logical type as the driver's micros generation — so a
   * DuckDB oracle pointed at a replica dir sees plain TIMESTAMP and
   * `check_oracle.py` can diff event queries above sf0.1. (Before
-  * round 9 the replica wrote raw INT64 nanos and was bench-only.) */
+  * round 9 the replica wrote raw INT64 nanos and was bench-only.)
+  *
+  * `--mutate` (anywhere in the args) turns on deterministic per-copy
+  * TOKEN NOISE for text surfaces, fixing the two places verbatim
+  * replication distorts the dedup family (round-9 verdict #3):
+  *  - verbatim N× makes every shingle's doc frequency ≥ N, so the
+  *    df-capped near-dup paths (x2b/x27b/t5b) legitimately return the
+  *    EMPTY set at N ≥ 5 — a vacuous oracle row;
+  *  - cross-copy exact duplicates inflate LSH/SimHash candidate counts
+  *    quadratically in N — a fixture artifact, not plan behavior.
+  * Mutation: in copy k>0, every token EXCEPT the stable quarter of the
+  * vocabulary (`xxhash64(token, k) ≡ 0 (mod 4)` keeps the token) is
+  * renamed `token~k` — a CONSISTENT injective vocabulary rename per
+  * copy (the source corpus has no '~'), applied to `documents.text`
+  * and `part.p_name`. Consistency preserves all WITHIN-copy structure
+  * exactly (exact-dup groups, shingle Jaccard values — Jaccard is
+  * invariant under injective token renaming), while the
+  * 75%-of-vocab-per-copy rename makes copies mostly
+  * vocabulary-disjoint: a 3-shingle survives verbatim into another
+  * copy w.p. 0.25³ ≈ 1.6%, so a pair shingle's doc frequency stays at
+  * ~its WITHIN-copy value instead of multiplying by N — which is what
+  * keeps the df-capped near-dup paths (caps 3-5) NON-TRIVIAL: each
+  * copy reproduces the base corpus's capped pair set in its own key
+  * space (the model of a larger crawl where duplication density is
+  * constant, vs verbatim mode's density-grows-with-N upper bound —
+  * keep both, they stress different regimes). The stable quarter
+  * still spreads some dfs over 1..N (the MakeScaleSpec pin).
+  * `documents.n_chars` is recomputed from the mutated text so the
+  * stored-length invariant holds. */
 object MakeScale {
   private val S = 100000000L // id stride per copy; far above any sf0.1 id
 
   def main(args: Array[String]): Unit = {
-    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val dst = if (args.length > 1) args(1) else "/tmp/sf0.5x"
-    val copies = if (args.length > 2) args(2).toInt else 5
+    val pos = args.filterNot(_ == "--mutate")
+    val mutate = args.contains("--mutate")
+    val src = if (pos.length > 0) pos(0) else "/root/testdata/sf0.1"
+    val dst = if (pos.length > 1) pos(1) else "/tmp/sf0.5x"
+    val copies = if (pos.length > 2) pos(2).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // getOrCreate: under a test harness this reuses (and must not
     // stop) the suite's session — main only stops what it created
@@ -55,13 +85,24 @@ object MakeScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, copies)
+    run(spark, src, dst, copies, mutate)
     if (!hadSession) spark.stop()
   }
 
+  /** Consistent per-copy vocabulary rename (see object doc): token w →
+    * `w~k` unless `xxhash64(w, k) ≡ 0 (mod 4)` (the stable quarter),
+    * copy 0 verbatim. An HOF lambda is fine here — MakeScale is
+    * offline tooling, run once per replica, not a query path. */
+  private def renameTokens(c: Column): Column =
+    when(col("_k") === 0, c).otherwise(array_join(
+      transform(split(c, " "), w =>
+        when(pmod(xxhash64(w, col("_k")), lit(4)) === 0, w)
+          .otherwise(concat(w, lit("~"), col("_k")))),
+      " "))
+
   /** The replication pass itself, session supplied by the caller. */
   def run(spark: SparkSession, src: String, dst: String,
-      copies: Int): Unit = {
+      copies: Int, mutateText: Boolean = false): Unit = {
     // tolerate either events.ts generation (nanos-as-long or micros)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -93,18 +134,30 @@ object MakeScale {
     rep("customer", Seq("c_custkey"))
     rep("supplier", Seq("s_suppkey"))
     rep("part", Seq("p_partkey"), Map(
-      "p_name" -> (c => when(col("_k") === 0, c)
-        .otherwise(concat(c, lit(" v"), col("_k"))))))
+      "p_name" -> { c =>
+        // mutate mode renames name tokens too, so t5/t10's shingle
+        // blocks decorrelate across copies like the document corpus
+        val core = if (mutateText) renameTokens(c) else c
+        when(col("_k") === 0, c)
+          .otherwise(concat(core, lit(" v"), col("_k")))
+      }))
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     rep("events", Seq("event_id", "user_id"))
-    rep("documents", Seq("doc_id"))
+    rep("documents", Seq("doc_id"),
+      if (mutateText) Map(
+        "text" -> renameTokens,
+        // keep the stored-length invariant on the mutated text (the
+        // mutate fn for n_chars ignores its own column and recomputes)
+        "n_chars" -> (_ => length(renameTokens(col("text"))).cast("bigint")))
+      else Map.empty)
     rep("embeddings", Seq("vec_id"), Map(
       "embedding" -> { c =>
         val rot = pmod(col("_k") * 13, lit(64)).cast("int")
         concat(slice(c, rot + 1, lit(64) - rot), slice(c, lit(1), rot))
           .cast("array<float>")
       }))
-    println(s"[makescale] done: $dst (${copies}x $src)")
+    println(s"[makescale] done: $dst (${copies}x $src" +
+      (if (mutateText) ", mutated)" else ")"))
   }
 }

@@ -61,4 +61,81 @@ class MakeScaleSpec extends SparkTestBase {
     val v1 = Tables.load(spark, dst, "part").select("p_name").distinct().count()
     assert(v1 === 2 * v0, "distinct names must scale, not collapse")
   }
+
+  private lazy val mdst = {
+    val d = Scratch.dir("makescale_mut_spec")
+    MakeScale.run(spark, src, d, copies = 3, mutateText = true)
+    d
+  }
+
+  test("--mutate: copy 0 verbatim, copies k>0 token-renamed " +
+      "consistently, n_chars recomputed") {
+    val docs = Tables.load(spark, mdst, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    // stored-length invariant must hold on every copy
+    assert(docs.filter(col("n_chars") =!= length(col("text"))).count() === 0)
+    val base = docs.filter(col("doc_id") < 100000000L)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = Tables.load(spark, src, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(base === orig, "copy 0 must stay verbatim")
+    // copy k: token w renamed UNLESS xxhash64(w, k) % 4 == 0 (the
+    // stable quarter) — verify the documented rule on copy 1 by
+    // recomputing it from the SOURCE corpus with an independent
+    // expression
+    val copy1 = docs.filter(col("doc_id") >= 100000000L &&
+        col("doc_id") < 200000000L)
+      .select((col("doc_id") - 100000000L).as("doc_id"), col("text"))
+    val expected = Tables.load(spark, src, "documents")
+      .select(col("doc_id"), array_join(
+        transform(split(col("text"), " "), w =>
+          when(pmod(xxhash64(w, lit(1)), lit(4)) === 0, w)
+            .otherwise(concat(w, lit("~1")))), " ").as("etext"))
+    val diff = copy1.join(expected, "doc_id")
+      .filter(col("text") =!= col("etext")).count()
+    assert(diff === 0, "copy-1 must follow the documented rename rule")
+  }
+
+  test("--mutate keeps within-copy structure: exact-dup groups and " +
+      "shingle Jaccard replicate per copy, dfs decorrelate across copies") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, mdst, "documents")
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(100000000L)).as("base_id"),
+        floor(col("doc_id") / 100000000L).cast("long").as("copy"))
+    // injective rename ⇒ two docs equal WITHIN a copy iff their
+    // originals were equal: per-copy dup-group count replicates
+    // exactly (cross-copy exact survivors — short docs whose tokens
+    // all escape renaming — are allowed and realistic, so the group
+    // key includes the copy)
+    val srcGroups = Tables.load(spark, src, "documents")
+      .groupBy("text").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val perCopyGroups = docs
+      .groupBy("copy", "text").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(perCopyGroups === 3 * srcGroups,
+      "within-copy exact-dup structure must replicate per copy")
+    // and the per-copy pairwise-identical TEXT multiset matches: the
+    // base corpus' identical pairs reappear identically in every copy
+    val srcPairTexts = Tables.load(spark, src, "documents")
+      .groupBy("text").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val copyPairTexts = docs.groupBy("copy", "text")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    assert(copyPairTexts === 3 * srcPairTexts)
+    // shingle doc frequency must SPREAD over 1..3, not pin at 3 (the
+    // verbatim-replica degeneracy that empties the df-capped paths)
+    val dfCounts = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordShingleHashesNative(col("text"), 3)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .groupBy("df").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfCounts.keySet.exists(_ < 3), "some shingles must fall under df=3")
+    assert(dfCounts.getOrElse(1L, 0L) > 0, "copy-unique shingles must exist")
+  }
 }
