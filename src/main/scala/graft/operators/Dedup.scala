@@ -22,6 +22,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Stop-shingle cap policy for the co-shingle pair stage. The pair
+    * stage costs Σ df² over shingle doc frequencies — quadratic under
+    * heavy boilerplate — so production corpora drop the longest
+    * posting lists before pairing.
+    *
+    *  - [[DfCap.NoCap]]: exact listing (the oracle-device forms).
+    *  - [[DfCap.Fixed]]: an absolute df ceiling (stress knobs).
+    *  - [[DfCap.AdaptiveAvg]]: `cap = mult × ⌊Σdf / #distinct
+    *    shingles⌋` computed FROM the posting lists — the boilerplate
+    *    stop-gram rule stated relative to corpus density, which is the
+    *    form that stays non-trivial at every scale. A fixed small cap
+    *    tuned on one SF silently degenerates on denser corpora: this
+    *    corpus' shingle dfs are ~2.7× higher at sf0.1 than sf0.01, so
+    *    the round-9 caps (3/4/5) kept their sf0.01 rows but emptied
+    *    the capped pair set at sf0.1 and every replica. The adaptive
+    *    rule reproduces cap=3 at sf0.01 (x2b's 21 rows unchanged) and
+    *    yields ~19 at sf0.1 — still dropping the heavy tail that
+    *    drives Σ df², never the informative shingles. Integer
+    *    arithmetic end to end, so a SQL oracle restates it exactly. */
+  sealed trait DfCap
+  object DfCap {
+    case object NoCap extends DfCap
+    final case class Fixed(maxDf: Int) extends DfCap
+    final case class AdaptiveAvg(mult: Int = 2) extends DfCap
+  }
+
+  /** Apply a [[DfCap]] to per-shingle posting lists (`_lst`). The
+    * adaptive cap is one tiny aggregate broadcast-joined back — the
+    * lists subtree feeds both sides, so the exchange is reuse-eligible
+    * and at scale this is one extra reduce over data already
+    * shuffled. */
+  private def applyCap(lists: DataFrame, cap: DfCap): DataFrame = cap match {
+    case DfCap.NoCap => lists
+    case DfCap.Fixed(m) => lists.filter(size(col("_lst")) <= m)
+    case DfCap.AdaptiveAvg(mult) =>
+      val capRow = lists.agg(
+        expr(s"$mult * sum(size(_lst)) div count(*)").as("_cap"))
+      lists.crossJoin(broadcast(capRow))
+        .filter(size(col("_lst")) <= col("_cap"))
+        .drop("_cap")
+  }
+
   /** Fan out a narrow source to cluster parallelism: a small parquet
     * file scans as one task (row-group granularity), which would run
     * the whole shingle/hash pipeline on one core. One cheap round-robin
@@ -91,22 +133,21 @@ object Dedup {
   }
 
   private def coShinglePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocFreq: Option[Int]): DataFrame = {
+      n: Int, dfCap: DfCap): DataFrame = {
     val post = postingsHashed(df, idCol, textCol, n)
     val lists = post.groupBy("_sh")
       .agg(sort_array(collect_list(packedEntry)).as("_lst"))
-    // Optional stop-shingle cap: a shingle appearing in > maxDocFreq
-    // docs generates O(df²) pairs; real corpora cap df to bound skew
-    // (no-op below the cap, so exactness is preserved at test scale).
-    val capped = maxDocFreq.fold(lists)(m => lists.filter(size(col("_lst")) <= m))
-    explodePackedPairs(capped)
+    // Optional stop-shingle cap (see DfCap): a shingle appearing in
+    // more than cap docs generates O(df²) pairs; real corpora cap df
+    // to bound skew (no-op below the cap — exactness preserved).
+    explodePackedPairs(applyCap(lists, dfCap))
   }
 
   // timing-dissection entry points (TimeOne x2post / x2pairs)
   def postingsHashedForTiming(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     postingsHashed(df, idCol, textCol, n)
   def coShinglePairsForTiming(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    coShinglePairs(df, idCol, textCol, n, None)
+    coShinglePairs(df, idCol, textCol, n, DfCap.NoCap)
 
   /** All pairs with word-n-gram Jaccard ≥ threshold. Exact, with the
     * strategy picked by the threshold: count-based co-shingle pairing
@@ -118,10 +159,10 @@ object Dedup {
     * the extra verify joins dominate). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Option[Int] = None): DataFrame =
+      dfCap: DfCap = DfCap.NoCap): DataFrame =
     if (threshold >= PrefixFilterThreshold)
-      prefixNgramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
-    else countNgramJaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+      prefixNgramJaccardPairs(df, idCol, textCol, n, threshold, dfCap)
+    else countNgramJaccardPairs(df, idCol, textCol, n, threshold, dfCap)
 
   /** Exact CONTAINMENT pairs — asymmetric near-dup: doc A is contained
     * in doc B when |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ t.
@@ -139,8 +180,8 @@ object Dedup {
     * containment sketches; exact-with-maxDocFreq is what ships here. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thresholdPct: Int = 90,
-      maxDocFreq: Option[Int] = None): DataFrame =
-    coShinglePairs(df, idCol, textCol, n, maxDocFreq)
+      dfCap: DfCap = DfCap.NoCap): DataFrame =
+    coShinglePairs(df, idCol, textCol, n, dfCap)
       .groupBy("ida", "idb")
       .agg(count(lit(1)).as("c"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))
@@ -165,8 +206,8 @@ object Dedup {
     * (by shingle, then by pair). */
   private[operators] def countNgramJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      maxDocFreq: Option[Int]): DataFrame =
-    coShinglePairs(df, idCol, textCol, n, maxDocFreq)
+      dfCap: DfCap): DataFrame =
+    coShinglePairs(df, idCol, textCol, n, dfCap)
       .groupBy("ida", "idb")
       .agg(count(lit(1)).as("c"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))
@@ -190,8 +231,8 @@ object Dedup {
     * thresholds sit below [[PrefixFilterThreshold]]. */
   def ngramJaccardPairsPpm(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, thresholdPpm: Long = 500000L,
-      maxDocFreq: Option[Int] = None): DataFrame =
-    coShinglePairs(df, idCol, textCol, n, maxDocFreq)
+      dfCap: DfCap = DfCap.NoCap): DataFrame =
+    coShinglePairs(df, idCol, textCol, n, dfCap)
       .groupBy("ida", "idb")
       .agg(count(lit(1)).as("c"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))
@@ -224,7 +265,7 @@ object Dedup {
     * posting and verification. */
   private[operators] def prefixNgramJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      maxDocFreq: Option[Int]): DataFrame = {
+      dfCap: DfCap): DataFrame = {
     val post = postingsHashed(df, idCol, textCol, n)
     val sigSet = post.groupBy("_id")
       .agg(sort_array(collect_list(col("_sh"))).as("_set"))
@@ -237,11 +278,9 @@ object Dedup {
       explode(slice(col("_set"), lit(1), plen)).as("_sh"))
     val lists = prefixPost.groupBy("_sh")
       .agg(sort_array(collect_list(col("_p"))).as("_lst"))
-    // Optional stop-shingle cap: a prefix shingle appearing in >
-    // maxDocFreq docs generates O(df²) candidates; real corpora cap df
-    // to bound skew (no-op below the cap — exactness preserved).
-    val capped = maxDocFreq.fold(lists)(m => lists.filter(size(col("_lst")) <= m))
-    val cand = explodePackedPairs(capped)
+    // Optional stop-shingle cap on the PREFIX posting lists (see
+    // DfCap) — bounds O(df²) candidate emission the same way.
+    val cand = explodePackedPairs(applyCap(lists, dfCap))
       // length filter: J ≥ t needs t·max(|a|,|b|) ≤ min(|a|,|b|)
       .filter(col("na") * tDec <= col("nb") && col("nb") * tDec <= col("na"))
       .select("ida", "idb").distinct()

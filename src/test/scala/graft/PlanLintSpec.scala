@@ -31,7 +31,12 @@ class PlanLintSpec extends SparkTestBase {
     "t12_tfidf_keywords",  // corpus doc count N: one row, broadcast
     "a16_constraint_audit", // per-table audit aggregates: one row each
     "a17_corr_matrix",     // 14 exact moments: one row, unpivoted to 6 pairs
-    "t13_token_rarity")    // corpus token total: one row, broadcast
+    "t13_token_rarity",    // corpus token total: one row, broadcast
+    // the density-adaptive df cap (DfCap.AdaptiveAvg): Σdf/#shingles
+    // over the posting lists — one row, broadcast back to the filter
+    "x2b_dedup_jaccard_capped",
+    "t5b_edit_pairs_capped",
+    "x27b_containment_capped")
 
   test("no query plans a cartesian product or an unbounded single-partition stage") {
     val d = "/root/testdata/sf0.001"

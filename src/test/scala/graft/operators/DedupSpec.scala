@@ -105,8 +105,8 @@ class DedupSpec extends SparkTestBase {
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
     Seq(0.3, 0.5, 0.8).foreach { t =>
-      val p = Dedup.prefixNgramJaccardPairs(corpus, "doc_id", "text", 3, t, None)
-      val c = Dedup.countNgramJaccardPairs(corpus, "doc_id", "text", 3, t, None)
+      val p = Dedup.prefixNgramJaccardPairs(corpus, "doc_id", "text", 3, t, Dedup.DfCap.NoCap)
+      val c = Dedup.countNgramJaccardPairs(corpus, "doc_id", "text", 3, t, Dedup.DfCap.NoCap)
       assert(p.exceptAll(c).isEmpty && c.exceptAll(p).isEmpty,
         s"strategies disagree at threshold $t")
     }
