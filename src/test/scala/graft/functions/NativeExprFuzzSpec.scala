@@ -143,6 +143,131 @@ class NativeExprFuzzSpec extends SparkTestBase {
       .head().getInt(0) === 2)
   }
 
+  test("fuzz: WordShingleHashes + WordShingleStrings == HOF forms, " +
+      "400 texts x 4 widths") {
+    import graft.operators.TextAnalysis
+    val tok = Gen.oneOf("", "a", "bb", "the", "café", "x1", "a")
+    val sep = Gen.frequency(5 -> Gen.const(" "), 1 -> Gen.const("  "))
+    val text = for {
+      n <- Gen.choose(0, 9)
+      ts <- Gen.listOfN(n, tok)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+    } yield ts.zipAll(ss, "", "").map { case (t, s) => t + s }.mkString
+    val texts = sample(text, 400)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val bad = texts.toDF("text").select(
+          TextAnalysis.wordShingleHashesNative(col("text"), n).as("nh"),
+          TextAnalysis.wordShingleHashes(col("text"), n).as("rh"),
+          TextAnalysis.wordShinglesNative(col("text"), n).as("ns"),
+          TextAnalysis.wordShingles(col("text"), n).as("rs"),
+          col("text"))
+        .filter(col("nh") =!= col("rh") || col("ns") =!= col("rs"))
+        .collect()
+      assert(bad.isEmpty, s"n=$n: " + bad.take(3).mkString("; "))
+    }
+  }
+
+  test("fuzz: PairExplode == the quadratic reference, 300 arrays") {
+    val arr = for {
+      n <- Gen.choose(0, 12)
+      xs <- Gen.listOfN(n, Gen.oneOf(-3L, 0L, 1L, 7L, Long.MaxValue, 42L))
+    } yield xs
+    val cases = sample(arr, 300)
+    val got = cases.zipWithIndex.map { case (xs, i) => (i.toLong, xs) }
+      .toDF("id", "xs")
+      .select(col("id"), org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.PairExplode(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("xs"))))
+        .as(Seq("a", "b")))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    cases.zipWithIndex.foreach { case (xs, i) =>
+      val want = for {
+        a <- xs.indices; b <- (a + 1) until xs.length
+      } yield (xs(a), xs(b))
+      assert(got.getOrElse(i.toLong, Seq.empty) === want, s"case $i: $xs")
+    }
+  }
+
+  test("fuzz: JaroWinkler == an independent reimplementation, 600 pairs") {
+    // independent formulation: matched-subsequence lists instead of the
+    // native's single-pass flag arrays; same DuckDB-pinned rules
+    // (window, floor(t/2), 0.7 boost gate, <=4 prefix)
+    def jwRef(a: String, b: String): Double = {
+      if (a.isEmpty && b.isEmpty) return 1.0
+      if (a.isEmpty || b.isEmpty) return 0.0
+      val win = math.max(0, math.max(a.length, b.length) / 2 - 1)
+      val taken = Array.fill(b.length)(false)
+      val amatched = new scala.collection.mutable.ArrayBuffer[Char]()
+      for (i <- a.indices) {
+        val j = (math.max(0, i - win) to math.min(b.length - 1, i + win))
+          .find(j => !taken(j) && b(j) == a(i))
+        j.foreach { jj => taken(jj) = true; amatched += a(i) }
+      }
+      val m = amatched.length
+      if (m == 0) return 0.0
+      val bmatched = b.indices.filter(taken).map(b(_))
+      val t = amatched.zip(bmatched).count { case (x, y) => x != y } / 2
+      val jaro = (m.toDouble / a.length + m.toDouble / b.length +
+        (m - t).toDouble / m) / 3.0
+      if (jaro <= 0.7) jaro
+      else {
+        val p = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+        jaro + p * 0.1 * (1.0 - jaro)
+      }
+    }
+    val word = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', 'é')).map(_.mkString))
+    val pair = for { a <- word; b <- word } yield (a, b)
+    val cases = sample(pair, 600)
+    val got = cases.toDF("a", "b")
+      .select(graft.operators.TextAnalysis.jaroWinkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(g === jwRef(a, b), s"jw('$a','$b')")
+    }
+  }
+
+  test("fuzz: QuantizeDecimal6 + ScaledDotProduct == exact BigDecimal " +
+      "arithmetic, 300 vector pairs") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import org.apache.spark.sql.graft.{ColumnShim, QuantizeDecimal6, ScaledDotProduct}
+    val v = Gen.frequency(
+      6 -> Gen.choose(-1.0, 1.0),
+      1 -> Gen.oneOf(0.0, -0.0, 0.0000005, -0.0000015, 0.1 + 0.2,
+        1.0 / 3.0, 123.456789, -999.999999, 2.5e-7))
+    val vecPair = for {
+      d <- Gen.choose(1, 8)
+      xs <- Gen.listOfN(d, v)
+      ys <- Gen.listOfN(d, v)
+    } yield (xs, ys)
+    val cases = sample(vecPair, 300)
+    def q(c: org.apache.spark.sql.Column) =
+      ColumnShim.column(QuantizeDecimal6(ColumnShim.expression(c)))
+    val rows = cases.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+      .select(col("id"), q(col("x")).as("qx"), q(col("y")).as("qy"))
+      .select(col("id"), col("qx"), col("qy"),
+        ColumnShim.column(ScaledDotProduct(
+          ColumnShim.expression(col("qx")),
+          ColumnShim.expression(col("qy")))).as("dot"))
+      .collect()
+    rows.zip(cases).foreach { case (r, (x, y)) =>
+      def ref(d: Double) = JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP)
+      val qx = r.getSeq[Long](1)
+      val qy = r.getSeq[Long](2)
+      x.zipWithIndex.foreach { case (d, i) =>
+        assert(qx(i) === ref(d).movePointRight(6).longValueExact(),
+          s"quantize($d)")
+      }
+      val want = x.zip(y).map { case (a, b) => ref(a).multiply(ref(b)) }
+        .foldLeft(JBD.ZERO.setScale(12))(_.add(_))
+      assert(new JBD(java.math.BigInteger.valueOf(r.getLong(3)), 12)
+        .compareTo(want) === 0, s"dot($x,$y)")
+    }
+  }
+
   test("fuzz: BpeMerge == the oracle-style suffix fold, 500 sequences") {
     // independent formulation: the DuckDB oracle's list_reduce rule —
     // append WITHOUT a separator iff x is the right symbol and the
