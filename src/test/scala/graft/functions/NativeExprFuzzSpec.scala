@@ -229,6 +229,36 @@ class NativeExprFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: CosineSimilarity ~ HOF reference, HyperplaneLshBucket == " +
+      "HOF reference bit-exact, 300 vectors") {
+    import graft.operators.Similarity
+    val f = Gen.frequency(
+      6 -> Gen.choose(-1.0f, 1.0f),
+      1 -> Gen.oneOf(0.0f, -0.0f, 1e-7f, -1e-7f, 0.5f))
+    for (dim <- Seq(4, 8)) {
+      val vecPair = for {
+        xs <- Gen.listOfN(dim, f)
+        ys <- Gen.listOfN(dim, f)
+      } yield (xs.toArray, ys.toArray)
+      val cases = sample(vecPair, 300)
+      val rows = cases.toDF("a", "b").select(
+          Similarity.cosine(col("a"), col("b")).as("nc"),
+          Similarity.cosineHof(col("a"), col("b")).as("rc"),
+          Similarity.lshBucket(col("a"), dim, nPlanes = 12).as("nb"),
+          Similarity.lshBucketHof(col("a"), dim, nPlanes = 12).as("rb"))
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val (nc, rc) = (r.getDouble(0), r.getDouble(1))
+        // zero-norm vectors make both forms NaN — equal by convention
+        assert((nc.isNaN && rc.isNaN) || math.abs(nc - rc) < 1e-6,
+          s"dim=$dim case $i cosine: native=$nc hof=$rc (${cases(i)})")
+        // the bucket is discrete: identical fold order ⇒ bit equality
+        assert(r.getLong(2) === r.getLong(3),
+          s"dim=$dim case $i bucket: ${cases(i)._1.toSeq}")
+      }
+    }
+  }
+
   test("fuzz: QuantizeDecimal6 + ScaledDotProduct == exact BigDecimal " +
       "arithmetic, 300 vector pairs") {
     import java.math.{BigDecimal => JBD, RoundingMode}
