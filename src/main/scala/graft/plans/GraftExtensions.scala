@@ -62,6 +62,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.graft.WordShingleHashes(children(0),
           foldableInt("word_shingle_hashes", "n", children(1)))
       }))
+    // lang_id(text) / lang_id_ngram(text): the native one-pass
+    // profile-argmax language ID (word-stopword and char-n-gram
+    // profile sets). NULL text yields NULL here — the Column wrapper
+    // (TextAnalysis.langIdNative) coalesces to 'und'; SQL callers can
+    // COALESCE the same way.
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.LangProfileId].getName, "lang_id"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("lang_id", children, 1)
+        org.apache.spark.sql.graft.LangProfileId(children(0),
+          graft.operators.TextAnalysis.LangProfiles, pad = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id_ngram"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.LangProfileId].getName, "lang_id_ngram"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("lang_id_ngram", children, 1)
+        org.apache.spark.sql.graft.LangProfileId(children(0),
+          graft.operators.TextAnalysis.CharNgramProfiles, pad = false)
+      }))
+    // lang_score(text, 'en'): one language's stopword hit count
+    // (exact BIGINT); the language code must be a foldable literal
+    ext.injectFunction((
+      FunctionIdentifier("lang_score"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.MultiPatternHitCount].getName, "lang_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("lang_score", children, 2)
+        val lang = foldableString("lang_score", "lang", children(1))
+        val known = graft.operators.TextAnalysis.LangProfiles.map(_._1)
+        val patterns = graft.operators.TextAnalysis.LangProfiles.toMap
+          .getOrElse(lang, throw new AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`lang_score`",
+              "paramName" -> (s"`lang` (unknown language '$lang'; " +
+                known.mkString("expected one of ", ", ", ")")),
+              "paramType" -> "\"STRING\"")))
+        org.apache.spark.sql.graft.MultiPatternHitCount(children(0),
+          patterns, pad = true)
+      }))
     // Opt-in top-1-window → min_by rewrite (see RewriteTop1Window;
     // inert unless spark.graft.rewriteTop1Window=true).
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.RewriteTop1Window)
@@ -121,6 +162,19 @@ object GraftExtensions {
             "funcName" -> s"`$fn`",
             "paramName" -> s"`$param` (got ${other.getClass.getSimpleName})",
             "paramType" -> "\"INT\""))
+    }
+
+  private def foldableString(fn: String, param: String,
+      e: Expression): String =
+    foldableValue(fn, param, "\"STRING\"", e) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other =>
+        throw new AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> s"`$fn`",
+            "paramName" -> s"`$param` (got ${other.getClass.getSimpleName})",
+            "paramType" -> "\"STRING\""))
     }
 
   private def foldableBoolean(fn: String, param: String,

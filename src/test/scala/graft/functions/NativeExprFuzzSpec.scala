@@ -115,6 +115,31 @@ class NativeExprFuzzSpec extends SparkTestBase {
     assert(rows.isEmpty, rows.take(5).map(_.toString).mkString("; "))
   }
 
+  test("lang_id/lang_id_ngram/lang_score are registered as SQL functions") {
+    import org.apache.spark.sql.AnalysisException
+    val row = spark.sql(
+      """SELECT lang_id('the cat and the dog of a house'),
+        |       lang_id('qqq zzz'),
+        |       lang_id_ngram('the thing he thought was thin'),
+        |       lang_score('the cat and the dog', 'en')""".stripMargin).head()
+    assert(row.getString(0) === "en")
+    assert(row.getString(1) === "und")
+    assert(row.getString(2) === "en")
+    assert(row.getLong(3) === 3L) // the, and, the
+    // unknown language code is an analysis error, not a runtime one
+    val bad = intercept[AnalysisException] {
+      spark.sql("SELECT lang_score('x', 'xx')").collect()
+    }
+    assert(bad.getCondition === "NON_FOLDABLE_ARGUMENT")
+    // and the SQL form evaluates the same expression the Column wraps
+    val viaCol = Seq("le chat et la maison et les toits").toDF("t")
+      .select(graft.operators.TextAnalysis.langIdNative(col("t")))
+      .as[String].head()
+    assert(spark.sql(
+      "SELECT lang_id('le chat et la maison et les toits')")
+      .head().getString(0) === viaCol)
+  }
+
   test("SQL builders reject bad literal params as AnalysisException") {
     import org.apache.spark.sql.AnalysisException
     // column-valued width: must be an analysis error, not an eval crash
