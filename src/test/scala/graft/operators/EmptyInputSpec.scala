@@ -69,6 +69,30 @@ class EmptyInputSpec extends SparkTestBase {
       c.schema("c").dataType === org.apache.spark.sql.types.StringType)
   }
 
+  test("adaptive-cap dedup, langID natives, audio decode on empty input") {
+    // DfCap.AdaptiveAvg: the cap aggregate over zero posting lists
+    // yields a NULL cap; the <= filter then keeps nothing and the
+    // pipeline composes through to an empty typed result, no crash
+    assert(Dedup.ngramJaccardPairsPpm(noDocs, "doc_id", "text", 3, 500000L,
+      dfCap = Dedup.DfCap.AdaptiveAvg(2)).count() === 0)
+    assert(Dedup.containmentPairs(noDocs, "doc_id", "text", 3, 90,
+      dfCap = Dedup.DfCap.AdaptiveAvg(4)).count() === 0)
+    // langID natives: empty input → empty typed columns
+    val lid = noDocs.select(
+      TextAnalysis.langIdNative(col("text")).as("l"),
+      TextAnalysis.langScoreNative(col("text"), "en").as("s"),
+      TextAnalysis.wordCount(col("text")).as("n"))
+    assert(lid.count() === 0)
+    assert(lid.schema("l").dataType === org.apache.spark.sql.types.StringType)
+    assert(lid.schema("s").dataType === org.apache.spark.sql.types.LongType)
+    // audio decode boundary on an empty (id, binary) frame
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "content")
+    assert(Multimodal.decodeAudio(noMedia, "doc_id", "content").count() === 0)
+    assert(Multimodal.decodeImages(noMedia, "doc_id", "content").count() === 0)
+    assert(Multimodal.decodeVideoFrames(noMedia, "doc_id", "content")
+      .count() === 0)
+  }
+
   test("top-per-key and sessionization on empty input") {
     val noLi = Seq.empty[(Long, Int, Double)]
       .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
