@@ -61,6 +61,20 @@ class LangIdSpec extends SparkTestBase {
     assertParity(docs)
   }
 
+  test("stays inside WholeStageCodegen over a parquet scan") {
+    // the map stage must fuse into codegen (an interpreted fallback
+    // would silently resurrect the per-row overhead the native killed)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs.select(
+        TextAnalysis.langIdNative(col("text")),
+        TextAnalysis.langScoreNative(col("text"), "en"),
+        TextAnalysis.wordCount(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("lang_profile_id"), plan)
+    assert(plan.contains("multi_pattern_hit_count"), plan)
+  }
+
   test("null text: langId coalesces to 'und' like the when-chain") {
     val out = Seq(Option.empty[String]).toDF("text")
       .select(TextAnalysis.langIdNative(col("text")),
