@@ -49,10 +49,26 @@ object Dedup {
   }
 
   /** Apply a [[DfCap]] to per-shingle posting lists (`_lst`). The
-    * adaptive cap is one tiny aggregate broadcast-joined back — the
-    * lists subtree feeds both sides, so the exchange is reuse-eligible
-    * and at scale this is one extra reduce over data already
-    * shuffled. */
+    * adaptive cap is one tiny 1-row aggregate broadcast-joined back
+    * (integer math, oracle-restatable).
+    *
+    * MEASURED TRADE (round 10, both shapes at the mutated 125×
+    * replica): filtering the BUILT lists is the right shape here. The
+    * alternative — a df pre-filter join dropping over-cap postings
+    * before `collect_list` — reads as better hygiene (aggregate state
+    * bounded by the cap instead of the raw df) but costs a full
+    * extra sort-merge join of the postings to drop the ~2% of
+    * shingles the cap rejects: x2b 22.0 s → 42.5 s at 125×, +0.5-1 s
+    * per query at sf0.1, with NO observed memory win (x27b variance
+    * unchanged — it is volume/GC, not per-key state). The list
+    * filter's real state bound is also smaller than it looks:
+    * `collect_list` runs as ObjectHashAggregate with sort-based
+    * fallback, where only ONE key's list is materialized at a time —
+    * the hazard is a SINGLE shingle with df ~10⁸ (≈ GB-scale list),
+    * i.e. pathological boilerplate on a web corpus. A deployment
+    * facing that ships a size-capped collect aggregator (state
+    * bounded at cap+1, no extra join) — the documented knob if a
+    * profile ever shows one; do NOT resurrect the pre-filter join. */
   private def applyCap(lists: DataFrame, cap: DfCap): DataFrame = cap match {
     case DfCap.NoCap => lists
     case DfCap.Fixed(m) => lists.filter(size(col("_lst")) <= m)
