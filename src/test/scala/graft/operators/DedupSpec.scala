@@ -32,6 +32,30 @@ class DedupSpec extends SparkTestBase {
     // tiny doc (<3 words) produces no shingles and no pairs: verified by absence
   }
 
+  test("DfCap.AdaptiveAvg equals DfCap.Fixed at the computed cap value " +
+      "on the sf0.001 corpus") {
+    // the adaptive rule is mult × ⌊Σdf/#distinct shingles⌋ over the
+    // hashed posting lists — recompute it independently, then assert
+    // the adaptive path emits exactly the fixed-cap pair set
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dfs = corpus.select(col("doc_id"),
+        explode(TextAnalysis.wordShingleHashesNative(col("text"), 3)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(sum("df").cast("long").as("s"), count(lit(1)).as("c")).head()
+    val cap = (2L * dfs.getLong(0) / dfs.getLong(1)).toInt
+    assert(cap >= 1, s"degenerate fixture: cap=$cap")
+    def pairSet(dc: Dedup.DfCap) =
+      Dedup.ngramJaccardPairsPpm(corpus, "doc_id", "text", 3, 500000L, dc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val adaptive = pairSet(Dedup.DfCap.AdaptiveAvg(2))
+    assert(adaptive === pairSet(Dedup.DfCap.Fixed(cap)))
+    assert(adaptive.nonEmpty, "capped pair set must be non-trivial here")
+    // and the cap actually bites: uncapped differs
+    assert(adaptive !== pairSet(Dedup.DfCap.NoCap))
+  }
+
   test("minhashLshPairs reproduces the exact jaccard pair set at its design threshold") {
     // long docs, one-word edit → jaccard ≈ 0.85: inside LSH's (32×4) recall zone
     val words = (0 until 40).map(i => s"w$i")
