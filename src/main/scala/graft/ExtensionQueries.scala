@@ -116,6 +116,21 @@ object ExtensionQueries {
         n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveAvg(2))
       .orderBy("ida", "idb")
 
+  /** x2b's adaptive capped listing through the BOUNDED-STATE collector
+    * ([[Dedup.DfCap.AdaptiveBounded]]): the density cap comes from a
+    * count-only first pass (O(1) state per key) and the posting lists
+    * are collected by `CappedCollectAgg`, so no key ever materializes
+    * more than cap+1 entries of aggregation state — the deployment
+    * shape for corpora whose df head is pathological (a single
+    * boilerplate shingle at df ~10⁸ costs the plain shape a GB-scale
+    * transient list). Row set is IDENTICAL to x2b's by construction
+    * (same integer cap rule, same kept set — CappedCollectSpec pins
+    * list-level equality), so the oracle is x2b's SQL verbatim. */
+  def x2cJaccardBoundedState(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairsPpm(Tables.documents(s, d), "doc_id", "text",
+        n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveBounded(2))
+      .orderBy("ida", "idb")
+
   /** MinHash(128)+LSH(32 bands × 4 rows) with exact verification. The
     * oracle is the exact-Jaccard pair set: precision is exact (each
     * candidate is re-verified), and at threshold 0.8 banding recall is
@@ -2606,6 +2621,12 @@ object ExtensionQueries {
       .replace("%THRESHPPM%", "500000")
       .replace("%CAP%", "(SELECT 2*SUM(df)//COUNT(*) FROM df)"),
 
+    // x2c: bounded-state collection of the SAME adaptive capped set —
+    // semantics identical to x2b by construction, oracle verbatim
+    "x2c_jaccard_bounded_state" -> jaccardPairsCappedSql
+      .replace("%THRESHPPM%", "500000")
+      .replace("%CAP%", "(SELECT 2*SUM(df)//COUNT(*) FROM df)"),
+
     // t5b: the capped candidate CTE (integer-ppm gate) feeding the
     // same exact levenshtein verify as t5
     "t5b_edit_pairs_capped" ->
@@ -3663,6 +3684,7 @@ object ExtensionQueries {
     "x1_dedup_exact"         -> (x1DedupExact _),
     "x2_dedup_ngram_jaccard" -> (x2NgramJaccard _),
     "x2b_dedup_jaccard_capped" -> (x2bNgramJaccardCapped _),
+    "x2c_jaccard_bounded_state" -> (x2cJaccardBoundedState _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),

@@ -46,6 +46,27 @@ object Dedup {
     case object NoCap extends DfCap
     final case class Fixed(maxDf: Int) extends DfCap
     final case class AdaptiveAvg(mult: Int = 2) extends DfCap
+
+    /** [[Fixed]] with BOUNDED aggregation state: the posting list is
+      * collected through [[graft.functions.CappedCollectAgg]], which
+      * stops retaining values the moment a key passes the cap, so the
+      * hottest shingle costs `cap + 1` longs of state instead of df
+      * longs. Same kept set as [[Fixed]] (CappedCollectSpec pins it);
+      * the knob for corpora whose df distribution has a pathological
+      * head — see the measured trade at [[applyCap]]. */
+    final case class FixedBounded(maxDf: Int) extends DfCap
+
+    /** [[AdaptiveAvg]]'s density-relative rule with [[FixedBounded]]'s
+      * state bound: a count-only first pass over the postings computes
+      * the identical integer cap (`mult × ⌊Σdf / #distinct shingles⌋`
+      * — per-shingle COUNTs, O(1) state per key, no list ever built),
+      * a 1-row driver action reads it, and the bounded collector runs
+      * at that cap. Costs one extra aggregation of the postings (the
+      * shingling recomputes — same class as Packing's offset collect),
+      * buys a hard per-key state bound at EVERY stage; produces
+      * [[AdaptiveAvg]]'s exact row set, so x2b's oracle restates it
+      * verbatim (x2c). */
+    final case class AdaptiveBounded(mult: Int = 2) extends DfCap
   }
 
   /** Apply a [[DfCap]] to per-shingle posting lists (`_lst`). The
@@ -65,10 +86,11 @@ object Dedup {
     * `collect_list` runs as ObjectHashAggregate with sort-based
     * fallback, where only ONE key's list is materialized at a time —
     * the hazard is a SINGLE shingle with df ~10⁸ (≈ GB-scale list),
-    * i.e. pathological boilerplate on a web corpus. A deployment
-    * facing that ships a size-capped collect aggregator (state
-    * bounded at cap+1, no extra join) — the documented knob if a
-    * profile ever shows one; do NOT resurrect the pre-filter join. */
+    * i.e. pathological boilerplate on a web corpus. The knob for that
+    * profile is [[DfCap.FixedBounded]]/[[DfCap.AdaptiveBounded]]: the
+    * size-capped collect aggregator (state bounded at cap+1, no extra
+    * join — [[graft.functions.CappedCollectAgg]], same row set, x2c's
+    * oracle row); do NOT resurrect the pre-filter join. */
   private def applyCap(lists: DataFrame, cap: DfCap): DataFrame = cap match {
     case DfCap.NoCap => lists
     case DfCap.Fixed(m) => lists.filter(size(col("_lst")) <= m)
@@ -78,7 +100,37 @@ object Dedup {
       lists.crossJoin(broadcast(capRow))
         .filter(size(col("_lst")) <= col("_cap"))
         .drop("_cap")
+    case bounded => // FixedBounded / AdaptiveBounded never reach here
+      throw new IllegalArgumentException(
+        s"$bounded caps at collection time — route through cappedLists")
   }
+
+  /** Build the per-shingle posting lists `(_sh, _lst)` from postings,
+    * applying the [[DfCap]] at the cheapest sound point: the filtered
+    * forms build full lists then drop the long ones (one pass, the
+    * measured default — see [[applyCap]]); the BOUNDED forms collect
+    * through [[graft.functions.CappedCollectAgg]] so no key's state
+    * ever exceeds cap+1 values (over-cap keys finish as the empty
+    * list, which the downstream `size ≥ 2` pair filter drops exactly
+    * like the filtered form dropped them). [[DfCap.AdaptiveBounded]]
+    * first computes the density cap from per-shingle COUNTs — O(1)
+    * state per key — via one eager 1-row action. */
+  private def cappedLists(post: DataFrame, entry: Column, cap: DfCap): DataFrame =
+    cap match {
+      case DfCap.FixedBounded(m) =>
+        post.groupBy("_sh")
+          .agg(graft.functions.CappedCollectAgg.cappedSortedList(m)(entry)
+            .as("_lst"))
+      case DfCap.AdaptiveBounded(mult) =>
+        val row = post.groupBy("_sh").agg(count(lit(1)).as("_df"))
+          .agg(expr(s"$mult * sum(_df) div count(*)")).head()
+        val m = if (row.isNullAt(0)) 0L else row.getLong(0) // empty corpus
+        cappedLists(post, entry, DfCap.FixedBounded(m.toInt))
+      case filtered =>
+        applyCap(
+          post.groupBy("_sh").agg(sort_array(collect_list(entry)).as("_lst")),
+          filtered)
+    }
 
   /** Fan out a narrow source to cluster parallelism: a small parquet
     * file scans as one task (row-group granularity), which would run
@@ -151,12 +203,10 @@ object Dedup {
   private def coShinglePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, dfCap: DfCap): DataFrame = {
     val post = postingsHashed(df, idCol, textCol, n)
-    val lists = post.groupBy("_sh")
-      .agg(sort_array(collect_list(packedEntry)).as("_lst"))
     // Optional stop-shingle cap (see DfCap): a shingle appearing in
     // more than cap docs generates O(df²) pairs; real corpora cap df
     // to bound skew (no-op below the cap — exactness preserved).
-    explodePackedPairs(applyCap(lists, dfCap))
+    explodePackedPairs(cappedLists(post, packedEntry, dfCap))
   }
 
   // timing-dissection entry points (TimeOne x2post / x2pairs)
@@ -292,11 +342,9 @@ object Dedup {
       1).cast("int")
     val prefixPost = sized.select(packedEntry.as("_p"),
       explode(slice(col("_set"), lit(1), plen)).as("_sh"))
-    val lists = prefixPost.groupBy("_sh")
-      .agg(sort_array(collect_list(col("_p"))).as("_lst"))
     // Optional stop-shingle cap on the PREFIX posting lists (see
     // DfCap) — bounds O(df²) candidate emission the same way.
-    val cand = explodePackedPairs(applyCap(lists, dfCap))
+    val cand = explodePackedPairs(cappedLists(prefixPost, col("_p"), dfCap))
       // length filter: J ≥ t needs t·max(|a|,|b|) ≤ min(|a|,|b|)
       .filter(col("na") * tDec <= col("nb") && col("nb") * tDec <= col("na"))
       .select("ida", "idb").distinct()
