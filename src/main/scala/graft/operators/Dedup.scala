@@ -90,7 +90,11 @@ object Dedup {
     * profile is [[DfCap.FixedBounded]]/[[DfCap.AdaptiveBounded]]: the
     * size-capped collect aggregator (state bounded at cap+1, no extra
     * join — [[graft.functions.CappedCollectAgg]], same row set, x2c's
-    * oracle row); do NOT resurrect the pre-filter join. */
+    * oracle row). MEASURED: +0.5 s at sf0.1 (count pre-pass + typed
+    * UDAF vs codegen'd collect_list) but 1.3× FASTER at the 125×m
+    * replica (24.2 → 18.8 s — never building an over-cap list beats
+    * codegen once list mass is real), so prefer AdaptiveBounded at
+    * real corpus scale; do NOT resurrect the pre-filter join. */
   private def applyCap(lists: DataFrame, cap: DfCap): DataFrame = cap match {
     case DfCap.NoCap => lists
     case DfCap.Fixed(m) => lists.filter(size(col("_lst")) <= m)
