@@ -131,6 +131,34 @@ object ExtensionQueries {
         n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveBounded(2))
       .orderBy("ida", "idb")
 
+  /** X32 — INCREMENTAL near-dup: the daily-ingest recurrence. The
+    * corpus is `documents`; the increment batch is a deterministic
+    * 90%-prefix re-crawl of every ninth document (id +5,000,000 — the
+    * re-crawled page whose tail changed, Jaccard ≈ 0.9 against its
+    * source). [[Dedup.incrementalJaccardPairsPpm]] emits every capped
+    * Jaccard≥0.5 pair TOUCHING the increment without ever generating a
+    * corpus×corpus pair — the only affordable recurrence at corpus
+    * scale (Σ df_new·df_total, linear in the batch, vs the full Σ df²)
+    * — under the same density-adaptive cap and exact-integer ppm
+    * scoring as x2b, stated over the union corpus so the oracle
+    * restates cap and scores verbatim. Increment ids sit above the
+    * whole corpus id domain, so "≥1 new side" is exactly
+    * `idb ≥ 5,000,000` in the oracle's ordered pairs. The identity
+    * against the full-recompute listing is pinned by
+    * IncrementalNearDupSpec. */
+  def x32IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    Dedup.incrementalJaccardPairsPpm(docs, increment, "doc_id", "text",
+        n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveAvg(2))
+      .orderBy("ida", "idb")
+  }
+
   /** MinHash(128)+LSH(32 bands × 4 rows) with exact verification. The
     * oracle is the exact-Jaccard pair set: precision is exact (each
     * candidate is re-verified), and at threshold 0.8 banding recall is
@@ -1546,7 +1574,25 @@ object ExtensionQueries {
     * evidence — hence the larger multiplier (4× average df; at sf0.01
     * that computes to 6, keeping the planted-snippet recall the fixed
     * cap=5 had, while 2× would halve it). */
-  def x27bContainmentCapped(s: SparkSession, d: String): DataFrame = {
+  def x27bContainmentCapped(s: SparkSession, d: String): DataFrame =
+    x27CappedCore(s, d, Dedup.DfCap.AdaptiveAvg(4))
+
+  /** x27b's adaptive capped containment listing through the
+    * BOUNDED-STATE collector — the containment twin of
+    * [[x2cJaccardBoundedState]], and the shape x27b's 125× replica
+    * profile asked for: its super-linear segment there was GC pressure
+    * from materializing heavy posting lists (PERF.md «mutated 125×
+    * sweep»), which `CappedCollectAgg` never builds (cap+1 longs of
+    * state per key, density cap from a count-only first pass).
+    * Containment runs the wider 4× cap, so the lists the bound skips
+    * are 2× heavier than x2c's. Row set identical to x27b by
+    * construction (same integer cap rule — CappedCollectSpec pins the
+    * containment path too), so the oracle is x27b's SQL verbatim. */
+  def x27cContainmentBoundedState(s: SparkSession, d: String): DataFrame =
+    x27CappedCore(s, d, Dedup.DfCap.AdaptiveBounded(4))
+
+  private def x27CappedCore(s: SparkSession, d: String,
+      cap: Dedup.DfCap): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
@@ -1555,7 +1601,7 @@ object ExtensionQueries {
       .select((col("doc_id") + 3000000L).as("doc_id"),
         array_join(slice(ws, lit(1), kWords), " ").as("text"))
     Dedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text",
-        n = 3, thresholdPct = 90, dfCap = Dedup.DfCap.AdaptiveAvg(4))
+        n = 3, thresholdPct = 90, dfCap = cap)
       .orderBy("id_sub", "id_super")
   }
 
@@ -2468,6 +2514,47 @@ object ExtensionQueries {
   private val jaccardPairsCappedSql =
     jaccardPairsCappedCte + "\nORDER BY ida, idb"
 
+  // x27's corpus/shingle CTEs with the density-adaptive df-cap
+  // (4× average df — containment needs the wider cap, see the query
+  // doc) applied before pairing, mirroring
+  // Dedup.coShinglePairs(DfCap.AdaptiveAvg(4)). Shared verbatim by
+  // x27b (list-filter cap) and x27c (bounded-state collector) — the
+  // two shapes compute the identical row set by construction.
+  private val containmentCappedSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    array_to_string(
+      |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*2+4)//5 AS INT)],
+      |      ' ') AS text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |words AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM corpus)),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  JOIN df ON df.shingle = a.shingle
+      |  WHERE df.df <= (SELECT 4*SUM(df)//COUNT(*) FROM df)
+      |  GROUP BY 1,2),
+      |dir AS (
+      |  SELECT ida AS id_sub, idb AS id_super, c, sa.n AS nsub
+      |  FROM inter JOIN sizes sa ON sa.doc_id = ida
+      |  UNION ALL
+      |  SELECT idb, ida, c, sb.n FROM inter JOIN sizes sb ON sb.doc_id = idb)
+      |SELECT id_sub, id_super, CAST(c * 1000000 // nsub AS BIGINT) AS cont_ppm
+      |FROM dir WHERE c * 100 >= 90 * nsub
+      |ORDER BY id_sub, id_super""".stripMargin
+
   private val langScoreSql = {
     def hits(w: String) =
       s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
@@ -2627,6 +2714,44 @@ object ExtensionQueries {
       .replace("%THRESHPPM%", "500000")
       .replace("%CAP%", "(SELECT 2*SUM(df)//COUNT(*) FROM df)"),
 
+    // x32: the full capped pair listing over corpus ∪ increment,
+    // restricted to pairs touching the increment — increment ids are
+    // the top of the id domain, so "≥1 new side" ⇔ the LARGER pair id
+    // is new (idb ≥ 5,000,000). Same cap rule and ppm arithmetic as
+    // x2b, stated over the union corpus.
+    "x32_incremental_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 4),
+        |words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM corpus)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  JOIN df ON df.shingle = a.shingle
+        |  WHERE df.df <= (SELECT 2*SUM(df)//COUNT(*) FROM df)
+        |    AND b.doc_id >= 5000000
+        |  GROUP BY 1,2)
+        |SELECT ida, idb, (c*1000000)//(sa.n+sb.n-c) AS jaccard_ppm
+        |FROM inter JOIN sizes sa ON sa.doc_id=ida
+        |           JOIN sizes sb ON sb.doc_id=idb
+        |WHERE c*1000000 >= 500000*(sa.n+sb.n-c)
+        |ORDER BY ida, idb""".stripMargin,
+
     // t5b: the capped candidate CTE (integer-ppm gate) feeding the
     // same exact levenshtein verify as t5
     "t5b_edit_pairs_capped" ->
@@ -2644,40 +2769,11 @@ object ExtensionQueries {
     // (4× average df — containment needs the wider cap, see the query
     // doc) applied before pairing, mirroring
     // Dedup.coShinglePairs(DfCap.AdaptiveAvg(4))
-    "x27b_containment_capped" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id,
-        |    array_to_string(
-        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*2+4)//5 AS INT)],
-        |      ' ') AS text
-        |  FROM documents WHERE doc_id % 20 = 0),
-        |words AS (
-        |  SELECT doc_id, w, i FROM (
-        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
-        |           generate_subscripts(string_split(text,' '),1) AS i
-        |    FROM corpus)),
-        |sh AS (
-        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
-        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
-        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
-        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
-        |  JOIN df ON df.shingle = a.shingle
-        |  WHERE df.df <= (SELECT 4*SUM(df)//COUNT(*) FROM df)
-        |  GROUP BY 1,2),
-        |dir AS (
-        |  SELECT ida AS id_sub, idb AS id_super, c, sa.n AS nsub
-        |  FROM inter JOIN sizes sa ON sa.doc_id = ida
-        |  UNION ALL
-        |  SELECT idb, ida, c, sb.n FROM inter JOIN sizes sb ON sb.doc_id = idb)
-        |SELECT id_sub, id_super, CAST(c * 1000000 // nsub AS BIGINT) AS cont_ppm
-        |FROM dir WHERE c * 100 >= 90 * nsub
-        |ORDER BY id_sub, id_super""".stripMargin,
+    "x27b_containment_capped" -> containmentCappedSql,
+
+    // x27c: bounded-state collection of the SAME adaptive capped set —
+    // semantics identical to x27b by construction, oracle verbatim
+    "x27c_containment_bounded" -> containmentCappedSql,
 
     // x27: exact containment over the snippet-augmented corpus; same
     // word/shingle CTE shape as the Jaccard oracle but with corpus =
@@ -3685,6 +3781,7 @@ object ExtensionQueries {
     "x2_dedup_ngram_jaccard" -> (x2NgramJaccard _),
     "x2b_dedup_jaccard_capped" -> (x2bNgramJaccardCapped _),
     "x2c_jaccard_bounded_state" -> (x2cJaccardBoundedState _),
+    "x32_incremental_neardup" -> (x32IncrementalNearDup _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
@@ -3729,6 +3826,7 @@ object ExtensionQueries {
     "x26_url_canonical"      -> (x26UrlCanonical _),
     "x27_containment_pairs"  -> (x27ContainmentPairs _),
     "x27b_containment_capped" -> (x27bContainmentCapped _),
+    "x27c_containment_bounded" -> (x27cContainmentBoundedState _),
     "t13_token_rarity"       -> (t13TokenRarity _),
     "t14_bigram_lm"          -> (t14BigramLm _),
     "x28_domain_budget"      -> (x28DomainBudget _),

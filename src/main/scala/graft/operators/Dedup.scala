@@ -311,6 +311,80 @@ object Dedup {
       .select(col("ida"), col("idb"),
         expr("c * 1000000 div (na + nb - c)").as("jaccard_ppm"))
 
+  /** INCREMENTAL near-dup — the daily-ingest form of
+    * [[ngramJaccardPairsPpm]]: all Jaccard≥t pairs touching the new
+    * INCREMENT batch (increment×corpus and increment×increment), with
+    * corpus-internal pairs NEVER generated. At 100 TB this is the only
+    * affordable recurrence: the full pair stage costs Σ df² over the
+    * whole corpus, while the incremental stage costs
+    * Σ df_new·(df_old + df_new) — linear in the increment for a fixed
+    * corpus density — and the corpus side of the per-shingle posting
+    * lists (`_lsto` below) is exactly the artifact a deployment would
+    * persist once as the incremental index and append to per batch.
+    *
+    * Mechanics: one union posting shuffle keyed on the shingle hash,
+    * each shingle's postings split into a new-side and an old-side
+    * packed list in the same aggregate; new×new pairs come from the
+    * usual [[explodePackedPairs]] generator, new×old pairs from a
+    * two-level explode oriented by packed value (id is the high bits,
+    * and corpus/increment id domains are disjoint, so least/greatest
+    * orders by id exactly like the sorted-list generator). The df cap
+    * is stated on TOTAL per-shingle df (old+new) — same density rule
+    * and same integer arithmetic as [[DfCap.AdaptiveAvg]], so a DuckDB
+    * oracle restates it over the union corpus verbatim. Results equal
+    * the full-corpus pair listing restricted to pairs with ≥1
+    * increment side (IncrementalNearDupSpec pins this identity).
+    * Scoring/gating is the exact-integer ppm form throughout. */
+  def incrementalJaccardPairsPpm(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      thresholdPpm: Long = 500000L,
+      dfCap: DfCap = DfCap.NoCap): DataFrame = {
+    val post = postingsHashed(corpus, idCol, textCol, n)
+      .withColumn("_new", lit(false))
+      .unionByName(postingsHashed(increment, idCol, textCol, n)
+        .withColumn("_new", lit(true)))
+    // collect_list skips the nulls the `when` leaves on the other side
+    val lists0 = post.groupBy("_sh").agg(
+      sort_array(collect_list(when(col("_new"), packedEntry))).as("_lstn"),
+      sort_array(collect_list(when(!col("_new"), packedEntry))).as("_lsto"))
+    val totalDf = size(col("_lstn")) + size(col("_lsto"))
+    val lists = dfCap match {
+      case DfCap.NoCap => lists0
+      case DfCap.Fixed(m) => lists0.filter(totalDf <= m)
+      case DfCap.AdaptiveAvg(mult) =>
+        val capRow = lists0.agg(expr(
+          s"$mult * sum(size(_lstn) + size(_lsto)) div count(*)").as("_cap"))
+        lists0.crossJoin(broadcast(capRow))
+          .filter(totalDf <= col("_cap")).drop("_cap")
+      case bounded => throw new IllegalArgumentException(
+        s"$bounded: bounded collection is not wired for the split-list " +
+          "incremental shape; cap with Fixed/AdaptiveAvg")
+    }
+    // Only shingles the increment touches can produce pairs; the
+    // only-old tail (the vast majority at real corpus:increment
+    // ratios) drops here, before any pair generation.
+    val active = lists.filter(size(col("_lstn")) >= 1)
+    val newNew = explodePackedPairs(active.select(col("_lstn").as("_lst")))
+    val sizeMask = (1L << SizeBits) - 1
+    val newOld = active.filter(size(col("_lsto")) >= 1)
+      .select(explode(col("_lstn")).as("_a"), col("_lsto"))
+      .select(col("_a"), explode(col("_lsto")).as("_b"))
+      .select(least(col("_a"), col("_b")).as("_pa"),
+        greatest(col("_a"), col("_b")).as("_pb"))
+      .select(shiftright(col("_pa"), SizeBits).as("ida"),
+        col("_pa").bitwiseAND(lit(sizeMask)).as("na"),
+        shiftright(col("_pb"), SizeBits).as("idb"),
+        col("_pb").bitwiseAND(lit(sizeMask)).as("nb"))
+    newNew.unionByName(newOld)
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("c"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("c") * lit(1000000L) >=
+        lit(thresholdPpm) * (col("na") + col("nb") - col("c")))
+      .select(col("ida"), col("idb"),
+        expr("c * 1000000 div (na + nb - c)").as("jaccard_ppm"))
+  }
+
   /** Prefix-filtered exact pairs: AllPairs-style candidate pruning,
     * then set-intersection verification.
     *

@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkTestBase {
     // over the posting lists — one row, broadcast back to the filter
     "x2b_dedup_jaccard_capped",
     "t5b_edit_pairs_capped",
-    "x27b_containment_capped")
+    "x27b_containment_capped",
+    "x32_incremental_neardup")
 
   test("no query plans a cartesian product or an unbounded single-partition stage") {
     val d = "/root/testdata/sf0.001"

@@ -62,6 +62,16 @@ class CappedCollectSpec extends SparkTestBase {
     assert(bounded !== pairSet(Dedup.DfCap.NoCap), "cap must bite")
   }
 
+  test("x27c (AdaptiveBounded) emits exactly x27b's (AdaptiveAvg) rows " +
+      "on the sf0.001 snippet corpus — the containment path, wider 4x cap") {
+    def rowSet(name: String) =
+      graft.ExtensionQueries.queries(name)(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bounded = rowSet("x27c_containment_bounded")
+    assert(bounded === rowSet("x27b_containment_capped"))
+    assert(bounded.nonEmpty, "capped containment set must be non-trivial")
+  }
+
   test("bounded caps on empty input: empty result, no crash") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairsPpm(noDocs, "doc_id", "text", 3, 500000L,
