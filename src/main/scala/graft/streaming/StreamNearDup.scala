@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.nio.file.{Files, Paths}
+
+/** One streamed document. Top-level on purpose: nested case classes
+  * break the codegen'd encoder serializer (see CLAUDE.md). */
+case class NdDoc(doc_id: Long, text: String)
+
+/** Streaming near-dup — the live-ingest form of the incremental
+  * near-dup recurrence ([[Dedup.incrementalJaccardPairsPpm]], x32):
+  * each micro-batch is paired against everything that arrived before
+  * it, then appended to the durable corpus. Because the incremental
+  * listing emits exactly the pairs touching the batch (batch×corpus +
+  * batch-internal), across the stream EVERY near-dup pair of the full
+  * corpus is emitted EXACTLY ONCE — when its later side arrives — and
+  * the union of the per-batch outputs equals the batch recompute over
+  * all documents ever streamed (StreamNearDupSpec pins this identity
+  * across triggers, plus replay idempotence).
+  *
+  * Durability follows [[StreamUpsert]]'s transactional-commit playbook
+  * with one scale-critical difference: the corpus is APPEND-ONLY
+  * (per-batch `b=<batchId>` dirs), never rewritten — per-trigger cost
+  * is the incremental pair stage plus an O(batch) write, independent
+  * of accumulated corpus size on the write side. Crash safety on
+  * foreachBatch's at-least-once contract:
+  *  - pairs are written BEFORE the corpus append, so a replayed batch
+  *    whose corpus dir is already committed (`_SUCCESS` present) is a
+  *    pure no-op — its pairs are necessarily complete;
+  *  - a crash before the corpus commit replays the batch against the
+  *    unchanged corpus view and OVERWRITES the (deterministic) pairs
+  *    dir, clearing any torn write.
+  * Readers ([[allPairs]]/[[corpusView]]) only see committed dirs, so
+  * torn output is never observable.
+  *
+  * Caps and the identity contract: the exactly-once-equals-batch
+  * identity above holds for [[Dedup.DfCap.NoCap]], where a pair's
+  * co-shingle count is arrival-order-invariant. UNDER a cap any
+  * incremental listing is inherently as-of-arrival — dfs only grow, so
+  * a pair emitted early may count co-shingles a later full recompute
+  * would cap away (and a live system cannot retract emissions).
+  * [[Dedup.DfCap.Fixed]] is therefore allowed as the cost-bound
+  * deployment knob (the cap RULE is a stable parameter; only the df
+  * values evolve, which is intrinsic to incremental dedup), while the
+  * adaptive forms are rejected outright: their cap is itself a corpus
+  * statistic that drifts per trigger, so even the RULE a pair was
+  * admitted under becomes an artifact of arrival timing. */
+object StreamNearDup {
+
+  /** Start the AvailableNow foreachBatch query: pairs land under
+    * `baseDir/pairs/b=<id>`, the corpus under `baseDir/corpus/b=<id>`. */
+  def pairsStream(docs: Dataset[NdDoc], baseDir: String,
+      checkpointDir: String, n: Int = 3,
+      thresholdPpm: Long = 500000L,
+      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[NdDoc], id: Long) =>
+        val _ = pairBatch(b, id, baseDir, n, thresholdPpm, dfCap)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Pair one micro-batch against the committed corpus, then append it.
+    * Returns false (no effect) when `batchId` is already committed —
+    * the replayed-batch case. Only caps whose RULE is time-invariant
+    * are legal (NoCap/Fixed — see the object doc for the as-of-arrival
+    * semantics any cap implies here). */
+  def pairBatch(batch: Dataset[NdDoc], batchId: Long, baseDir: String,
+      n: Int, thresholdPpm: Long,
+      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap): Boolean = {
+    dfCap match {
+      case Dedup.DfCap.NoCap | Dedup.DfCap.Fixed(_) => ()
+      case adaptive => throw new IllegalArgumentException(
+        s"$adaptive: adaptive caps drift with arrival time, breaking the " +
+          "exactly-once-equals-batch contract; freeze a DfCap.Fixed " +
+          "from a corpus snapshot instead")
+    }
+    val s = batch.sparkSession
+    if (committedBatches(s"$baseDir/corpus").contains(batchId)) false
+    else {
+      val pairs = Dedup.incrementalJaccardPairsPpm(
+        corpusView(s, baseDir).toDF(), batch.toDF(), "doc_id", "text",
+        n, thresholdPpm, dfCap)
+      pairs.write.mode("overwrite").parquet(s"$baseDir/pairs/b=$batchId")
+      batch.toDF().write.mode("overwrite")
+        .parquet(s"$baseDir/corpus/b=$batchId")
+      true
+    }
+  }
+
+  /** All documents streamed so far (committed batches only). */
+  def corpusView(s: SparkSession, baseDir: String): Dataset[NdDoc] = {
+    val vs = committedBatches(s"$baseDir/corpus")
+    if (vs.isEmpty) s.emptyDataset(Encoders.product[NdDoc])
+    else s.read.parquet(vs.map(v => s"$baseDir/corpus/b=$v"): _*)
+      .as(Encoders.product[NdDoc])
+  }
+
+  /** Every pair emitted so far — the exactly-once union the spec pins
+    * against the full batch recompute. Only pairs dirs whose CORPUS
+    * commit landed count (an uncommitted batch may hold a torn or
+    * about-to-be-overwritten pairs dir). */
+  def allPairs(s: SparkSession, baseDir: String): DataFrame = {
+    val vs = committedBatches(s"$baseDir/corpus")
+      .filter(v => Files.exists(Paths.get(s"$baseDir/pairs/b=$v/_SUCCESS")))
+    if (vs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ida",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("idb",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("jaccard_ppm",
+            org.apache.spark.sql.types.LongType))))
+    else s.read.parquet(vs.map(v => s"$baseDir/pairs/b=$v"): _*)
+  }
+
+  /** Batch ids under `dir` whose write completed (`_SUCCESS`). */
+  private def committedBatches(dir: String): Seq[Long] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val ls = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("b=") &&
+            Files.exists(p.resolve("_SUCCESS")))
+          .map(_.getFileName.toString.stripPrefix("b=").toLong)
+          .toSeq
+      } finally ls.close()
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Dedup
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.nio.file.Files
+
+/** Pins the streaming near-dup contract: the union of per-trigger
+  * outputs equals the batch pair recompute over every document ever
+  * streamed, with each pair emitted exactly once (when its later side
+  * arrives) — plus the replayed-batch no-op and the torn-write
+  * overwrite the append-only commit layout relies on. */
+class StreamNearDupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val b1 = Seq(
+    NdDoc(1L, base + " lambda mu"),
+    NdDoc(2L, base + " lambda nu"),          // within-stream pair with 1
+    NdDoc(3L, "totally different words about completely other topics here now"))
+  private val b2 = Seq(
+    NdDoc(11L, base + " lambda"),            // cross-batch pair with 1 and 2
+    NdDoc(12L, "shared tail one two three four five six seven eight nine"))
+  private val b3 = Seq(
+    NdDoc(13L, "shared tail one two three four five six seven eight ten"))
+  private val allDocs = b1 ++ b2 ++ b3
+
+  private def expectedPairs = Dedup.ngramJaccardPairsPpm(
+      allDocs.toDF("doc_id", "text"), "doc_id", "text", 3, 500000L,
+      Dedup.DfCap.NoCap)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("union of per-trigger outputs == batch recompute, exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_snd").toString
+    val ckpt = Files.createTempDirectory("graft_snd_ckpt").toString
+    val mem = MemoryStream[NdDoc](31)
+    val q = mem.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[NdDoc], id: Long) =>
+        val _ = StreamNearDup.pairBatch(b, id, dir, 3, 500000L)
+      }
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamNearDup.allPairs(spark, dir)
+    val rows = streamed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rowSet: Set[(Long, Long, Long)] = rows.toSet
+    assert(rowSet === expectedPairs)
+    assert(rows.length === rowSet.size, "every pair exactly once")
+    // the fixture exercises both generators: a pair whose sides arrived
+    // in different triggers and a pair from within one trigger
+    assert(rowSet.exists { case (a, b, _) => a <= 2L && b == 11L })
+    assert(rowSet.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(StreamNearDup.corpusView(spark, dir).count() === allDocs.size)
+  }
+
+  test("adaptive caps are rejected; Fixed is accepted") {
+    val dir = Files.createTempDirectory("graft_snd_cap").toString
+    val e = intercept[IllegalArgumentException] {
+      StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L,
+        Dedup.DfCap.AdaptiveAvg(2))
+    }
+    assert(e.getMessage.contains("arrival"))
+    assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L,
+      Dedup.DfCap.Fixed(100)))
+  }
+
+  test("a replayed batch id is a committed no-op") {
+    val dir = Files.createTempDirectory("graft_snd_replay").toString
+    assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L))
+    assert(StreamNearDup.pairBatch(b2.toDS(), 1L, dir, 3, 500000L))
+    val before = StreamNearDup.allPairs(spark, dir).collect().toSeq
+    assert(!StreamNearDup.pairBatch(b2.toDS(), 1L, dir, 3, 500000L))
+    assert(StreamNearDup.allPairs(spark, dir).collect().toSeq === before)
+    assert(StreamNearDup.corpusView(spark, dir).count() ===
+      (b1.size + b2.size))
+  }
+
+  test("torn pairs write without a corpus commit is recomputed, " +
+      "not trusted") {
+    val dir = Files.createTempDirectory("graft_snd_torn").toString
+    assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L))
+    // crash simulation: batch 1's pairs dir landed (even with _SUCCESS)
+    // but the corpus commit did not — the replay must overwrite it
+    Seq((999L, 999L, 1L)).toDF("ida", "idb", "jaccard_ppm")
+      .write.parquet(s"$dir/pairs/b=1")
+    assert(StreamNearDup.pairBatch(b2.toDS(), 1L, dir, 3, 500000L))
+    val pairs = StreamNearDup.allPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((999L, 999L)), "torn write must be overwritten")
+    assert(pairs.contains((1L, 11L)))
+  }
+}
