@@ -131,9 +131,19 @@ object ExtensionQueries {
         n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveBounded(2))
       .orderBy("ida", "idb")
 
+  /** Increment-batch id offset for the x32 family: must clear the
+    * corpus id domain at EVERY scale the fixture runs — MakeScale
+    * replicas stride copies by 10⁸, so a small offset (an early
+    * revision used 5·10⁶) collides with copy-≥1 corpus ids and the
+    * oracle's id-threshold "new" test silently misclassifies
+    * corpus-internal pairs on any replica. 5·10¹² clears a
+    * 10,000-copy replica while keeping every packed id under the
+    * pair-generator's 2⁴³ domain bound. */
+  private val IncrementOffset = 5000000000000L
+
   /** X32 — INCREMENTAL near-dup: the daily-ingest recurrence. The
     * corpus is `documents`; the increment batch is a deterministic
-    * 90%-prefix re-crawl of every ninth document (id +5,000,000 — the
+    * 90%-prefix re-crawl of every ninth document (id +5·10¹² — the
     * re-crawled page whose tail changed, Jaccard ≈ 0.9 against its
     * source). [[Dedup.incrementalJaccardPairsPpm]] emits every capped
     * Jaccard≥0.5 pair TOUCHING the increment without ever generating a
@@ -142,8 +152,9 @@ object ExtensionQueries {
     * — under the same density-adaptive cap and exact-integer ppm
     * scoring as x2b, stated over the union corpus so the oracle
     * restates cap and scores verbatim. Increment ids sit above the
-    * whole corpus id domain, so "≥1 new side" is exactly
-    * `idb ≥ 5,000,000` in the oracle's ordered pairs. The identity
+    * whole corpus id domain at every replica scale (see
+    * [[IncrementOffset]]), so "≥1 new side" is exactly
+    * `idb ≥ 5·10¹²` in the oracle's ordered pairs. The identity
     * against the full-recompute listing is pinned by
     * IncrementalNearDupSpec. */
   def x32IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
@@ -152,10 +163,31 @@ object ExtensionQueries {
     val ws = split(col("text"), " ")
     val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
     val increment = docs.filter(col("doc_id") % 9 === 4)
-      .select((col("doc_id") + 5000000L).as("doc_id"),
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
         array_join(slice(ws, lit(1), kWords), " ").as("text"))
     Dedup.incrementalJaccardPairsPpm(docs, increment, "doc_id", "text",
         n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveAvg(2))
+      .orderBy("ida", "idb")
+  }
+
+  /** x32's FULL-RECOMPUTE baseline, benchOnly: the identical row set
+    * obtained the expensive way — the whole-union capped pair listing
+    * (Σ df² over corpus+increment, corpus-internal pairs generated and
+    * then thrown away by the ≥1-new filter). Exists so bench history
+    * shows what the incremental stage saves at every scale; the row
+    * identity to x32 is already pinned by IncrementalNearDupSpec's
+    * restricted-recompute test, which is this exact query. */
+  def x32fUnionRecompute(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    Dedup.ngramJaccardPairsPpm(docs.unionByName(increment), "doc_id", "text",
+        n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveAvg(2))
+      .filter(col("idb") >= IncrementOffset)
       .orderBy("ida", "idb")
   }
 
@@ -1579,15 +1611,19 @@ object ExtensionQueries {
 
   /** x27b's adaptive capped containment listing through the
     * BOUNDED-STATE collector — the containment twin of
-    * [[x2cJaccardBoundedState]], and the shape x27b's 125× replica
-    * profile asked for: its super-linear segment there was GC pressure
-    * from materializing heavy posting lists (PERF.md «mutated 125×
-    * sweep»), which `CappedCollectAgg` never builds (cap+1 longs of
-    * state per key, density cap from a count-only first pass).
-    * Containment runs the wider 4× cap, so the lists the bound skips
-    * are 2× heavier than x2c's. Row set identical to x27b by
+    * [[x2cJaccardBoundedState]]: cap+1 longs of state per key, density
+    * cap from a count-only first pass, row set identical to x27b by
     * construction (same integer cap rule — CappedCollectSpec pins the
-    * containment path too), so the oracle is x27b's SQL verbatim. */
+    * containment path too), oracle = x27b's SQL verbatim.
+    *
+    * MEASURED VERDICT (PERF.md «sign flips», 125×m): under
+    * containment's generous 4× cap the collector is 4.3× SLOWER than
+    * the list filter — the over-cap mass it avoids building shrinks
+    * while the typed-aggregator tax on kept postings doubles — the
+    * opposite sign from x2c's tight-2×-cap win. x27b stays the
+    * shipped default at every measured scale; this shape exists as
+    * the worst-case MEMORY bound (a df-10⁸ boilerplate shingle costs
+    * cap+1 longs of aggregation state instead of a GB-scale list). */
   def x27cContainmentBoundedState(s: SparkSession, d: String): DataFrame =
     x27CappedCore(s, d, Dedup.DfCap.AdaptiveBounded(4))
 
@@ -2723,7 +2759,7 @@ object ExtensionQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 5000000 AS doc_id,
+        |  SELECT doc_id + 5000000000000 AS doc_id,
         |    array_to_string(
         |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
         |      ' ') AS text
@@ -2744,7 +2780,7 @@ object ExtensionQueries {
         |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
         |  JOIN df ON df.shingle = a.shingle
         |  WHERE df.df <= (SELECT 2*SUM(df)//COUNT(*) FROM df)
-        |    AND b.doc_id >= 5000000
+        |    AND b.doc_id >= 5000000000000
         |  GROUP BY 1,2)
         |SELECT ida, idb, (c*1000000)//(sa.n+sb.n-c) AS jaccard_ppm
         |FROM inter JOIN sizes sa ON sa.doc_id=ida
@@ -3905,5 +3941,8 @@ object ExtensionQueries {
     "x31f_bpe_fit"        -> (x31fBpeFit _),
     "x5cf_ivf_fit"        -> (x5cfIvfFit _),
     "x22df_topic_fit"     -> (x22dfTopicFit _),
+    // x32's full-recompute baseline: same rows, Σdf² pair stage over
+    // the whole union — bench history tracks the incremental win
+    "x32f_union_recompute" -> (x32fUnionRecompute _),
   )
 }

@@ -91,10 +91,16 @@ object Dedup {
     * size-capped collect aggregator (state bounded at cap+1, no extra
     * join — [[graft.functions.CappedCollectAgg]], same row set, x2c's
     * oracle row). MEASURED: +0.5 s at sf0.1 (count pre-pass + typed
-    * UDAF vs codegen'd collect_list) but 1.3× FASTER at the 125×m
-    * replica (24.2 → 18.8 s — never building an over-cap list beats
-    * codegen once list mass is real), so prefer AdaptiveBounded at
-    * real corpus scale; do NOT resurrect the pre-filter join. */
+    * UDAF vs codegen'd collect_list) but FASTER at the 125×m replica
+    * under the tight 2× Jaccard cap (24.2 → 18.8 s; same-state
+    * re-measure 26.9 → 24.8) — yet 4.3× SLOWER under containment's
+    * 4× cap (x27c, 21.9 → 94.2 s): the collector's saving is the
+    * over-cap mass it never builds, its cost the typed-UDAF tax on
+    * every KEPT posting, so the sign follows the cap profile (PERF.md
+    * «sign flips»). Ship the list filter by default; reach for the
+    * bounded forms where the cap is tight relative to the df head or
+    * as the df-10⁸ memory bound. Either way do NOT resurrect the
+    * pre-filter join. */
   private def applyCap(lists: DataFrame, cap: DfCap): DataFrame = cap match {
     case DfCap.NoCap => lists
     case DfCap.Fixed(m) => lists.filter(size(col("_lst")) <= m)

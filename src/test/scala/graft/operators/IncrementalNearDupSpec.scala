@@ -62,12 +62,12 @@ class IncrementalNearDupSpec extends SparkTestBase {
     val ws = split(col("text"), " ")
     val k = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
     val increment = docs.filter(col("doc_id") % 9 === 4)
-      .select((col("doc_id") + 5000000L).as("doc_id"),
+      .select((col("doc_id") + 5000000000000L).as("doc_id"),
         array_join(slice(ws, lit(1), k), " ").as("text"))
     val cap = Dedup.DfCap.AdaptiveAvg(2)
     val inc = pairSet(Dedup.incrementalJaccardPairsPpm(
       docs, increment, "doc_id", "text", 3, Thresh, cap))
-    assert(inc === fullRestricted(docs, increment, cap, 5000000L))
+    assert(inc === fullRestricted(docs, increment, cap, 5000000000000L))
     assert(inc.nonEmpty, "the 90%-prefix re-crawl must land above 0.5")
   }
 
