@@ -191,6 +191,47 @@ object ExtensionQueries {
       .orderBy("ida", "idb")
   }
 
+  /** X33 — x32 SERVED FROM THE DURABLE POSTING INDEX: same increment
+    * batch, same density-adaptive cap, same exact-integer scores, but
+    * the corpus side is the per-shingle posting-list artifact
+    * ([[Dedup.postingIndex]] — the durable bucketed table when
+    * [[usePostingIndex]] is active, the session-persisted build
+    * otherwise) instead of re-shingling `documents`. This is the
+    * 100 TB daily recurrence made concrete: shingle ONLY the batch,
+    * join it against the index on `_sh` with no corpus-side exchange,
+    * fold the batch's postings back with
+    * [[Dedup.appendToPostingIndex]]. Row-identical to x32 — the
+    * oracle is x32's SQL verbatim, and IncrementalIndexSpec pins the
+    * operator identity, append≡rebuild, and the no-build durable
+    * read-back. */
+  def x33IncrementalFromIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    Dedup.incrementalJaccardPairsFromIndex(docsPostingIndex(s, d), increment,
+        "doc_id", "text", n = 3, thresholdPpm = 500000L,
+        dfCap = Dedup.DfCap.AdaptiveAvg(2))
+      .orderBy("ida", "idb")
+  }
+
+  /** The posting-index BUILD cost as a first-class bench row (the
+    * memoized-artifact lesson from x31f/x5cf: x33 serves from the memo
+    * or the durable table, so bench history would never see an index
+    * build regression without this). benchOnly: the index row set
+    * itself is exercised through x33's oracle row; here the full build
+    * is forced (no memo) and reduced to corpus-level stats. */
+  def x33bIndexBuild(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    Dedup.postingIndex(docs, "doc_id", "text", n = 3)
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(size(col("_lst"))), lit(0L)).as("n_postings"))
+  }
+
   /** MinHash(128)+LSH(32 bands × 4 rows) with exact verification. The
     * oracle is the exact-Jaccard pair set: precision is exact (each
     * candidate is re-verified), and at threshold 0.8 banding recall is
@@ -313,12 +354,23 @@ object ExtensionQueries {
     * ClusterMapSpec pins the no-shuffle doc_id aggregate. */
   def writeClusterMap(s: SparkSession, d: String, table: String,
       buckets: Int = 8): Unit = {
-    // A previous JVM's default-warehouse directory can outlive its
-    // in-memory metastore; saveAsTable then refuses to adopt the
-    // orphan location (LOCATION_ALREADY_EXISTS) and every fresh
-    // session would fall back to the memo build forever. Remove the
-    // orphan iff the catalog genuinely has no such table — never a
-    // live table's data.
+    dropOrphanWarehouseDir(s, table)
+    memoizedClusterMap(s, d).write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    // provenance stamp: the durable-read branch only trusts a table
+    // whose recorded corpus dir matches the caller's — a conf left
+    // pointing at another snapshot's map falls back to building
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SourceDirProp' = '$d')")
+  }
+
+  /** A previous JVM's default-warehouse directory can outlive its
+    * in-memory metastore; saveAsTable then refuses to adopt the
+    * orphan location (LOCATION_ALREADY_EXISTS) and every fresh
+    * session would fall back to the memo build forever. Remove the
+    * orphan iff the catalog genuinely has no such table — never a
+    * live table's data. */
+  private def dropOrphanWarehouseDir(s: SparkSession, table: String): Unit = {
     if (!s.catalog.tableExists(table)) {
       val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         .stripPrefix("file:")
@@ -344,13 +396,6 @@ object ExtensionQueries {
         } finally walk.close() // the stream holds a directory handle
       }
     }
-    memoizedClusterMap(s, d).write.mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(table)
-    // provenance stamp: the durable-read branch only trusts a table
-    // whose recorded corpus dir matches the caller's — a conf left
-    // pointing at another snapshot's map falls back to building
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SourceDirProp' = '$d')")
   }
 
   /** Read-back path for [[writeClusterMap]]'s table — no memo, no
@@ -364,6 +409,76 @@ object ExtensionQueries {
     * iterating corpus snapshots calls when a snapshot is superseded. */
   def evictClusterMap(s: SparkSession, d: String): Unit =
     clusterMapMemo.remove((s, d)).foreach(_.unpersist())
+
+  // ——— durable posting index (the incremental near-dup artifact) ———
+  // Same materialized-artifact contract as the cluster map: the
+  // per-shingle packed posting lists ([[Dedup.postingIndex]]) are
+  // built once per corpus snapshot, persisted as a catalog table
+  // BUCKETED BY `_sh`, and every later increment job (x33, and
+  // tomorrow's session) joins its batch against the table with no
+  // corpus-side shuffle and no corpus re-shingle.
+  private val postingIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Builds observed by the memo — IncrementalIndexSpec asserts the
+    * durable read-back path never triggers one. */
+  private[graft] val postingIndexBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Session conf key naming the durable posting-index table; same
+    * provenance rule as [[ClusterMapTableConf]] (dir mismatch falls
+    * back to building rather than serving another snapshot's index). */
+  val PostingIndexTableConf = "spark.graft.postingIndexTable"
+
+  private[graft] def docsPostingIndex(s: SparkSession, d: String): DataFrame = {
+    val t = s.conf.get(PostingIndexTableConf, "")
+    if (t.nonEmpty && s.catalog.tableExists(t) &&
+        s.sql(s"SHOW TBLPROPERTIES $t").collect()
+          .exists(r => r.getString(0) == SourceDirProp && r.getString(1) == d))
+      s.table(t)
+    else memoizedPostingIndex(s, d)
+  }
+
+  private def memoizedPostingIndex(s: SparkSession, d: String): DataFrame = {
+    postingIndexMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(postingIndexMemo.remove)
+    postingIndexMemo.get((s, d)).getOrElse {
+      postingIndexBuilds.incrementAndGet()
+      val built = Dedup.postingIndex(
+          Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3)
+        .persist()
+      postingIndexMemo.putIfAbsent((s, d), built) match {
+        case Some(winner) => built.unpersist(); winner
+        case None         => built
+      }
+    }
+  }
+
+  /** Point this session's increment jobs at a written index table:
+    * writes it if absent (the snapshot job), then sets
+    * [[PostingIndexTableConf]] so [[x33IncrementalFromIndex]] and any
+    * other from-index caller reads the bucketed table from here on. */
+  def usePostingIndex(s: SparkSession, d: String, table: String): Unit = {
+    if (!s.catalog.tableExists(table)) writePostingIndex(s, d, table)
+    s.conf.set(PostingIndexTableConf, table)
+  }
+
+  /** Durable write of [[Dedup.postingIndex]] — bucketed by `_sh` so
+    * the serve-side batch join and [[Dedup.appendToPostingIndex]]'s
+    * full-outer merge both start from a hash-partitioned scan: at
+    * cluster scale the index (the corpus-sized side) is never
+    * exchanged again; only the day's batch shuffles. */
+  def writePostingIndex(s: SparkSession, d: String, table: String,
+      buckets: Int = 8): Unit = {
+    dropOrphanWarehouseDir(s, table)
+    memoizedPostingIndex(s, d).write.mode("overwrite")
+      .bucketBy(buckets, "_sh").sortBy("_sh")
+      .format("parquet").saveAsTable(table)
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SourceDirProp' = '$d')")
+  }
+
+  /** Eviction hook mirroring [[evictClusterMap]]. */
+  def evictPostingIndex(s: SparkSession, d: String): Unit =
+    postingIndexMemo.remove((s, d)).foreach(_.unpersist())
 
   /** Incremental dedup: an incoming batch is anti-joined against the
     * existing corpus on the content fingerprint — the shape of every
@@ -2550,6 +2665,46 @@ object ExtensionQueries {
   private val jaccardPairsCappedSql =
     jaccardPairsCappedCte + "\nORDER BY ida, idb"
 
+  // The full capped pair listing over corpus ∪ increment, restricted
+  // to pairs touching the increment — increment ids are the top of the
+  // id domain, so "≥1 new side" ⇔ the LARGER pair id is new
+  // (idb ≥ 5·10¹²). Same cap rule and ppm arithmetic as x2b, stated
+  // over the union corpus. Shared verbatim by x32 (from-scratch) and
+  // x33 (served from the posting index) — identical row sets by
+  // construction, pinned by IncrementalNearDupSpec/IncrementalIndexSpec.
+  private val incrementalNearDupSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 5000000000000 AS doc_id,
+      |    array_to_string(
+      |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+      |      ' ') AS text
+      |  FROM documents WHERE doc_id % 9 = 4),
+      |words AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM corpus)),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  JOIN df ON df.shingle = a.shingle
+      |  WHERE df.df <= (SELECT 2*SUM(df)//COUNT(*) FROM df)
+      |    AND b.doc_id >= 5000000000000
+      |  GROUP BY 1,2)
+      |SELECT ida, idb, (c*1000000)//(sa.n+sb.n-c) AS jaccard_ppm
+      |FROM inter JOIN sizes sa ON sa.doc_id=ida
+      |           JOIN sizes sb ON sb.doc_id=idb
+      |WHERE c*1000000 >= 500000*(sa.n+sb.n-c)
+      |ORDER BY ida, idb""".stripMargin
+
   // x27's corpus/shingle CTEs with the density-adaptive df-cap
   // (4× average df — containment needs the wider cap, see the query
   // doc) applied before pairing, mirroring
@@ -2755,38 +2910,11 @@ object ExtensionQueries {
     // the top of the id domain, so "≥1 new side" ⇔ the LARGER pair id
     // is new (idb ≥ 5,000,000). Same cap rule and ppm arithmetic as
     // x2b, stated over the union corpus.
-    "x32_incremental_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 5000000000000 AS doc_id,
-        |    array_to_string(
-        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
-        |      ' ') AS text
-        |  FROM documents WHERE doc_id % 9 = 4),
-        |words AS (
-        |  SELECT doc_id, w, i FROM (
-        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
-        |           generate_subscripts(string_split(text,' '),1) AS i
-        |    FROM corpus)),
-        |sh AS (
-        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
-        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
-        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
-        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
-        |  JOIN df ON df.shingle = a.shingle
-        |  WHERE df.df <= (SELECT 2*SUM(df)//COUNT(*) FROM df)
-        |    AND b.doc_id >= 5000000000000
-        |  GROUP BY 1,2)
-        |SELECT ida, idb, (c*1000000)//(sa.n+sb.n-c) AS jaccard_ppm
-        |FROM inter JOIN sizes sa ON sa.doc_id=ida
-        |           JOIN sizes sb ON sb.doc_id=idb
-        |WHERE c*1000000 >= 500000*(sa.n+sb.n-c)
-        |ORDER BY ida, idb""".stripMargin,
+    "x32_incremental_neardup" -> incrementalNearDupSql,
+
+    // x33: x32 served from the posting index — identical row set by
+    // construction (IncrementalIndexSpec), oracle verbatim
+    "x33_incremental_from_index" -> incrementalNearDupSql,
 
     // t5b: the capped candidate CTE (integer-ppm gate) feeding the
     // same exact levenshtein verify as t5
@@ -3818,6 +3946,7 @@ object ExtensionQueries {
     "x2b_dedup_jaccard_capped" -> (x2bNgramJaccardCapped _),
     "x2c_jaccard_bounded_state" -> (x2cJaccardBoundedState _),
     "x32_incremental_neardup" -> (x32IncrementalNearDup _),
+    "x33_incremental_from_index" -> (x33IncrementalFromIndex _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
@@ -3944,5 +4073,7 @@ object ExtensionQueries {
     // x32's full-recompute baseline: same rows, Σdf² pair stage over
     // the whole union — bench history tracks the incremental win
     "x32f_union_recompute" -> (x32fUnionRecompute _),
+    // posting-index build cost (x33 serves from the memo/table)
+    "x33b_index_build"     -> (x33bIndexBuild _),
   )
 }

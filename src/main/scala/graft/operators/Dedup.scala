@@ -369,7 +369,17 @@ object Dedup {
     // Only shingles the increment touches can produce pairs; the
     // only-old tail (the vast majority at real corpus:increment
     // ratios) drops here, before any pair generation.
-    val active = lists.filter(size(col("_lstn")) >= 1)
+    incrementalPairsFromSplitLists(
+      lists.filter(size(col("_lstn")) >= 1), thresholdPpm)
+  }
+
+  /** Shared tail of the incremental pair shapes: from per-shingle
+    * SPLIT posting lists (`_sh`, `_lstn` new-side, `_lsto` old-side —
+    * already cap-filtered, `_lstn` non-empty), generate new×new pairs
+    * via the sorted-list generator and new×old pairs via a two-level
+    * explode, then score with the exact-integer ppm gate. */
+  private def incrementalPairsFromSplitLists(active: DataFrame,
+      thresholdPpm: Long): DataFrame = {
     val newNew = explodePackedPairs(active.select(col("_lstn").as("_lst")))
     val sizeMask = (1L << SizeBits) - 1
     val newOld = active.filter(size(col("_lsto")) >= 1)
@@ -389,6 +399,86 @@ object Dedup {
         lit(thresholdPpm) * (col("na") + col("nb") - col("c")))
       .select(col("ida"), col("idb"),
         expr("c * 1000000 div (na + nb - c)").as("jaccard_ppm"))
+  }
+
+  /** The durable per-shingle posting INDEX for incremental near-dup:
+    * one row per shingle hash carrying the corpus' packed posting list
+    * (`id << 20 | setSize`, sorted — the `_lsto` side of
+    * [[incrementalJaccardPairsPpm]], materialized). This is the
+    * artifact a 100 TB deployment builds ONCE per corpus snapshot and
+    * serves every increment from: the daily job shingles only the
+    * batch, joins it against the index (bucketed by `_sh` when written
+    * through `ExtensionQueries.writePostingIndex`, so the corpus side
+    * joins without an exchange), and folds the batch's postings back
+    * with [[appendToPostingIndex]] — the corpus itself is never
+    * re-shingled or re-shuffled after the snapshot build. */
+  def postingIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    postingsHashed(corpus, idCol, textCol, n)
+      .groupBy("_sh").agg(sort_array(collect_list(packedEntry)).as("_lst"))
+
+  /** [[incrementalJaccardPairsPpm]] SERVED FROM a prebuilt
+    * [[postingIndex]]: identical row set (IncrementalIndexSpec pins
+    * it), but the corpus side costs one equi join on `_sh` against the
+    * index plus one O(index) stats aggregate — no corpus shingling, no
+    * corpus posting shuffle. The density-adaptive cap is defined over
+    * the UNION corpus' df profile exactly as the from-scratch form
+    * states it: Σdf = Σ|index lists| + Σ|batch lists|, #shingles =
+    * |index rows| + |batch-only shingles|, both from 1-row broadcast
+    * aggregates (a deployment folds the index-side pair into the index
+    * build and stores it with the table — it never changes between
+    * appends it participates in). */
+  def incrementalJaccardPairsFromIndex(index: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      thresholdPpm: Long = 500000L,
+      dfCap: DfCap = DfCap.NoCap): DataFrame = {
+    val emptyLst = array().cast("array<long>")
+    val listsN = postingsHashed(increment, idCol, textCol, n)
+      .groupBy("_sh").agg(sort_array(collect_list(packedEntry)).as("_lstn"))
+    // Only increment-touched shingles can pair, so the big index side
+    // flows through ONE equi join keyed on its own layout; left join —
+    // index-only shingles reach the result only via the cap stats.
+    val joined = listsN.join(index.withColumnRenamed("_lst", "_lsto"),
+        Seq("_sh"), "left")
+      .select(col("_sh"), col("_lstn"),
+        coalesce(col("_lsto"), emptyLst).as("_lsto"))
+    val totalDf = size(col("_lstn")) + size(col("_lsto"))
+    val capped = dfCap match {
+      case DfCap.NoCap => joined
+      case DfCap.Fixed(m) => joined.filter(totalDf <= m)
+      case DfCap.AdaptiveAvg(mult) =>
+        val idxStats = index.agg(
+          coalesce(sum(size(col("_lst"))), lit(0L)).as("_so"),
+          count(lit(1)).as("_co"))
+        val newStats = joined.agg(
+          coalesce(sum(size(col("_lstn"))), lit(0L)).as("_sn"),
+          coalesce(sum(when(size(col("_lsto")) === 0, 1L).otherwise(0L)),
+            lit(0L)).as("_cn"))
+        joined.crossJoin(broadcast(idxStats)).crossJoin(broadcast(newStats))
+          .filter(totalDf <= expr(s"$mult * (_so + _sn) div (_co + _cn)"))
+          .select(col("_sh"), col("_lstn"), col("_lsto"))
+      case bounded => throw new IllegalArgumentException(
+        s"$bounded: cap the from-index shape with Fixed/AdaptiveAvg")
+    }
+    incrementalPairsFromSplitLists(capped, thresholdPpm)
+  }
+
+  /** Fold an increment's postings into the index: touched shingles
+    * merge lists (batch ids never repeat index ids, and sort_array
+    * restores the generator's sorted-list invariant), new shingles
+    * append, untouched index rows pass through. Rebuild-equivalence —
+    * `appendToPostingIndex(postingIndex(C), B) ≡ postingIndex(C ∪ B)`
+    * — is pinned by IncrementalIndexSpec, so a deployment's index
+    * stays exact forever without ever re-shingling the corpus. */
+  def appendToPostingIndex(index: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val emptyLst = array().cast("array<long>")
+    val inc = postingIndex(increment, idCol, textCol, n)
+      .withColumnRenamed("_lst", "_lstb")
+    index.join(inc, Seq("_sh"), "full_outer")
+      .select(col("_sh"),
+        sort_array(concat(coalesce(col("_lst"), emptyLst),
+          coalesce(col("_lstb"), emptyLst))).as("_lst"))
   }
 
   /** Prefix-filtered exact pairs: AllPairs-style candidate pruning,

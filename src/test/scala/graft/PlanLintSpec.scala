@@ -37,7 +37,11 @@ class PlanLintSpec extends SparkTestBase {
     "x2b_dedup_jaccard_capped",
     "t5b_edit_pairs_capped",
     "x27b_containment_capped",
-    "x32_incremental_neardup")
+    "x32_incremental_neardup",
+    // the from-index cap stats: two 1-row broadcast aggregates
+    // (Σ|index lists| over the index; Σ|batch lists| + batch-only
+    // shingle count over the joined batch)
+    "x33_incremental_from_index")
 
   test("no query plans a cartesian product or an unbounded single-partition stage") {
     val d = "/root/testdata/sf0.001"
