@@ -463,6 +463,46 @@ object Dedup {
     incrementalPairsFromSplitLists(capped, thresholdPpm)
   }
 
+  /** [[incrementalJaccardPairsFromIndex]] over an APPEND-ONLY DELTA
+    * index — `deltas` may carry SEVERAL rows per shingle (one per
+    * committed batch, each a sorted packed list), which is exactly
+    * what a live-ingest deployment accumulates without ever rewriting
+    * the index ([[graft.streaming.StreamNearDup]]'s per-trigger
+    * `index/b=<id>` dirs). Only batch-touched shingles survive the
+    * join, so the merge groupBy shuffles O(touched postings) — the
+    * per-trigger compute tracks the BATCH (plus a map-only delta
+    * scan), never re-shingling or re-shuffling the corpus.
+    *
+    * Caps: NoCap/Fixed only — the same time-invariant-rule constraint
+    * the streaming caller enforces (an adaptive cap is a corpus
+    * statistic that drifts per trigger; a deployment freezes a Fixed
+    * cap from a snapshot instead). */
+  def incrementalJaccardPairsFromIndexDeltas(deltas: DataFrame,
+      increment: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      thresholdPpm: Long = 500000L,
+      dfCap: DfCap = DfCap.NoCap): DataFrame = {
+    val emptyLst = array().cast("array<long>")
+    val listsN = postingsHashed(increment, idCol, textCol, n)
+      .groupBy("_sh").agg(sort_array(collect_list(packedEntry)).as("_lstn"))
+    // collect_list drops the left join's no-match nulls; flatten then
+    // rebuilds one sorted old-side list per touched shingle
+    val joined = listsN.join(deltas.withColumnRenamed("_lst", "_lstd"),
+        Seq("_sh"), "left")
+      .groupBy("_sh")
+      .agg(first(col("_lstn")).as("_lstn"),
+        sort_array(coalesce(flatten(collect_list(col("_lstd"))), emptyLst))
+          .as("_lsto"))
+    val capped = dfCap match {
+      case DfCap.NoCap => joined
+      case DfCap.Fixed(m) =>
+        joined.filter(size(col("_lstn")) + size(col("_lsto")) <= m)
+      case adaptive => throw new IllegalArgumentException(
+        s"$adaptive: adaptive caps drift as deltas accumulate; freeze a " +
+          "DfCap.Fixed from a corpus snapshot for the delta-index shape")
+    }
+    incrementalPairsFromSplitLists(capped, thresholdPpm)
+  }
+
   /** Fold an increment's postings into the index: touched shingles
     * merge lists (batch ids never repeat index ids, and sort_array
     * restores the generator's sorted-list invariant), new shingles

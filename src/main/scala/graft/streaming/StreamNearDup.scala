@@ -22,17 +22,22 @@ case class NdDoc(doc_id: Long, text: String)
   * across triggers, plus replay idempotence).
   *
   * Durability follows [[StreamUpsert]]'s transactional-commit playbook
-  * with one scale-critical difference: the corpus is APPEND-ONLY
-  * (per-batch `b=<batchId>` dirs), never rewritten — per-trigger cost
-  * is the incremental pair stage plus an O(batch) write, independent
-  * of accumulated corpus size on the write side. Crash safety on
+  * with one scale-critical difference: the corpus AND its posting
+  * index are APPEND-ONLY (per-batch `b=<batchId>` dirs), never
+  * rewritten — and pairing runs against the accumulated index deltas
+  * ([[Dedup.incrementalJaccardPairsFromIndexDeltas]]), so the
+  * per-trigger cost is the batch's own shingle pass, a map-only scan
+  * of the index deltas, an O(touched-postings) merge, and an O(batch)
+  * write: committed documents are never re-shingled or re-shuffled,
+  * on the compute side OR the write side. Crash safety on
   * foreachBatch's at-least-once contract:
-  *  - pairs are written BEFORE the corpus append, so a replayed batch
-  *    whose corpus dir is already committed (`_SUCCESS` present) is a
-  *    pure no-op — its pairs are necessarily complete;
+  *  - pairs are written BEFORE the index delta, which lands before
+  *    the corpus append, so a replayed batch whose corpus dir is
+  *    already committed (`_SUCCESS` present) is a pure no-op — its
+  *    pairs and delta are necessarily complete;
   *  - a crash before the corpus commit replays the batch against the
-  *    unchanged corpus view and OVERWRITES the (deterministic) pairs
-  *    dir, clearing any torn write.
+  *    unchanged committed view and OVERWRITES the (deterministic)
+  *    pairs and index-delta dirs, clearing any torn write.
   * Readers ([[allPairs]]/[[corpusView]]) only see committed dirs, so
   * torn output is never observable.
   *
@@ -82,14 +87,59 @@ object StreamNearDup {
     val s = batch.sparkSession
     if (committedBatches(s"$baseDir/corpus").contains(batchId)) false
     else {
-      val pairs = Dedup.incrementalJaccardPairsPpm(
-        corpusView(s, baseDir).toDF(), batch.toDF(), "doc_id", "text",
+      // Pair against the accumulated per-batch posting-index DELTAS,
+      // not the raw corpus: the committed docs are never re-shingled
+      // or re-shuffled — the per-trigger compute is the batch's own
+      // shingle pass, a map-only delta scan (only batch-touched
+      // shingles survive the join), and an O(touched-postings) merge.
+      // Semantically identical to pairing against corpusView
+      // (IncrementalIndexSpec pins from-deltas ≡ from-scratch), which
+      // is what keeps the exactly-once-equals-batch contract intact.
+      val pairs = Dedup.incrementalJaccardPairsFromIndexDeltas(
+        indexView(s, baseDir, n), batch.toDF(), "doc_id", "text",
         n, thresholdPpm, dfCap)
       pairs.write.mode("overwrite").parquet(s"$baseDir/pairs/b=$batchId")
+      // the batch's own index delta lands BEFORE the corpus commit:
+      // a crash in between leaves an uncommitted delta that indexView
+      // ignores (corpus _SUCCESS is the commit marker) and the replay
+      // overwrites — same torn-write story as the pairs dir
+      Dedup.postingIndex(batch.toDF(), "doc_id", "text", n)
+        .write.mode("overwrite").parquet(s"$baseDir/index/b=$batchId")
       batch.toDF().write.mode("overwrite")
         .parquet(s"$baseDir/corpus/b=$batchId")
       true
     }
+  }
+
+  /** The append-only posting-index view: every committed batch's
+    * `index/b=<id>` delta, unioned — multiple rows per shingle, which
+    * [[Dedup.incrementalJaccardPairsFromIndexDeltas]] merges per
+    * touched shingle. Committed = the CORPUS dir's `_SUCCESS` (the
+    * single commit marker), so a torn index delta is never read.
+    * A corpus-committed batch MISSING its delta (a directory written
+    * by a pre-index deployment of this pipeline) is self-healed by
+    * rebuilding the delta from the committed docs — dropping it
+    * silently would lose that batch's postings from every later
+    * pairing. */
+  def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame = {
+    val committed = committedBatches(s"$baseDir/corpus")
+    committed
+      .filterNot(v => Files.exists(Paths.get(s"$baseDir/index/b=$v/_SUCCESS")))
+      .foreach { v =>
+        Dedup.postingIndex(s.read.parquet(s"$baseDir/corpus/b=$v"),
+            "doc_id", "text", n)
+          .write.mode("overwrite").parquet(s"$baseDir/index/b=$v")
+      }
+    val vs = committed
+    if (vs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_sh",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_lst",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+    else s.read.parquet(vs.map(v => s"$baseDir/index/b=$v"): _*)
   }
 
   /** All documents streamed so far (committed batches only). */

@@ -79,6 +79,42 @@ class IncrementalIndexSpec extends SparkTestBase {
     assert(viaIdx.nonEmpty)
   }
 
+  test("from-DELTAS == from-scratch: multi-row-per-shingle delta union " +
+      "under NoCap and a binding Fixed cap; adaptive rejected") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c1 = Seq((1L, base + " lambda mu"),
+      (3L, "totally different words about completely other topics here now")
+    ).toDF("doc_id", "text")
+    val c2 = Seq((2L, base + " lambda nu")).toDF("doc_id", "text")
+    val increment = Seq(
+      (101L, base + " lambda"),
+      (102L, "shared tail one two three four five six seven eight nine"),
+      (103L, "shared tail one two three four five six seven eight ten")
+    ).toDF("doc_id", "text")
+    // two per-batch deltas: the base shingles appear in BOTH, so the
+    // union carries multiple rows per shingle — the live-ingest layout
+    val deltas = Dedup.postingIndex(c1, "doc_id", "text", 3)
+      .unionByName(Dedup.postingIndex(c2, "doc_id", "text", 3))
+    val corpus = c1.unionByName(c2)
+    for (cap <- Seq(Dedup.DfCap.NoCap, Dedup.DfCap.Fixed(2))) {
+      val viaDeltas = pairSet(Dedup.incrementalJaccardPairsFromIndexDeltas(
+        deltas, increment, "doc_id", "text", 3, Thresh, cap))
+      assert(viaDeltas === pairSet(Dedup.incrementalJaccardPairsPpm(
+        corpus, increment, "doc_id", "text", 3, Thresh, cap)),
+        s"cap=$cap")
+    }
+    val noCap = pairSet(Dedup.incrementalJaccardPairsFromIndexDeltas(
+      deltas, increment, "doc_id", "text", 3, Thresh, Dedup.DfCap.NoCap))
+    val fixed = pairSet(Dedup.incrementalJaccardPairsFromIndexDeltas(
+      deltas, increment, "doc_id", "text", 3, Thresh, Dedup.DfCap.Fixed(2)))
+    assert(noCap.nonEmpty && noCap != fixed, "the Fixed cap must bind")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalJaccardPairsFromIndexDeltas(deltas, increment,
+        "doc_id", "text", 3, Thresh, Dedup.DfCap.AdaptiveAvg(2))
+    }
+    assert(e.getMessage.contains("drift"))
+  }
+
   test("appendToPostingIndex == rebuild from the union corpus") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),

@@ -98,4 +98,25 @@ class StreamNearDupSpec extends SparkTestBase {
     assert(!pairs.contains((999L, 999L)), "torn write must be overwritten")
     assert(pairs.contains((1L, 11L)))
   }
+
+  test("a pre-index corpus dir (no index delta) is self-healed, " +
+      "not silently dropped from pairing") {
+    val dir = Files.createTempDirectory("graft_snd_heal").toString
+    assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L))
+    // simulate a directory written by a pre-index deployment of this
+    // pipeline: the corpus batch is committed but no delta exists —
+    // dropping it would lose batch 0's postings from every later pair
+    val idx0 = java.nio.file.Paths.get(s"$dir/index/b=0")
+    val walk = java.nio.file.Files.walk(idx0)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => { val _ = java.nio.file.Files.deleteIfExists(f) })
+    finally walk.close()
+    assert(StreamNearDup.pairBatch(b2.toDS(), 1L, dir, 3, 500000L))
+    val pairs = StreamNearDup.allPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 11L)) && pairs.contains((2L, 11L)),
+      "cross-batch pairs against the healed batch must appear")
+    assert(java.nio.file.Files.exists(idx0.resolve("_SUCCESS")),
+      "the delta must be rebuilt durably")
+  }
 }
