@@ -503,6 +503,22 @@ object Dedup {
     incrementalPairsFromSplitLists(capped, thresholdPpm)
   }
 
+  /** Collapse an append-only DELTA union (several packed lists per
+    * shingle, one per committed batch — the layout
+    * [[incrementalJaccardPairsFromIndexDeltas]] consumes) back to the
+    * canonical one-row-per-shingle [[postingIndex]] layout. Because
+    * batch id domains are disjoint and `sort_array` restores the
+    * generator's sorted-list invariant, `mergePostingDeltas(Δ₁ ∪ … ∪
+    * Δₖ) ≡ postingIndex(C₁ ∪ … ∪ Cₖ)` — pinned by
+    * IncrementalIndexSpec. This is the COMPACTION kernel for a
+    * live-ingest deployment ([[graft.streaming.StreamNearDup
+    * .compactIndex]]): per-trigger delta appends stay O(batch), and a
+    * periodic maintenance pass bounds the per-shingle row count and
+    * the delta file population without ever re-shingling a document. */
+  def mergePostingDeltas(deltas: DataFrame): DataFrame =
+    deltas.groupBy("_sh")
+      .agg(sort_array(flatten(collect_list(col("_lst")))).as("_lst"))
+
   /** Fold an increment's postings into the index: touched shingles
     * merge lists (batch ids never repeat index ids, and sort_array
     * restores the generator's sorted-list invariant), new shingles

@@ -111,27 +111,30 @@ object StreamNearDup {
     }
   }
 
-  /** The append-only posting-index view: every committed batch's
-    * `index/b=<id>` delta, unioned — multiple rows per shingle, which
+  /** The posting-index view: the newest committed COMPACT snapshot
+    * (`index/c=<maxBatch>`, if one exists) plus every committed
+    * batch's `index/b=<id>` delta NOT covered by it, unioned —
+    * multiple rows per shingle, which
     * [[Dedup.incrementalJaccardPairsFromIndexDeltas]] merges per
-    * touched shingle. Committed = the CORPUS dir's `_SUCCESS` (the
-    * single commit marker), so a torn index delta is never read.
+    * touched shingle. Committed = the CORPUS dir's `_SUCCESS` for
+    * deltas (the single commit marker, so a torn delta is never read)
+    * and the snapshot dir's own `_SUCCESS` for compactions (a torn
+    * compaction is invisible; its covered deltas still serve).
+    * Covered deltas that survived a crash between a compaction's
+    * commit and its cleanup are provably redundant and ignored here.
     * A corpus-committed batch MISSING its delta (a directory written
     * by a pre-index deployment of this pipeline) is self-healed by
     * rebuilding the delta from the committed docs — dropping it
     * silently would lose that batch's postings from every later
     * pairing. */
   def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame = {
-    val committed = committedBatches(s"$baseDir/corpus")
-    committed
-      .filterNot(v => Files.exists(Paths.get(s"$baseDir/index/b=$v/_SUCCESS")))
-      .foreach { v =>
-        Dedup.postingIndex(s.read.parquet(s"$baseDir/corpus/b=$v"),
-            "doc_id", "text", n)
-          .write.mode("overwrite").parquet(s"$baseDir/index/b=$v")
-      }
-    val vs = committed
-    if (vs.isEmpty)
+    val snap = compactSnapshot(baseDir)
+    val live = committedBatches(s"$baseDir/corpus")
+      .filter(v => snap.forall(v > _))
+    healDeltas(s, baseDir, live, n)
+    val dirs = snap.map(m => s"$baseDir/index/c=$m").toSeq ++
+      live.map(v => s"$baseDir/index/b=$v")
+    if (dirs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("_sh",
@@ -139,7 +142,99 @@ object StreamNearDup {
           org.apache.spark.sql.types.StructField("_lst",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType)))))
-    else s.read.parquet(vs.map(v => s"$baseDir/index/b=$v"): _*)
+    else s.read.parquet(dirs: _*)
+  }
+
+  /** Maintenance pass bounding the append-only index's growth in
+    * FILES and per-shingle ROWS: fold the previous compact snapshot
+    * (if any) and every committed delta beyond it into ONE
+    * one-row-per-shingle snapshot `index/c=<maxCommittedBatch>`
+    * ([[Dedup.mergePostingDeltas]] — pinned ≡ `postingIndex` of the
+    * union corpus, so pairing through the snapshot is unchanged),
+    * then best-effort delete what it covers. Without this, T triggers
+    * leave T delta files and up to T rows per hot shingle — the
+    * per-trigger merge stays O(touched postings) but its constant and
+    * the scan's file-open cost grow with stream age.
+    *
+    * Runs OUT-OF-BAND of the stream (a deployment's periodic
+    * maintenance job), not per trigger: it reads the full index once
+    * — O(corpus postings), vs the per-trigger O(batch) appends —
+    * though it never re-shingles a document. Crash-safe against the
+    * same reader rules as the write path: the snapshot's `_SUCCESS`
+    * is the commit point (a torn snapshot is ignored and the covered
+    * deltas still serve); a crash after commit but before cleanup
+    * leaves covered dirs that [[indexView]] provably ignores, and the
+    * next compaction retries the delete. Returns the new snapshot's
+    * batch id, or None when no committed delta extends the current
+    * snapshot. */
+  def compactIndex(s: SparkSession, baseDir: String, n: Int = 3):
+      Option[Long] = {
+    val prev = compactSnapshot(baseDir)
+    val fresh = committedBatches(s"$baseDir/corpus")
+      .filter(v => prev.forall(v > _))
+    val built = if (fresh.isEmpty) None
+    else {
+      healDeltas(s, baseDir, fresh, n)
+      val hi = fresh.max
+      val parts = prev.map(m => s"$baseDir/index/c=$m").toSeq ++
+        fresh.map(v => s"$baseDir/index/b=$v")
+      Dedup.mergePostingDeltas(s.read.parquet(parts: _*))
+        .write.mode("overwrite").parquet(s"$baseDir/index/c=$hi")
+      Some(hi)
+    }
+    // committed — everything the current snapshot covers is redundant;
+    // swept on the no-op path too, retrying a crash-interrupted cleanup
+    built.orElse(prev).foreach { hi =>
+      committedDirs(s"$baseDir/index", "c=").filter(_ < hi)
+        .foreach(m => deleteTree(s"$baseDir/index/c=$m"))
+      deltaBatches(s"$baseDir/index").filter(_ <= hi)
+        .foreach(v => deleteTree(s"$baseDir/index/b=$v"))
+    }
+    built
+  }
+
+  /** Rebuild any missing `index/b=<id>` delta among `batches` from
+    * its committed corpus dir (the pre-index-deployment heal). */
+  private def healDeltas(s: SparkSession, baseDir: String,
+      batches: Seq[Long], n: Int): Unit =
+    batches
+      .filterNot(v => Files.exists(Paths.get(s"$baseDir/index/b=$v/_SUCCESS")))
+      .foreach { v =>
+        Dedup.postingIndex(s.read.parquet(s"$baseDir/corpus/b=$v"),
+            "doc_id", "text", n)
+          .write.mode("overwrite").parquet(s"$baseDir/index/b=$v")
+      }
+
+  /** Newest committed compact snapshot id under `index/`, if any. */
+  private def compactSnapshot(baseDir: String): Option[Long] =
+    committedDirs(s"$baseDir/index", "c=").maxOption
+
+  /** All `index/b=<id>` delta dirs present on disk, committed or not
+    * (cleanup must also catch a torn delta a compaction superseded). */
+  private def deltaBatches(indexDir: String): Seq[Long] = {
+    val root = Paths.get(indexDir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val ls = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("b="))
+          .map(_.getFileName.toString.stripPrefix("b=").toLong)
+          .toSeq
+      } finally ls.close()
+    }
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[
+          java.nio.file.Path]())
+        .forEach(f => { val _ = Files.deleteIfExists(f) })
+      finally walk.close()
+    }
   }
 
   /** All documents streamed so far (committed batches only). */
@@ -170,7 +265,10 @@ object StreamNearDup {
   }
 
   /** Batch ids under `dir` whose write completed (`_SUCCESS`). */
-  private def committedBatches(dir: String): Seq[Long] = {
+  private def committedBatches(dir: String): Seq[Long] =
+    committedDirs(dir, "b=")
+
+  private def committedDirs(dir: String, prefix: String): Seq[Long] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) Seq.empty
     else {
@@ -178,9 +276,9 @@ object StreamNearDup {
       try {
         import scala.jdk.CollectionConverters._
         ls.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("b=") &&
+          .filter(p => p.getFileName.toString.startsWith(prefix) &&
             Files.exists(p.resolve("_SUCCESS")))
-          .map(_.getFileName.toString.stripPrefix("b=").toLong)
+          .map(_.getFileName.toString.stripPrefix(prefix).toLong)
           .toSeq
       } finally ls.close()
     }

@@ -115,6 +115,25 @@ class IncrementalIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("drift"))
   }
 
+  test("mergePostingDeltas(per-batch deltas) == postingIndex(union " +
+      "corpus) — the compaction kernel") {
+    val c1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta words apart zeta")).toDF("doc_id", "text")
+    val c2 = Seq((3L, "alpha beta gamma delta epsilon zeta theta"))
+      .toDF("doc_id", "text")
+    val c3 = Seq((4L, "nothing in common with anything else at all"))
+      .toDF("doc_id", "text")
+    val merged = Dedup.mergePostingDeltas(
+      Dedup.postingIndex(c1, "doc_id", "text", 3)
+        .unionByName(Dedup.postingIndex(c2, "doc_id", "text", 3))
+        .unionByName(Dedup.postingIndex(c3, "doc_id", "text", 3)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val rebuilt = Dedup.postingIndex(
+        c1.unionByName(c2).unionByName(c3), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(merged === rebuilt)
+  }
+
   test("appendToPostingIndex == rebuild from the union corpus") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),

@@ -99,6 +99,74 @@ class StreamNearDupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 11L)))
   }
 
+  test("compaction mid-stream: pairing and the exactly-once union are " +
+      "unchanged, covered dirs are cleaned, the snapshot is canonical") {
+    val dir = Files.createTempDirectory("graft_snd_compact").toString
+    assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L))
+    assert(StreamNearDup.pairBatch(b2.toDS(), 1L, dir, 3, 500000L))
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(1L))
+    // nothing new since the snapshot → no-op
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === None)
+    val idx = java.nio.file.Paths.get(s"$dir/index")
+    assert(java.nio.file.Files.exists(idx.resolve("c=1/_SUCCESS")))
+    assert(!java.nio.file.Files.exists(idx.resolve("b=0")) &&
+      !java.nio.file.Files.exists(idx.resolve("b=1")),
+      "covered deltas must be deleted after the snapshot commit")
+    // canonical layout: one row per shingle, identical to a rebuild
+    val snap = StreamNearDup.indexView(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val rebuilt = Dedup.postingIndex(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(snap === rebuilt)
+    // a post-compaction batch pairs against snapshot + its own delta
+    assert(StreamNearDup.pairBatch(b3.toDS(), 2L, dir, 3, 500000L))
+    val streamed = StreamNearDup.allPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSet === expectedPairs)
+    assert(streamed.length === streamed.toSet.size)
+    // second compaction folds snapshot + the new delta
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(2L))
+    assert(!java.nio.file.Files.exists(idx.resolve("c=1")),
+      "superseded snapshot must be deleted")
+    assert(StreamNearDup.indexView(spark, dir, 3).count() ===
+      Dedup.postingIndex(allDocs.toDF("doc_id", "text"),
+        "doc_id", "text", 3).count())
+  }
+
+  test("torn compaction is ignored; a covered delta surviving a crash " +
+      "before cleanup never double-counts") {
+    val dir = Files.createTempDirectory("graft_snd_crash").toString
+    assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L))
+    // torn compaction: snapshot dir exists, no _SUCCESS — reader must
+    // keep serving from the deltas it claims to cover
+    Seq((0L, Seq(999L << 20 | 1L))).toDF("_sh", "_lst")
+      .write.parquet(s"$dir/index/c=0")
+    val _ = java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/index/c=0/_SUCCESS"))
+    assert(StreamNearDup.pairBatch(b2.toDS(), 1L, dir, 3, 500000L))
+    val pairs = StreamNearDup.allPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 11L)) && pairs.contains((2L, 11L)))
+    // real compaction, then a covered delta reappears (crash landed
+    // between commit and cleanup): the view must ignore it, or batch
+    // 0/1 postings double and every df in the merge is wrong
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(1L))
+    Dedup.postingIndex(b1.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .write.parquet(s"$dir/index/b=0")
+    val viaView = StreamNearDup.indexView(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val rebuilt = Dedup.postingIndex(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(viaView === rebuilt, "stale covered delta must not double-count")
+    // the next compaction retries the cleanup even with nothing new
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === None)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/index/b=0")),
+      "the no-op pass must sweep the stale covered delta")
+  }
+
   test("a pre-index corpus dir (no index delta) is self-healed, " +
       "not silently dropped from pairing") {
     val dir = Files.createTempDirectory("graft_snd_heal").toString
