@@ -141,6 +141,12 @@ object ExtensionQueries {
     * pair-generator's 2⁴³ domain bound. */
   private val IncrementOffset = 5000000000000L
 
+  /** Second increment id domain for x34's duplicate-submission rows
+    * (the same re-crawl fetched twice in one batch) — above
+    * [[IncrementOffset]] so the first fetch wins the within-batch
+    * fingerprint rank, still under the pair generator's 2⁴³ bound. */
+  private val ResubmitOffset = 6000000000000L
+
   /** X32 — INCREMENTAL near-dup: the daily-ingest recurrence. The
     * corpus is `documents`; the increment batch is a deterministic
     * 90%-prefix re-crawl of every ninth document (id +5·10¹² — the
@@ -230,6 +236,97 @@ object ExtensionQueries {
     Dedup.postingIndex(docs, "doc_id", "text", n = 3)
       .agg(count(lit(1)).as("n_shingles"),
         coalesce(sum(size(col("_lst"))), lit(0L)).as("n_postings"))
+  }
+
+  /** X34 — the INCREMENTAL CURATION PIPELINE: x10's end-to-end chain
+    * re-stated as the daily job a 100 TB deployment actually runs. The
+    * corpus is `documents` (the already-curated snapshot — never
+    * re-filtered, re-deduped, or re-paired against itself); the
+    * increment is x32's re-crawl batch. Each batch doc gets a VERDICT:
+    *
+    *  1. score (language / quality / fingerprint, one generator-barrier
+    *     projection — the x28 double-eval trap) and FILTER to
+    *     `en ∧ quality ≥ 0.3`;
+    *  2. `exact_dup` if its fingerprint already exists in the corpus
+    *     (one anti-join-shaped probe on fp — the durable fp artifact a
+    *     deployment would persist, computed inline here) or a
+    *     smaller-id batch sibling claimed the fingerprint first;
+    *  3. `near_dup` if the capped incremental pair listing
+    *     ([[Dedup.incrementalJaccardPairsPpm]] — corpus-internal pairs
+    *     never generated, Σ df_new·df_total not Σ df²) pairs it at
+    *     Jaccard ≥ 0.5 with a corpus doc or a smaller-id surviving
+    *     sibling (x10's drop-the-larger-id rule);
+    *  4. `kept` otherwise, with the deterministic minstd 80/20 split.
+    *
+    * Every stage cost is O(batch) against durable corpus-side
+    * artifacts except the inline corpus fp/posting scans this
+    * self-contained form recomputes (x33 shows the posting side served
+    * from its bucketed table; the fp side is the same contract).
+    * The adaptive df cap is stated over corpus ∪ survivors, so the
+    * DuckDB oracle restates cap, scores, and verdicts verbatim.
+    * IncrementalCurationSpec pins the verdict column against the
+    * expensive full-recompute restatement.
+    *
+    * The batch mixes the three arrival kinds a real crawl day has, so
+    * every verdict branch is live in the oracle row: changed re-crawls
+    * (x32's 90% prefix, `%9==4` at +5·10¹²), UNCHANGED re-crawls
+    * (`%9==7`, full text → the corpus-fp exact hit), and duplicate
+    * submissions (`%36==4`, the same changed re-crawl fetched twice —
+    * +6·10¹², fp absent from the corpus → the within-batch `rn>1`
+    * hit; ids stay under the pair generator's 2⁴³ packing bound at
+    * every replica scale, and exact dups never reach the generator
+    * anyway). */
+  def x34IncrementalCuration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val prefixText = array_join(slice(ws, lit(1), kWords), " ")
+    val batch = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        prefixText.as("text"))
+      .unionByName(docs.filter(col("doc_id") % 9 === 7)
+        .select((col("doc_id") + IncrementOffset).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 36 === 4)
+        .select((col("doc_id") + ResubmitOffset).as("doc_id"),
+          prefixText.as("text")))
+    val scored = batch.select(col("doc_id"), col("text"),
+        explode(array(struct(
+          operators.TextAnalysis.langIdNative(col("text")).as("lang_detected"),
+          operators.TextAnalysis.qualityScore(col("text")).as("quality"),
+          operators.TextAnalysis.fingerprintMd5(col("text")).as("fp")))).as("sc"))
+      .select(col("doc_id"), col("text"),
+        col("sc.lang_detected").as("lang_detected"),
+        col("sc.quality").as("quality"), col("sc.fp").as("fp"))
+    val filt = scored.filter(col("lang_detected") === "en" &&
+      col("quality") >= 0.3)
+    // the corpus fingerprint set — the second durable per-snapshot
+    // artifact (alongside the posting index); one map pass + distinct
+    val corpusFp = docs
+      .select(operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .distinct().withColumn("_hit", lit(1))
+    val wFp = Window.partitionBy("fp").orderBy("doc_id")
+    val flagged = filt.withColumn("_rn", row_number().over(wFp))
+      .join(corpusFp, Seq("fp"), "left")
+      .withColumn("is_exact", col("_hit").isNotNull || col("_rn") > 1)
+    val survivors = flagged.filter(!col("is_exact"))
+      .select(col("doc_id"), col("text"))
+    // batch survivors vs corpus + smaller-id survivors; increment ids
+    // top the id domain, so the dropped side is always idb
+    val nearIds = Dedup.incrementalJaccardPairsPpm(docs, survivors,
+        "doc_id", "text", n = 3, thresholdPpm = 500000L,
+        dfCap = Dedup.DfCap.AdaptiveAvg(2))
+      .select(col("idb").as("doc_id")).distinct()
+      .withColumn("_nd", lit(1))
+    flagged.join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("_nd").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(!col("is_exact") && col("_nd").isNull,
+          when(pmod(operators.Sampling.minstdHash(col("doc_id")), lit(10)) < 8,
+            lit("train")).otherwise(lit("eval"))).as("split"))
+      .orderBy("doc_id")
   }
 
   /** MinHash(128)+LSH(32 bands × 4 rows) with exact verification. The
@@ -3118,6 +3215,99 @@ object ExtensionQueries {
         |WHERE drop2.doc_id IS NULL
         |ORDER BY f2.doc_id""".stripMargin,
 
+    // x34: the incremental curation pipeline restated end-to-end —
+    // x32's batch construction, x10's scoring/filter/fingerprint
+    // formulas, the corpus-fp exact probe, and the capped incremental
+    // pair listing (same cap rule and ppm arithmetic as x32, stated
+    // over corpus ∪ survivors). minstd split uses the mod-first form
+    // (≡ (id·48271) mod M, stays far below BIGINT range for the
+    // +5·10¹² batch ids).
+    "x34_incremental_curation" -> {
+      def hits(w: String) =
+        s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
+      def score(ws: Seq[String]) = ws.map(hits).mkString("(", " + ", ")")
+      val en = score(Seq("the", "a", "of", "and"))
+      val fr = score(Seq("le", "la", "et", "les"))
+      val de = score(Seq("der", "die", "und", "das"))
+      val es = score(Seq("el", "los", "y", "una"))
+      s"""WITH batch0 AS (
+        |  SELECT doc_id + 5000000000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 9 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 6000000000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 36 = 4),
+        |s AS (SELECT doc_id, text,
+        |  $en AS s_en, $fr AS s_fr, $de AS s_de, $es AS s_es FROM batch0),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN s_en > 0 AND s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en'
+        |         WHEN s_fr > 0 AND s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr'
+        |         WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
+        |         WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
+        |         ELSE 'und' END AS lang_detected,
+        |    ROUND(LEAST(len(string_split(text,' '))/100.0, 1.0) * 0.6 +
+        |      LEAST(CAST(s_en AS DOUBLE)/(len(string_split(text,' ')) + 1.0), 1.0)
+        |        * 0.4, 6) AS quality,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM s),
+        |filt AS (SELECT * FROM scored
+        |         WHERE lang_detected = 'en' AND quality >= 0.3),
+        |corpusfp AS (SELECT DISTINCT
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT r.doc_id, r.text, r.quality,
+        |    (cf.fp IS NOT NULL OR r.rn > 1) AS is_exact
+        |  FROM (SELECT f.*, ROW_NUMBER() OVER
+        |          (PARTITION BY fp ORDER BY doc_id) AS rn FROM filt f) r
+        |  LEFT JOIN corpusfp cf ON cf.fp = r.fp),
+        |uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM flagged WHERE NOT is_exact),
+        |words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM uni)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  JOIN df ON df.shingle = a.shingle
+        |  WHERE df.df <= (SELECT 2*SUM(df)//COUNT(*) FROM df)
+        |    AND b.doc_id >= 5000000000000
+        |  GROUP BY 1,2),
+        |nd AS (
+        |  SELECT DISTINCT idb AS doc_id
+        |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+        |             JOIN sizes sb ON sb.doc_id=idb
+        |  WHERE c*1000000 >= 500000*(sa.n+sb.n-c))
+        |SELECT g.doc_id, g.quality,
+        |  CASE WHEN g.is_exact THEN 'exact_dup'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS verdict,
+        |  CASE WHEN NOT g.is_exact AND nd.doc_id IS NULL THEN
+        |    CASE WHEN (((g.doc_id % 2147483647) * 48271) % 2147483647) % 10 < 8
+        |         THEN 'train' ELSE 'eval' END END AS split
+        |FROM flagged g LEFT JOIN nd ON nd.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin
+    },
+
     // x24: four unrolled power iterations with the same integer
     // arithmetic; `//` == DIV on positives, so ranks are bit-identical
     "x24_pagerank" -> {
@@ -3947,6 +4137,7 @@ object ExtensionQueries {
     "x2c_jaccard_bounded_state" -> (x2cJaccardBoundedState _),
     "x32_incremental_neardup" -> (x32IncrementalNearDup _),
     "x33_incremental_from_index" -> (x33IncrementalFromIndex _),
+    "x34_incremental_curation" -> (x34IncrementalCuration _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),

@@ -38,6 +38,8 @@ class PlanLintSpec extends SparkTestBase {
     "t5b_edit_pairs_capped",
     "x27b_containment_capped",
     "x32_incremental_neardup",
+    // same cap agg, stated over corpus ∪ batch survivors
+    "x34_incremental_curation",
     // the from-index cap stats: two 1-row broadcast aggregates
     // (Σ|index lists| over the index; Σ|batch lists| + batch-only
     // shingle count over the joined batch)
