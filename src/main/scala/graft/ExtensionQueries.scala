@@ -267,15 +267,21 @@ object ExtensionQueries {
     * IncrementalCurationSpec pins the verdict column against the
     * expensive full-recompute restatement.
     *
-    * The batch mixes the three arrival kinds a real crawl day has, so
-    * every verdict branch is live in the oracle row: changed re-crawls
-    * (x32's 90% prefix, `%9==4` at +5·10¹²), UNCHANGED re-crawls
-    * (`%9==7`, full text → the corpus-fp exact hit), and duplicate
-    * submissions (`%36==4`, the same changed re-crawl fetched twice —
-    * +6·10¹², fp absent from the corpus → the within-batch `rn>1`
-    * hit; ids stay under the pair generator's 2⁴³ packing bound at
-    * every replica scale, and exact dups never reach the generator
-    * anyway). */
+    * The batch mixes the four arrival kinds a real crawl day has, so
+    * every verdict branch is live in the oracle row AT EVERY SCALE:
+    * changed re-crawls (x32's 90% prefix, `%9==4` at +5·10¹²),
+    * UNCHANGED re-crawls (`%9==7`, full text → the corpus-fp exact
+    * hit), duplicate submissions (`%36==4`, the same changed re-crawl
+    * fetched twice — +6·10¹², fp absent from the corpus → the
+    * within-batch `rn>1` hit), and BRAND-NEW pages (`%9==2`, the
+    * source's words in reverse order — same vocabulary and stopword
+    * mass, so language/quality survive, but reversed trigrams share no
+    * shingles → `kept`). Without the new-page kind the kept branch is
+    * scale-degenerate: at a 5× replica every changed re-crawl finds
+    * its source (Jaccard ≈ 0.9 ≥ 0.5) and kept goes empty — the same
+    * fixed-fixture trap as the df-cap lesson. Ids stay under the pair
+    * generator's 2⁴³ packing bound at every replica scale, and exact
+    * dups never reach the generator anyway. */
   def x34IncrementalCuration(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
@@ -290,6 +296,9 @@ object ExtensionQueries {
       .unionByName(docs.filter(col("doc_id") % 36 === 4)
         .select((col("doc_id") + ResubmitOffset).as("doc_id"),
           prefixText.as("text")))
+      .unionByName(docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + IncrementOffset).as("doc_id"),
+          array_join(reverse(ws), " ").as("text")))
     val scored = batch.select(col("doc_id"), col("text"),
         explode(array(struct(
           operators.TextAnalysis.langIdNative(col("text")).as("lang_detected"),
@@ -3244,7 +3253,11 @@ object ExtensionQueries {
         |    array_to_string(
         |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
         |      ' ') AS text
-        |  FROM documents WHERE doc_id % 36 = 4),
+        |  FROM documents WHERE doc_id % 36 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000 AS doc_id,
+        |    array_to_string(list_reverse(string_split(text,' ')), ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 2),
         |s AS (SELECT doc_id, text,
         |  $en AS s_en, $fr AS s_fr, $de AS s_de, $es AS s_es FROM batch0),
         |scored AS (

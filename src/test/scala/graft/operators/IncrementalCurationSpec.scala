@@ -41,6 +41,9 @@ class IncrementalCurationSpec extends SparkTestBase {
       .unionByName(docs.filter(col("doc_id") % 36 === 4)
         .select((col("doc_id") + 6000000000000L).as("doc_id"),
           prefixText.as("text")))
+      .unionByName(docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + 5000000000000L).as("doc_id"),
+          array_join(reverse(ws), " ").as("text")))
     val filt = batch
       .withColumn("lang", TextAnalysis.langIdNative(col("text")))
       .withColumn("q", TextAnalysis.qualityScore(col("text")))
