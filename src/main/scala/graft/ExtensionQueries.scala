@@ -282,7 +282,36 @@ object ExtensionQueries {
     * fixed-fixture trap as the df-cap lesson. Ids stay under the pair
     * generator's 2⁴³ packing bound at every replica scale, and exact
     * dups never reach the generator anyway. */
-  def x34IncrementalCuration(s: SparkSession, d: String): DataFrame = {
+  def x34IncrementalCuration(s: SparkSession, d: String): DataFrame =
+    incrementalCuration(s, d, (docs, survivors) =>
+      Dedup.incrementalJaccardPairsPpm(docs, survivors, "doc_id", "text",
+        n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveAvg(2)))
+
+  /** X34b — x34 SERVED FROM THE DURABLE POSTING INDEX (x33's pattern
+    * applied to the whole pipeline): identical verdicts — the oracle is
+    * x34's SQL verbatim — but the near-dup stage's corpus side is one
+    * equi join against the per-shingle posting artifact instead of
+    * re-shingling and re-shuffling the corpus, which at 125×m is most
+    * of x34's cost (PERF.md «Incremental curation at scale»). The fp
+    * probe stays the one corpus-sized pass this self-contained form
+    * recomputes inline — the durable fp-set artifact is the same
+    * contract, one distinct-string table per snapshot. */
+  def x34bCurationFromIndex(s: SparkSession, d: String): DataFrame =
+    incrementalCuration(s, d, (_, survivors) =>
+      Dedup.incrementalJaccardPairsFromIndex(docsPostingIndex(s, d),
+        survivors, "doc_id", "text", n = 3, thresholdPpm = 500000L,
+        dfCap = Dedup.DfCap.AdaptiveAvg(2)))
+
+  /** The corpus fingerprint set — the second durable per-snapshot
+    * artifact (alongside the posting index); one map pass + distinct.
+    * Package-private for TimeOne's stage dissection. */
+  private[graft] def curationCorpusFp(docs: DataFrame): DataFrame =
+    docs.select(operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .distinct().withColumn("_hit", lit(1))
+
+  /** x34's batch + scoring + exact-flag chain (everything upstream of
+    * the pair stage) — package-private for TimeOne's dissection. */
+  private[graft] def curationFlagged(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
@@ -309,22 +338,22 @@ object ExtensionQueries {
         col("sc.quality").as("quality"), col("sc.fp").as("fp"))
     val filt = scored.filter(col("lang_detected") === "en" &&
       col("quality") >= 0.3)
-    // the corpus fingerprint set — the second durable per-snapshot
-    // artifact (alongside the posting index); one map pass + distinct
-    val corpusFp = docs
-      .select(operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
-      .distinct().withColumn("_hit", lit(1))
     val wFp = Window.partitionBy("fp").orderBy("doc_id")
-    val flagged = filt.withColumn("_rn", row_number().over(wFp))
-      .join(corpusFp, Seq("fp"), "left")
+    filt.withColumn("_rn", row_number().over(wFp))
+      .join(curationCorpusFp(docs), Seq("fp"), "left")
       .withColumn("is_exact", col("_hit").isNotNull || col("_rn") > 1)
+  }
+
+  private def incrementalCuration(s: SparkSession, d: String,
+      pairStage: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val flagged = curationFlagged(s, d)
     val survivors = flagged.filter(!col("is_exact"))
       .select(col("doc_id"), col("text"))
     // batch survivors vs corpus + smaller-id survivors; increment ids
     // top the id domain, so the dropped side is always idb
-    val nearIds = Dedup.incrementalJaccardPairsPpm(docs, survivors,
-        "doc_id", "text", n = 3, thresholdPpm = 500000L,
-        dfCap = Dedup.DfCap.AdaptiveAvg(2))
+    val nearIds = pairStage(docs, survivors)
       .select(col("idb").as("doc_id")).distinct()
       .withColumn("_nd", lit(1))
     flagged.join(nearIds, Seq("doc_id"), "left")
@@ -2811,6 +2840,105 @@ object ExtensionQueries {
       |WHERE c*1000000 >= 500000*(sa.n+sb.n-c)
       |ORDER BY ida, idb""".stripMargin
 
+  // The incremental curation pipeline restated end-to-end: x32's
+  // batch construction (all four arrival kinds), x10's scoring /
+  // filter / fingerprint formulas, the corpus-fp exact probe, and the
+  // capped incremental pair listing (same cap rule and ppm arithmetic
+  // as x32, stated over corpus ∪ survivors). minstd split uses the
+  // mod-first form (≡ (id·48271) mod M, stays far below BIGINT range
+  // for the +5·10¹²/+6·10¹² batch ids). Shared verbatim by x34
+  // (from-scratch) and x34b (served from the posting index) —
+  // identical verdicts by construction, IncrementalCurationSpec.
+  private val incrementalCurationSql = {
+    def hits(w: String) =
+      s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
+    def score(ws: Seq[String]) = ws.map(hits).mkString("(", " + ", ")")
+    val en = score(Seq("the", "a", "of", "and"))
+    val fr = score(Seq("le", "la", "et", "les"))
+    val de = score(Seq("der", "die", "und", "das"))
+    val es = score(Seq("el", "los", "y", "una"))
+    s"""WITH batch0 AS (
+        |  SELECT doc_id + 5000000000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 9 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 6000000000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 36 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000 AS doc_id,
+        |    array_to_string(list_reverse(string_split(text,' ')), ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 2),
+        |s AS (SELECT doc_id, text,
+        |  $en AS s_en, $fr AS s_fr, $de AS s_de, $es AS s_es FROM batch0),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN s_en > 0 AND s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en'
+        |         WHEN s_fr > 0 AND s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr'
+        |         WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
+        |         WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
+        |         ELSE 'und' END AS lang_detected,
+        |    ROUND(LEAST(len(string_split(text,' '))/100.0, 1.0) * 0.6 +
+        |      LEAST(CAST(s_en AS DOUBLE)/(len(string_split(text,' ')) + 1.0), 1.0)
+        |        * 0.4, 6) AS quality,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM s),
+        |filt AS (SELECT * FROM scored
+        |         WHERE lang_detected = 'en' AND quality >= 0.3),
+        |corpusfp AS (SELECT DISTINCT
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT r.doc_id, r.text, r.quality,
+        |    (cf.fp IS NOT NULL OR r.rn > 1) AS is_exact
+        |  FROM (SELECT f.*, ROW_NUMBER() OVER
+        |          (PARTITION BY fp ORDER BY doc_id) AS rn FROM filt f) r
+        |  LEFT JOIN corpusfp cf ON cf.fp = r.fp),
+        |uni AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM flagged WHERE NOT is_exact),
+        |words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM uni)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  JOIN df ON df.shingle = a.shingle
+        |  WHERE df.df <= (SELECT 2*SUM(df)//COUNT(*) FROM df)
+        |    AND b.doc_id >= 5000000000000
+        |  GROUP BY 1,2),
+        |nd AS (
+        |  SELECT DISTINCT idb AS doc_id
+        |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+        |             JOIN sizes sb ON sb.doc_id=idb
+        |  WHERE c*1000000 >= 500000*(sa.n+sb.n-c))
+        |SELECT g.doc_id, g.quality,
+        |  CASE WHEN g.is_exact THEN 'exact_dup'
+        |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS verdict,
+        |  CASE WHEN NOT g.is_exact AND nd.doc_id IS NULL THEN
+        |    CASE WHEN (((g.doc_id % 2147483647) * 48271) % 2147483647) % 10 < 8
+        |         THEN 'train' ELSE 'eval' END END AS split
+        |FROM flagged g LEFT JOIN nd ON nd.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin
+  }
+
   // x27's corpus/shingle CTEs with the density-adaptive df-cap
   // (4× average df — containment needs the wider cap, see the query
   // doc) applied before pairing, mirroring
@@ -3230,97 +3358,11 @@ object ExtensionQueries {
     // pair listing (same cap rule and ppm arithmetic as x32, stated
     // over corpus ∪ survivors). minstd split uses the mod-first form
     // (≡ (id·48271) mod M, stays far below BIGINT range for the
-    // +5·10¹² batch ids).
-    "x34_incremental_curation" -> {
-      def hits(w: String) =
-        s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
-      def score(ws: Seq[String]) = ws.map(hits).mkString("(", " + ", ")")
-      val en = score(Seq("the", "a", "of", "and"))
-      val fr = score(Seq("le", "la", "et", "les"))
-      val de = score(Seq("der", "die", "und", "das"))
-      val es = score(Seq("el", "los", "y", "una"))
-      s"""WITH batch0 AS (
-        |  SELECT doc_id + 5000000000000 AS doc_id,
-        |    array_to_string(
-        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
-        |      ' ') AS text
-        |  FROM documents WHERE doc_id % 9 = 4
-        |  UNION ALL
-        |  SELECT doc_id + 5000000000000 AS doc_id, text
-        |  FROM documents WHERE doc_id % 9 = 7
-        |  UNION ALL
-        |  SELECT doc_id + 6000000000000 AS doc_id,
-        |    array_to_string(
-        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
-        |      ' ') AS text
-        |  FROM documents WHERE doc_id % 36 = 4
-        |  UNION ALL
-        |  SELECT doc_id + 5000000000000 AS doc_id,
-        |    array_to_string(list_reverse(string_split(text,' ')), ' ') AS text
-        |  FROM documents WHERE doc_id % 9 = 2),
-        |s AS (SELECT doc_id, text,
-        |  $en AS s_en, $fr AS s_fr, $de AS s_de, $es AS s_es FROM batch0),
-        |scored AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN s_en > 0 AND s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en'
-        |         WHEN s_fr > 0 AND s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr'
-        |         WHEN s_de > 0 AND s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de'
-        |         WHEN s_es > 0 AND s_es = GREATEST(s_en,s_fr,s_de,s_es) THEN 'es'
-        |         ELSE 'und' END AS lang_detected,
-        |    ROUND(LEAST(len(string_split(text,' '))/100.0, 1.0) * 0.6 +
-        |      LEAST(CAST(s_en AS DOUBLE)/(len(string_split(text,' ')) + 1.0), 1.0)
-        |        * 0.4, 6) AS quality,
-        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        |  FROM s),
-        |filt AS (SELECT * FROM scored
-        |         WHERE lang_detected = 'en' AND quality >= 0.3),
-        |corpusfp AS (SELECT DISTINCT
-        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |flagged AS (
-        |  SELECT r.doc_id, r.text, r.quality,
-        |    (cf.fp IS NOT NULL OR r.rn > 1) AS is_exact
-        |  FROM (SELECT f.*, ROW_NUMBER() OVER
-        |          (PARTITION BY fp ORDER BY doc_id) AS rn FROM filt f) r
-        |  LEFT JOIN corpusfp cf ON cf.fp = r.fp),
-        |uni AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, text FROM flagged WHERE NOT is_exact),
-        |words AS (
-        |  SELECT doc_id, w, i FROM (
-        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
-        |           generate_subscripts(string_split(text,' '),1) AS i
-        |    FROM uni)),
-        |sh AS (
-        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
-        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
-        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
-        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
-        |  JOIN df ON df.shingle = a.shingle
-        |  WHERE df.df <= (SELECT 2*SUM(df)//COUNT(*) FROM df)
-        |    AND b.doc_id >= 5000000000000
-        |  GROUP BY 1,2),
-        |nd AS (
-        |  SELECT DISTINCT idb AS doc_id
-        |  FROM inter JOIN sizes sa ON sa.doc_id=ida
-        |             JOIN sizes sb ON sb.doc_id=idb
-        |  WHERE c*1000000 >= 500000*(sa.n+sb.n-c))
-        |SELECT g.doc_id, g.quality,
-        |  CASE WHEN g.is_exact THEN 'exact_dup'
-        |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
-        |       ELSE 'kept' END AS verdict,
-        |  CASE WHEN NOT g.is_exact AND nd.doc_id IS NULL THEN
-        |    CASE WHEN (((g.doc_id % 2147483647) * 48271) % 2147483647) % 10 < 8
-        |         THEN 'train' ELSE 'eval' END END AS split
-        |FROM flagged g LEFT JOIN nd ON nd.doc_id = g.doc_id
-        |ORDER BY g.doc_id""".stripMargin
-    },
-
+    // +5·10¹² batch ids). Shared verbatim by x34b (served from the
+    // posting index) — identical verdicts by construction, pinned by
+    // IncrementalCurationSpec.
+    "x34_incremental_curation" -> incrementalCurationSql,
+    "x34b_curation_from_index" -> incrementalCurationSql,
     // x24: four unrolled power iterations with the same integer
     // arithmetic; `//` == DIV on positives, so ranks are bit-identical
     "x24_pagerank" -> {
@@ -4151,6 +4193,7 @@ object ExtensionQueries {
     "x32_incremental_neardup" -> (x32IncrementalNearDup _),
     "x33_incremental_from_index" -> (x33IncrementalFromIndex _),
     "x34_incremental_curation" -> (x34IncrementalCuration _),
+    "x34b_curation_from_index" -> (x34bCurationFromIndex _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),

@@ -349,6 +349,32 @@ object TimeOne {
       case "x2post"   => operators.Dedup.postingsHashedForTiming(Tables.documents(spark, sfDir), "doc_id", "text", 3)
       case "x2pairs"  => operators.Dedup.coShinglePairsForTiming(Tables.documents(spark, sfDir), "doc_id", "text", 3)
       case "x3stress" => operators.Dedup.minhashLshPairs(docs20x, "doc_id", "text", 3, 128, 32, 0.8)
+      // x34 stage dissection: the corpus fingerprint pass, the batch
+      // scoring/exact-flag chain, and the from-index pair stage over
+      // the survivors — each reduced to a count so the timing is the
+      // stage, not a result materialization
+      case "x34fp" =>
+        ExtensionQueries.curationCorpusFp(
+            Tables.documents(spark, sfDir).select("doc_id", "text"))
+          .agg(count(lit(1)).as("n"))
+      case "x34flag" =>
+        ExtensionQueries.curationFlagged(spark, sfDir)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"))
+      case "x34pairsidx" | "x34pairs" =>
+        val flagged = ExtensionQueries.curationFlagged(spark, sfDir)
+        val survivors = flagged.filter(!col("is_exact"))
+          .select(col("doc_id"), col("text"))
+        val pairs =
+          if (name == "x34pairs")
+            operators.Dedup.incrementalJaccardPairsPpm(
+              Tables.documents(spark, sfDir).select("doc_id", "text"),
+              survivors, "doc_id", "text", 3, 500000L,
+              operators.Dedup.DfCap.AdaptiveAvg(2))
+          else operators.Dedup.incrementalJaccardPairsFromIndex(
+            ExtensionQueries.docsPostingIndex(spark, sfDir), survivors,
+            "doc_id", "text", 3, 500000L, operators.Dedup.DfCap.AdaptiveAvg(2))
+        pairs.agg(count(lit(1)).as("n"))
       // ~6M-row global running offset: "packscan" is the two-pass
       // bucketed prefix scan, "packnaive" the single-partition global
       // window it replaces

@@ -40,6 +40,8 @@ class PlanLintSpec extends SparkTestBase {
     "x32_incremental_neardup",
     // same cap agg, stated over corpus ∪ batch survivors
     "x34_incremental_curation",
+    // the from-index cap stats, as in x33
+    "x34b_curation_from_index",
     // the from-index cap stats: two 1-row broadcast aggregates
     // (Σ|index lists| over the index; Σ|batch lists| + batch-only
     // shingle count over the joined batch)

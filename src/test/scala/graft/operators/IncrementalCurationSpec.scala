@@ -90,6 +90,12 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(exacts.exists(_ < 6000000000000L), "corpus fp-hit branch")
   }
 
+  test("x34b (served from the posting index) is row-identical to x34") {
+    val b = ExtensionQueries.queries("x34b_curation_from_index")(spark, d)
+      .collect()
+    assert(b.map(_.toString).toSeq === out.map(_.toString).toSeq)
+  }
+
   test("split is minstd 80/20 on kept rows, NULL on dropped rows") {
     out.foreach { r =>
       if (r.getString(2) == "kept") {
