@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/** Shared machinery for the streaming pipelines' append-only
+  * posting-index layout (`index/b=<batch>` deltas + `index/c=<max>`
+  * compact snapshots, committed by the CORPUS dir's `_SUCCESS` for
+  * deltas and the snapshot's own `_SUCCESS` for compactions). The
+  * pipeline-specific part — how to rebuild a batch's index delta when
+  * a committed corpus dir is missing one (a directory written by an
+  * earlier deployment of that pipeline) — is the `heal` parameter:
+  * [[StreamNearDup]] re-shingles the batch's docs verbatim, while
+  * [[StreamCurate]] must first replay the exact-dedup decision so the
+  * rebuilt delta holds only the batch's exact-survivors. */
+private[streaming] object StreamIndex {
+
+  /** The posting-index view: the newest committed compact snapshot (if
+    * any) plus every committed delta beyond it — multiple rows per
+    * shingle, the layout
+    * [[Dedup.incrementalJaccardPairsFromIndexDeltas]] merges. Covered
+    * deltas surviving a crashed compaction cleanup are provably
+    * redundant and ignored; a torn compaction (no `_SUCCESS`) is
+    * invisible and its covered deltas still serve. */
+  def indexView(s: SparkSession, baseDir: String,
+      heal: Seq[Long] => Unit): DataFrame = {
+    val snap = compactSnapshot(baseDir)
+    val live = committedBatches(s"$baseDir/corpus")
+      .filter(v => snap.forall(v > _))
+    heal(live)
+    val dirs = snap.map(m => s"$baseDir/index/c=$m").toSeq ++
+      live.map(v => s"$baseDir/index/b=$v")
+    if (dirs.isEmpty) emptyIndex(s)
+    else s.read.parquet(dirs: _*)
+  }
+
+  /** Out-of-band maintenance: fold the previous snapshot (if any) and
+    * every committed delta beyond it into ONE one-row-per-shingle
+    * snapshot `index/c=<maxCommittedBatch>` ([[Dedup
+    * .mergePostingDeltas]], pinned ≡ `postingIndex` of the union
+    * corpus), then best-effort delete what it covers — retried on the
+    * no-op path, so a crash between commit and cleanup is swept by the
+    * next pass. Returns the new snapshot id, or None when no committed
+    * delta extends the current snapshot. */
+  def compactIndex(s: SparkSession, baseDir: String,
+      heal: Seq[Long] => Unit): Option[Long] = {
+    val prev = compactSnapshot(baseDir)
+    val fresh = committedBatches(s"$baseDir/corpus")
+      .filter(v => prev.forall(v > _))
+    val built = if (fresh.isEmpty) None
+    else {
+      heal(fresh)
+      val hi = fresh.max
+      val parts = prev.map(m => s"$baseDir/index/c=$m").toSeq ++
+        fresh.map(v => s"$baseDir/index/b=$v")
+      Dedup.mergePostingDeltas(s.read.parquet(parts: _*))
+        .write.mode("overwrite").parquet(s"$baseDir/index/c=$hi")
+      Some(hi)
+    }
+    built.orElse(prev).foreach { hi =>
+      committedDirs(s"$baseDir/index", "c=").filter(_ < hi)
+        .foreach(m => deleteTree(s"$baseDir/index/c=$m"))
+      deltaBatches(s"$baseDir/index").filter(_ <= hi)
+        .foreach(v => deleteTree(s"$baseDir/index/b=$v"))
+    }
+    built
+  }
+
+  /** The `(_sh, _lst)` schema with no rows — the pre-first-commit view. */
+  def emptyIndex(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_sh",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_lst",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+
+  /** Newest committed compact snapshot id under `index/`, if any. */
+  def compactSnapshot(baseDir: String): Option[Long] =
+    committedDirs(s"$baseDir/index", "c=").maxOption
+
+  /** Batch ids under `dir` whose write completed (`_SUCCESS`). */
+  def committedBatches(dir: String): Seq[Long] = committedDirs(dir, "b=")
+
+  def committedDirs(dir: String, prefix: String): Seq[Long] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val ls = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(prefix) &&
+            Files.exists(p.resolve("_SUCCESS")))
+          .map(_.getFileName.toString.stripPrefix(prefix).toLong)
+          .toSeq
+      } finally ls.close()
+    }
+  }
+
+  /** All `index/b=<id>` delta dirs present on disk, committed or not
+    * (cleanup must also catch a torn delta a compaction superseded). */
+  def deltaBatches(indexDir: String): Seq[Long] = {
+    val root = Paths.get(indexDir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val ls = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("b="))
+          .map(_.getFileName.toString.stripPrefix("b=").toLong)
+          .toSeq
+      } finally ls.close()
+    }
+  }
+
+  def deleteTree(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[
+          java.nio.file.Path]())
+        .forEach(f => { val _ = Files.deleteIfExists(f) })
+      finally walk.close()
+    }
+  }
+}

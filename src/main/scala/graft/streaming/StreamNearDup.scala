@@ -127,23 +127,8 @@ object StreamNearDup {
     * rebuilding the delta from the committed docs — dropping it
     * silently would lose that batch's postings from every later
     * pairing. */
-  def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame = {
-    val snap = compactSnapshot(baseDir)
-    val live = committedBatches(s"$baseDir/corpus")
-      .filter(v => snap.forall(v > _))
-    healDeltas(s, baseDir, live, n)
-    val dirs = snap.map(m => s"$baseDir/index/c=$m").toSeq ++
-      live.map(v => s"$baseDir/index/b=$v")
-    if (dirs.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("_sh",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("_lst",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType)))))
-    else s.read.parquet(dirs: _*)
-  }
+  def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame =
+    StreamIndex.indexView(s, baseDir, healDeltas(s, baseDir, _, n))
 
   /** Maintenance pass bounding the append-only index's growth in
     * FILES and per-shingle ROWS: fold the previous compact snapshot
@@ -168,30 +153,8 @@ object StreamNearDup {
     * batch id, or None when no committed delta extends the current
     * snapshot. */
   def compactIndex(s: SparkSession, baseDir: String, n: Int = 3):
-      Option[Long] = {
-    val prev = compactSnapshot(baseDir)
-    val fresh = committedBatches(s"$baseDir/corpus")
-      .filter(v => prev.forall(v > _))
-    val built = if (fresh.isEmpty) None
-    else {
-      healDeltas(s, baseDir, fresh, n)
-      val hi = fresh.max
-      val parts = prev.map(m => s"$baseDir/index/c=$m").toSeq ++
-        fresh.map(v => s"$baseDir/index/b=$v")
-      Dedup.mergePostingDeltas(s.read.parquet(parts: _*))
-        .write.mode("overwrite").parquet(s"$baseDir/index/c=$hi")
-      Some(hi)
-    }
-    // committed — everything the current snapshot covers is redundant;
-    // swept on the no-op path too, retrying a crash-interrupted cleanup
-    built.orElse(prev).foreach { hi =>
-      committedDirs(s"$baseDir/index", "c=").filter(_ < hi)
-        .foreach(m => deleteTree(s"$baseDir/index/c=$m"))
-      deltaBatches(s"$baseDir/index").filter(_ <= hi)
-        .foreach(v => deleteTree(s"$baseDir/index/b=$v"))
-    }
-    built
-  }
+      Option[Long] =
+    StreamIndex.compactIndex(s, baseDir, healDeltas(s, baseDir, _, n))
 
   /** Rebuild any missing `index/b=<id>` delta among `batches` from
     * its committed corpus dir (the pre-index-deployment heal). */
@@ -205,37 +168,7 @@ object StreamNearDup {
           .write.mode("overwrite").parquet(s"$baseDir/index/b=$v")
       }
 
-  /** Newest committed compact snapshot id under `index/`, if any. */
-  private def compactSnapshot(baseDir: String): Option[Long] =
-    committedDirs(s"$baseDir/index", "c=").maxOption
 
-  /** All `index/b=<id>` delta dirs present on disk, committed or not
-    * (cleanup must also catch a torn delta a compaction superseded). */
-  private def deltaBatches(indexDir: String): Seq[Long] = {
-    val root = Paths.get(indexDir)
-    if (!Files.isDirectory(root)) Seq.empty
-    else {
-      val ls = Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        ls.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("b="))
-          .map(_.getFileName.toString.stripPrefix("b=").toLong)
-          .toSeq
-      } finally ls.close()
-    }
-  }
-
-  private def deleteTree(dir: String): Unit = {
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[
-          java.nio.file.Path]())
-        .forEach(f => { val _ = Files.deleteIfExists(f) })
-      finally walk.close()
-    }
-  }
 
   /** All documents streamed so far (committed batches only). */
   def corpusView(s: SparkSession, baseDir: String): Dataset[NdDoc] = {
@@ -266,21 +199,5 @@ object StreamNearDup {
 
   /** Batch ids under `dir` whose write completed (`_SUCCESS`). */
   private def committedBatches(dir: String): Seq[Long] =
-    committedDirs(dir, "b=")
-
-  private def committedDirs(dir: String, prefix: String): Seq[Long] = {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) Seq.empty
-    else {
-      val ls = Files.list(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        ls.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith(prefix) &&
-            Files.exists(p.resolve("_SUCCESS")))
-          .map(_.getFileName.toString.stripPrefix(prefix).toLong)
-          .toSeq
-      } finally ls.close()
-    }
-  }
+    StreamIndex.committedBatches(dir)
 }
