@@ -367,6 +367,63 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** X35 — incremental near-dup on the SKETCH path: x32's re-crawl
+    * batch against the corpus via MinHash-LSH band buckets
+    * ([[Dedup.incrementalMinhashLshPairs]] — the corpus bucket table is
+    * never self-joined, candidates touch the batch by construction,
+    * verification fetches only candidate ids' shingle sets). This is
+    * the production-scale daily recurrence for the LSH family exactly
+    * as x32/x33 are for exact Jaccard: banding cost tracks the batch,
+    * and the banded + set tables are the persistable per-snapshot
+    * artifacts. Oracle = the exact union pair listing restricted to
+    * ≥1-new at 0.8 — same recall contract as x3 (1-(1-0.8⁴)³² ≈
+    * 1-5·10⁻⁸), so the LSH path must reproduce the exact restricted
+    * result. */
+  def x35IncrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    Dedup.incrementalMinhashLshPairs(docs, increment, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .orderBy("ida", "idb")
+  }
+
+  /** X35b — x35 SERVED FROM THE PER-SNAPSHOT LSH ARTIFACTS
+    * ([[docsLshArtifacts]]: the band-bucket table + the verification
+    * set table, session-memoized stand-ins for the durable tables):
+    * the daily job signatures and bands ONLY the batch — the corpus is
+    * never re-shingled, re-signatured, or re-banded. Row-identical to
+    * x35 (oracle verbatim; same builder, prebuilt corpus side). */
+  def x35bLshFromArtifact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    val (corpusBanded, corpusSets) = docsLshArtifacts(s, d)
+    Dedup.incrementalLshFromArtifacts(corpusBanded, corpusSets, increment,
+        "doc_id", "text", n = 3, numHashes = 128, bands = 32,
+        threshold = 0.8)
+      .orderBy("ida", "idb")
+  }
+
+  /** The LSH artifact BUILD cost as a first-class bench row (the
+    * memoized-artifact lesson: x35b serves from the memo, so bench
+    * history would never see a signature-build regression without
+    * this). benchOnly, reduced to corpus-level stats. */
+  def x35fLshSigsetBuild(s: SparkSession, d: String): DataFrame =
+    Dedup.lshSigSet(
+        Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, numHashes = 128)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("_set"))), lit(0L)).as("n_postings"))
+
   /** MinHash(128)+LSH(32 bands × 4 rows) with exact verification. The
     * oracle is the exact-Jaccard pair set: precision is exact (each
     * candidate is re-verified), and at threshold 0.8 banding recall is
@@ -584,6 +641,32 @@ object ExtensionQueries {
       postingIndexMemo.putIfAbsent((s, d), built) match {
         case Some(winner) => built.unpersist(); winner
         case None         => built
+      }
+    }
+  }
+
+  // ——— memoized LSH artifacts (the x35b corpus side) ———
+  // The band-bucket table and the per-doc verification set table, both
+  // derived once per snapshot from Dedup.lshSigSet — session-memoized,
+  // the stand-in for the durable tables a deployment persists (x5c's
+  // codebook pattern; builds are a first-class benchOnly row, x35f).
+  private val lshArtifactsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def docsLshArtifacts(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    lshArtifactsMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(lshArtifactsMemo.remove)
+    lshArtifactsMemo.get((s, d)).getOrElse {
+      val sigSet = Dedup.lshSigSet(
+        Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, numHashes = 128)
+      val built = (Dedup.lshBanded(sigSet, 128, 32).persist(),
+        sigSet.select(col("_id"), col("_set")).persist())
+      lshArtifactsMemo.putIfAbsent((s, d), built) match {
+        case Some(winner) =>
+          built._1.unpersist(); built._2.unpersist(); winner
+        case None => built
       }
     }
   }
@@ -2849,6 +2932,39 @@ object ExtensionQueries {
   // for the +5·10¹²/+6·10¹² batch ids). Shared verbatim by x34
   // (from-scratch) and x34b (served from the posting index) —
   // identical verdicts by construction, IncrementalCurationSpec.
+  // The exact union pair listing restricted to ≥1-new at 0.8 — the
+  // x35/x35b oracle (see the map entry comment).
+  private val incrementalLshSql =
+    """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 4),
+        |words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM corpus)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= 5000000000000
+        |  GROUP BY 1,2)
+        |SELECT ida, idb, jaccard FROM (
+        |  SELECT ida, idb, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+        |             JOIN sizes sb ON sb.doc_id=idb) t
+        |WHERE jaccard >= 0.8
+        |ORDER BY ida, idb""".stripMargin
+
   private val incrementalCurationSql = {
     def hits(w: String) =
       s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
@@ -3218,6 +3334,13 @@ object ExtensionQueries {
         |ORDER BY ida, idb""".stripMargin,
 
     "x3_dedup_minhash_lsh" -> jaccardPairsSql.replace("%THRESH%", "0.8"),
+
+    // x35: the exact union pair listing restricted to ≥1-new (the
+    // increment tops the id domain, so the new-side test is on idb) —
+    // same recall adjudication as x3's exact oracle. Shared verbatim
+    // by x35b (served from the memoized signature/set artifact).
+    "x35b_lsh_from_artifact" -> incrementalLshSql,
+    "x35_incremental_lsh" -> incrementalLshSql,
 
     "x4b_simhash_portable" -> {
       val bitSums = (0 until 60)
@@ -4194,6 +4317,8 @@ object ExtensionQueries {
     "x33_incremental_from_index" -> (x33IncrementalFromIndex _),
     "x34_incremental_curation" -> (x34IncrementalCuration _),
     "x34b_curation_from_index" -> (x34bCurationFromIndex _),
+    "x35_incremental_lsh"    -> (x35IncrementalLsh _),
+    "x35b_lsh_from_artifact" -> (x35bLshFromArtifact _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
@@ -4322,5 +4447,7 @@ object ExtensionQueries {
     "x32f_union_recompute" -> (x32fUnionRecompute _),
     // posting-index build cost (x33 serves from the memo/table)
     "x33b_index_build"     -> (x33bIndexBuild _),
+    // LSH signature/set artifact build cost (x35b serves from the memo)
+    "x35f_lsh_sigset_build" -> (x35fLshSigsetBuild _),
   )
 }

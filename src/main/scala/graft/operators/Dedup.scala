@@ -643,6 +643,103 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL MinHash-LSH — the sketch-path twin of
+    * [[incrementalJaccardPairsPpm]]: all LSH-candidate pairs TOUCHING
+    * the increment, exact-verified, with corpus-internal candidates
+    * never generated. The corpus side contributes two per-snapshot
+    * artifacts a deployment persists once and appends to per batch:
+    * the BAND-BUCKET table ((band, bandHash) → doc) and the per-doc
+    * shingle-set table — the daily job signatures only the batch, one
+    * equi join per artifact (increment×corpus candidates from the
+    * bucket join, increment-internal from the batch's own self-join),
+    * and verification joins fetch only candidate ids' sets. Cost is
+    * O(batch bands + candidate pairs), independent of corpus size for
+    * a fixed collision density; the full recompute re-bands and
+    * re-self-joins the whole corpus every run.
+    *
+    * Requires corpus and increment id domains DISJOINT with every
+    * increment id above every corpus id (how the engine's recurrences
+    * lay out batch ids — [[graft.ExtensionQueries]]'s `+5·10¹²`
+    * offset), so `ida < idb` orients every cross pair corpus→batch.
+    * Same recall contract as [[minhashLshPairs]]: candidates share ≥1
+    * of `bands` band hashes, each verified with exact hashed-shingle
+    * Jaccard — precision exact, recall 1-(1-t^r)^b. Results equal the
+    * full-corpus LSH listing restricted to ≥1-increment pairs
+    * (IncrementalLshSpec pins it against the fixture). */
+  def incrementalMinhashLshPairs(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val cs = lshSigSet(corpus, idCol, textCol, n, numHashes)
+    incrementalLshFromArtifacts(lshBanded(cs, numHashes, bands),
+      cs.select(col("_id"), col("_set")), increment,
+      idCol, textCol, n, numHashes, bands, threshold)
+  }
+
+  /** The per-doc (signature, shingle-hash set) table — the
+    * per-snapshot LSH artifact [[incrementalLshFromSigSet]] serves
+    * from (the banded bucket table and the verification set table both
+    * derive from it; a deployment persists those two, this is their
+    * common build). */
+  def lshSigSet(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128): DataFrame =
+    postingsHashed(df, idCol, textCol, n)
+      .groupBy("_id").agg(
+        graft.functions.MinHashAgg.minhash(numHashes)(col("_sh")).as("_sig"),
+        collect_list(col("_sh")).as("_set"))
+
+  /** The band-bucket table derived from a [[lshSigSet]]: one
+    * (doc, band, bandHash) row per band — the join key of the
+    * incremental LSH recurrence, and the second per-snapshot artifact
+    * a deployment persists (bucketed by `_bh`). */
+  def lshBanded(sigSet: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigSet.select(col("_id"),
+      posexplode(array((0 until bands).map { bnd =>
+        xxhash64((lit(bnd) +:
+          (0 until r).map(j => element_at(col("_sig"), bnd * r + j + 1))): _*)
+      }: _*)).as(Seq("_band", "_bh")))
+  }
+
+  /** [[incrementalMinhashLshPairs]] with the corpus side supplied as
+    * prebuilt artifacts (the [[lshBanded]] bucket table and the
+    * per-doc shingle-set table, both derived once per snapshot from
+    * [[lshSigSet]]): the daily job signatures and bands ONLY the batch
+    * — the corpus is never re-shingled, re-signatured, or re-banded. */
+  def incrementalLshFromArtifacts(corpusBanded: DataFrame,
+      corpusSets: DataFrame, increment: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    def banded(ss: DataFrame) = lshBanded(ss, numHashes, bands)
+    val is = lshSigSet(increment, idCol, textCol, n, numHashes)
+    val ib = banded(is)
+    // increment×corpus via ONE equi join on the bucket key — the
+    // corpus bucket table is never self-joined — plus the batch's own
+    // banded self-join for increment-internal candidates
+    val candXC = ib.toDF("idb", "band_b", "bh_b")
+      .join(corpusBanded.toDF("ida", "band_a", "bh_a"),
+        col("band_a") === col("band_b") && col("bh_a") === col("bh_b"))
+      .select("ida", "idb")
+    val candII = ib.toDF("ida", "band_a", "bh_a")
+      .join(ib.toDF("idb", "band_b", "bh_b"),
+        col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
+          col("ida") < col("idb"))
+      .select("ida", "idb")
+    val cand = candXC.unionByName(candII).distinct()
+    val setsA = corpusSets.select(col("_id").as("va"), col("_set").as("set_a"))
+      .unionByName(is.select(col("_id").as("va"), col("_set").as("set_a")))
+    val setsB = is.select(col("_id").as("vb"), col("_set").as("set_b"))
+    cand
+      .join(setsA, col("ida") === col("va"))
+      .join(setsB, col("idb") === col("vb"))
+      .select(col("ida"), col("idb"),
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          (size(col("set_a")) + size(col("set_b")) -
+            size(array_intersect(col("set_a"), col("set_b")))), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise matches into dedup CLUSTERS (pick one canonical
     * doc per component; the greedy "drop larger id of each pair" rule
