@@ -992,6 +992,42 @@ object ExtensionQueries {
       .orderBy("ida", "idb")
   }
 
+  /** X36 — incremental near-dup on the VECTOR modality: the daily
+    * re-embed batch (every third base vector, perturbed — the model
+    * refresh that re-encodes part of the corpus) against the corpus
+    * via hyperplane-LSH buckets, with the corpus bucket table NEVER
+    * self-joined ([[Similarity.incrementalLshCandidates]]: one equi
+    * join of the probed corpus artifact against the batch's raw
+    * buckets + the batch's own probed self-join; probing is folded
+    * into the artifact so the batch never maps over the corpus), then
+    * the exact quantized rerank at 0.99 on candidates only. Completes
+    * the incremental recurrence family across all three dedup
+    * modalities (exact/sketch text: x32-x35; vectors: here). Oracle =
+    * the exact decimal pair listing over the union restricted to
+    * ≥1-new — same every-candidate-verified / near-parallel-recall
+    * adjudication as x6b. */
+  def x36IncrementalEmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val increment = raw.filter(col("vec_id") % 3 === 1)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+    val corpus = raw.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val corpusProbed = Similarity.probedBuckets(
+      corpus.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12)
+    val cand = Similarity.incrementalLshCandidates(corpusProbed,
+      increment.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12)
+    scaledCosOnPairs(quantizedVectors(corpus.unionByName(increment)),
+        cand, "ida", "idb")
+      .filter(col("cos") >= 0.99)
+      .orderBy("ida", "idb")
+  }
+
   /** The PRODUCTION ANN path, benched as itself: multi-table LSH with
     * the native codegen'd cosine rerank (no per-dimension explode, no
     * decimal relational layout — the shape that runs at 100 TB). x5b
@@ -3712,6 +3748,27 @@ object ExtensionQueries {
         |  FROM dots JOIN norms na ON na.vec_id=ida JOIN norms nb ON nb.vec_id=idb) t
         |WHERE cos >= 0.99 ORDER BY ida, idb""".stripMargin,
 
+    // x36: the exact decimal pair listing over corpus ∪ re-embed
+    // batch, restricted to ≥1-new (batch ids top the domain)
+    "x36_incremental_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 200
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x + 0.001)
+        |  FROM embeddings WHERE vec_id < 200 AND vec_id % 3 = 1),
+        |e AS (SELECT vec_id, i, CAST(x AS DECIMAL(9,6)) v FROM
+        |  (SELECT vec_id, unnest(emb) x, generate_subscripts(emb,1) i FROM base)),
+        |dots AS (SELECT a.vec_id ida, b.vec_id idb, SUM(a.v*b.v) dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  WHERE b.vec_id >= 1000000 GROUP BY 1,2),
+        |norms AS (SELECT vec_id, SUM(v*v) n2 FROM e GROUP BY 1)
+        |SELECT ida, idb, cos FROM (
+        |  SELECT ida, idb,
+        |    ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id=ida JOIN norms nb ON nb.vec_id=idb) t
+        |WHERE cos >= 0.99 ORDER BY ida, idb""".stripMargin,
+
     "x6_embedding_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -4335,6 +4392,7 @@ object ExtensionQueries {
     "x5c_ann_ivf_recall"     -> (x5cAnnIvfRecall _),
     "x6_embedding_neardup"   -> (x6EmbeddingNearDup _),
     "x6b_neardup_lsh"        -> (x6bNearDupLsh _),
+    "x36_incremental_embed_neardup" -> (x36IncrementalEmbedNearDup _),
     "t1_text_stats"          -> (t1TextStats _),
     "t2_langid"              -> (t2LangId _),
     "t3_fingerprint"         -> (t3Fingerprint _),

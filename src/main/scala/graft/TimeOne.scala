@@ -361,6 +361,32 @@ object TimeOne {
         ExtensionQueries.curationFlagged(spark, sfDir)
           .agg(count(lit(1)).as("n"),
             sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"))
+      // x36's incremental vector near-dup machinery at ~1M corpus
+      // vectors: "x36stress" pairs a ~0.1% re-embed batch against the
+      // probed-bucket artifact; "x36stress_full" is the full
+      // lshNearDupCandidates recompute restricted — the corpus-sized
+      // baseline the incremental form avoids
+      case "x36stress" | "x36stress_full" =>
+        val corpus = embStress
+        val increment = corpus.filter(pmod(col("vec_id"), lit(997)) === 0)
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.001f))
+              .cast("array<float>").as("embedding"))
+        val cand =
+          if (name == "x36stress_full")
+            operators.Similarity.lshNearDupCandidates(
+                corpus.unionByName(increment), "vec_id", "embedding", 64, 12)
+              .filter(col("idb") >= 1000000000L)
+          else {
+            // the artifact is PREBUILT per snapshot — persist it
+            // outside the timed reps so warm reps time the serve
+            val artifact = operators.Similarity.probedBuckets(
+              corpus, "vec_id", "embedding", 64, 12).persist()
+            val _ = artifact.count()
+            operators.Similarity.incrementalLshCandidates(
+              artifact, increment, "vec_id", "embedding", 64, 12)
+          }
+        cand.agg(count(lit(1)).as("n_candidates"))
       case "x34pairsidx" | "x34pairs" =>
         val flagged = ExtensionQueries.curationFlagged(spark, sfDir)
         val survivors = flagged.filter(!col("is_exact"))

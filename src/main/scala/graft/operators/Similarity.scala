@@ -380,6 +380,49 @@ object Similarity {
       .distinct()
   }
 
+  /** The raw hyperplane-bucket table ((_id, _b0) — one row per
+    * vector). With [[probedBuckets]], the pair of per-snapshot
+    * artifacts the incremental near-dup recurrence serves from. */
+  def rawBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int = 12): DataFrame =
+    df.select(col(idCol).as("_id"),
+      lshBucket(col(vecCol), dim, nPlanes).as("_b0"))
+
+  /** The radius-1-probed bucket table (1 + nPlanes rows per vector
+    * when multiProbe) — probing is folded INTO the artifact, so the
+    * daily batch never maps over the corpus. */
+  def probedBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int = 12, multiProbe: Boolean = true): DataFrame =
+    rawBuckets(df, idCol, vecCol, dim, nPlanes)
+      .select(col("_id"), explode(
+        if (multiProbe) probeRadius1(col("_b0"), nPlanes)
+        else array(col("_b0"))).as("_bucket"))
+
+  /** INCREMENTAL [[lshNearDupCandidates]]: candidate pairs TOUCHING
+    * the increment only, with the corpus bucket table never
+    * self-joined — increment×corpus candidates from one equi join of
+    * the PROBED corpus artifact against the batch's raw buckets,
+    * increment-internal from the batch's own probed self-join.
+    * Reproduces the full form's candidate set restricted to ≥1-new
+    * EXACTLY (the probe direction is keyed on the smaller pair id,
+    * so this requires every increment id above every corpus id — the
+    * engine's batch id layout). */
+  def incrementalLshCandidates(corpusProbed: DataFrame,
+      increment: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nPlanes: Int = 12, multiProbe: Boolean = true): DataFrame = {
+    val incRaw = rawBuckets(increment, idCol, vecCol, dim, nPlanes)
+    val candXC = corpusProbed.toDF("ida", "bucket")
+      .join(incRaw.toDF("idb", "bucket2"), col("bucket") === col("bucket2"))
+      .select("ida", "idb")
+    val candII = probedBuckets(increment, idCol, vecCol, dim, nPlanes,
+        multiProbe)
+      .toDF("ida", "bucket")
+      .join(incRaw.toDF("idb", "bucket2"),
+        col("bucket") === col("bucket2") && col("ida") < col("idb"))
+      .select("ida", "idb")
+    candXC.unionByName(candII).distinct()
+  }
+
   /** All pairs (a<b) with cosine ≥ threshold within `df` — embedding
     * near-dup detection. Exact; O(n²·dim), so use on a bucketed or
     * sampled candidate set (pair with [[lshBucket]] at scale). */
