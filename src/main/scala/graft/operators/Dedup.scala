@@ -344,7 +344,44 @@ object Dedup {
   def incrementalJaccardPairsPpm(corpus: DataFrame, increment: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       thresholdPpm: Long = 500000L,
-      dfCap: DfCap = DfCap.NoCap): DataFrame = {
+      dfCap: DfCap = DfCap.NoCap): DataFrame =
+    incrementalPairsFromSplitLists(
+      incrementalSplitLists(corpus, increment, idCol, textCol, n, dfCap),
+      thresholdPpm)
+
+  /** INCREMENTAL containment — the directed-overlap twin of
+    * [[incrementalJaccardPairsPpm]] ([[containmentPairs]]'s score on
+    * the same split-list machinery): every capped |A∩B|/|A| ≥ pct
+    * directed pair TOUCHING the increment, corpus-internal pairs
+    * never generated. Both directions of each undirected pair are
+    * scored, so a boilerplate-wrapped re-crawl is caught as a SUB of
+    * its source even when Jaccard is diluted (x27's raison d'être),
+    * at the incremental recurrence's Σ df_new·df_total cost. Same
+    * exact-integer ppm arithmetic and union-density adaptive cap as
+    * the batch form — a DuckDB oracle restates both verbatim. */
+  def incrementalContainmentPairs(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, thresholdPct: Int = 90,
+      dfCap: DfCap = DfCap.NoCap): DataFrame =
+    incrementalCountsFromSplitLists(
+      incrementalSplitLists(corpus, increment, idCol, textCol, n, dfCap))
+      .select(explode(array(
+        struct(col("ida").as("id_sub"), col("idb").as("id_super"),
+          col("c"), col("na").as("nsub")),
+        struct(col("idb").as("id_sub"), col("ida").as("id_super"),
+          col("c"), col("nb").as("nsub")))).as("e"))
+      .select(col("e.id_sub"), col("e.id_super"), col("e.c"), col("e.nsub"))
+      .filter(col("c") * 100 >= lit(thresholdPct) * col("nsub"))
+      .select(col("id_sub"), col("id_super"),
+        expr("c * 1000000 div nsub").as("cont_ppm"))
+
+  /** Shared front of the incremental pair shapes: the union posting
+    * shuffle with per-shingle SPLIT new/old packed lists, cap applied
+    * on TOTAL df, only increment-touched shingles kept (the only-old
+    * tail — the vast majority at real corpus:increment ratios — drops
+    * before any pair generation). */
+  private def incrementalSplitLists(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      dfCap: DfCap): DataFrame = {
     val post = postingsHashed(corpus, idCol, textCol, n)
       .withColumn("_new", lit(false))
       .unionByName(postingsHashed(increment, idCol, textCol, n)
@@ -369,17 +406,16 @@ object Dedup {
     // Only shingles the increment touches can produce pairs; the
     // only-old tail (the vast majority at real corpus:increment
     // ratios) drops here, before any pair generation.
-    incrementalPairsFromSplitLists(
-      lists.filter(size(col("_lstn")) >= 1), thresholdPpm)
+    lists.filter(size(col("_lstn")) >= 1)
   }
 
-  /** Shared tail of the incremental pair shapes: from per-shingle
-    * SPLIT posting lists (`_sh`, `_lstn` new-side, `_lsto` old-side —
-    * already cap-filtered, `_lstn` non-empty), generate new×new pairs
-    * via the sorted-list generator and new×old pairs via a two-level
-    * explode, then score with the exact-integer ppm gate. */
-  private def incrementalPairsFromSplitLists(active: DataFrame,
-      thresholdPpm: Long): DataFrame = {
+  /** Pair counts from per-shingle SPLIT posting lists (`_sh`, `_lstn`
+    * new-side, `_lsto` old-side — already cap-filtered, `_lstn`
+    * non-empty): new×new pairs via the sorted-list generator, new×old
+    * pairs via a two-level explode, aggregated to
+    * (ida, idb, c, na, nb) — the shared front of every incremental
+    * pair score (Jaccard ppm, containment ppm). */
+  private def incrementalCountsFromSplitLists(active: DataFrame): DataFrame = {
     val newNew = explodePackedPairs(active.select(col("_lstn").as("_lst")))
     val sizeMask = (1L << SizeBits) - 1
     val newOld = active.filter(size(col("_lsto")) >= 1)
@@ -395,11 +431,17 @@ object Dedup {
       .groupBy("ida", "idb")
       .agg(count(lit(1)).as("c"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))
+  }
+
+  /** [[incrementalCountsFromSplitLists]] scored with the exact-integer
+    * Jaccard ppm gate. */
+  private def incrementalPairsFromSplitLists(active: DataFrame,
+      thresholdPpm: Long): DataFrame =
+    incrementalCountsFromSplitLists(active)
       .filter(col("c") * lit(1000000L) >=
         lit(thresholdPpm) * (col("na") + col("nb") - col("c")))
       .select(col("ida"), col("idb"),
         expr("c * 1000000 div (na + nb - c)").as("jaccard_ppm"))
-  }
 
   /** The durable per-shingle posting INDEX for incremental near-dup:
     * one row per shingle hash carrying the corpus' packed posting list

@@ -40,6 +40,8 @@ class PlanLintSpec extends SparkTestBase {
     "x32_incremental_neardup",
     // same cap agg, stated over corpus ∪ batch survivors
     "x34_incremental_curation",
+    // x32's cap agg with the containment tail
+    "x37_incremental_containment",
     // the from-index cap stats, as in x33
     "x34b_curation_from_index",
     // the from-index cap stats: two 1-row broadcast aggregates

@@ -71,6 +71,29 @@ class IncrementalNearDupSpec extends SparkTestBase {
     assert(inc.nonEmpty, "the 90%-prefix re-crawl must land above 0.5")
   }
 
+  test("x37's containment twin: incremental directed containment == " +
+      "full capped containment restricted to >=1-new, non-trivial") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val k = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + 5000000000000L).as("doc_id"),
+        array_join(slice(ws, lit(1), k), " ").as("text"))
+    val cap = Dedup.DfCap.AdaptiveAvg(4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = rows(Dedup.incrementalContainmentPairs(
+      docs, increment, "doc_id", "text", 3, 90, cap))
+    val full = rows(Dedup.containmentPairs(
+        docs.unionByName(increment), "doc_id", "text", 3, 90, cap)
+      .filter(col("id_sub") >= 5000000000000L ||
+        col("id_super") >= 5000000000000L))
+    assert(inc === full)
+    assert(inc.exists(_._1 >= 5000000000000L),
+      "the 90% prefix re-crawl must appear as a SUB of its source")
+  }
+
   test("empty increment: no pairs; empty corpus: exactly the " +
       "increment-internal pairs") {
     val docs = Seq(
