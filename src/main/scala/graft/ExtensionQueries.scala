@@ -415,6 +415,25 @@ object ExtensionQueries {
       .orderBy("id_sub", "id_super")
   }
 
+  /** X37b — x37 SERVED FROM THE DURABLE POSTING INDEX (the SAME
+    * artifact x33 serves Jaccard from — one per-snapshot index, every
+    * incremental score reads it): shingle only the batch, one equi
+    * join, the 4× adaptive cap restated from the index stats.
+    * Row-identical to x37 (oracle verbatim, IncrementalIndexSpec). */
+  def x37bContainmentFromIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    Dedup.incrementalContainmentPairsFromIndex(docsPostingIndex(s, d),
+        increment, "doc_id", "text", n = 3, thresholdPct = 90,
+        dfCap = Dedup.DfCap.AdaptiveAvg(4))
+      .orderBy("id_sub", "id_super")
+  }
+
   /** X35b — x35 SERVED FROM THE PER-SNAPSHOT LSH ARTIFACTS
     * ([[docsLshArtifacts]]: the band-bucket table + the verification
     * set table, session-memoized stand-ins for the durable tables):
@@ -2991,6 +3010,44 @@ object ExtensionQueries {
   // for the +5·10¹²/+6·10¹² batch ids). Shared verbatim by x34
   // (from-scratch) and x34b (served from the posting index) —
   // identical verdicts by construction, IncrementalCurationSpec.
+  // x27b's directed containment over x32's union corpus, restricted
+  // to pairs touching the increment — the x37/x37b oracle.
+  private val incrementalContainmentSql =
+    """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000 AS doc_id,
+        |    array_to_string(
+        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 4),
+        |words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM corpus)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  JOIN df ON df.shingle = a.shingle
+        |  WHERE df.df <= (SELECT 4*SUM(df)//COUNT(*) FROM df)
+        |    AND b.doc_id >= 5000000000000
+        |  GROUP BY 1,2),
+        |dir AS (
+        |  SELECT ida AS id_sub, idb AS id_super, c, sa.n AS nsub
+        |  FROM inter JOIN sizes sa ON sa.doc_id = ida
+        |  UNION ALL
+        |  SELECT idb, ida, c, sb.n FROM inter JOIN sizes sb ON sb.doc_id = idb)
+        |SELECT id_sub, id_super, CAST(c * 1000000 // nsub AS BIGINT) AS cont_ppm
+        |FROM dir WHERE c * 100 >= 90 * nsub
+        |ORDER BY id_sub, id_super""".stripMargin
+
   // The exact union pair listing restricted to ≥1-new at 0.8 — the
   // x35/x35b oracle (see the map entry comment).
   private val incrementalLshSql =
@@ -3403,42 +3460,11 @@ object ExtensionQueries {
 
     // x37: x27b's directed containment under the 4× adaptive cap,
     // stated over x32's union corpus and restricted to pairs touching
-    // the increment (the undirected pair's larger id is the new side)
-    "x37_incremental_containment" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 5000000000000 AS doc_id,
-        |    array_to_string(
-        |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
-        |      ' ') AS text
-        |  FROM documents WHERE doc_id % 9 = 4),
-        |words AS (
-        |  SELECT doc_id, w, i FROM (
-        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
-        |           generate_subscripts(string_split(text,' '),1) AS i
-        |    FROM corpus)),
-        |sh AS (
-        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
-        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
-        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
-        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
-        |  JOIN df ON df.shingle = a.shingle
-        |  WHERE df.df <= (SELECT 4*SUM(df)//COUNT(*) FROM df)
-        |    AND b.doc_id >= 5000000000000
-        |  GROUP BY 1,2),
-        |dir AS (
-        |  SELECT ida AS id_sub, idb AS id_super, c, sa.n AS nsub
-        |  FROM inter JOIN sizes sa ON sa.doc_id = ida
-        |  UNION ALL
-        |  SELECT idb, ida, c, sb.n FROM inter JOIN sizes sb ON sb.doc_id = idb)
-        |SELECT id_sub, id_super, CAST(c * 1000000 // nsub AS BIGINT) AS cont_ppm
-        |FROM dir WHERE c * 100 >= 90 * nsub
-        |ORDER BY id_sub, id_super""".stripMargin,
+    // the increment (the undirected pair's larger id is the new side).
+    // Shared verbatim by x37b (served from the posting index).
+    "x37b_containment_from_index" -> incrementalContainmentSql,
+    "x37_incremental_containment" -> incrementalContainmentSql,
+    
 
     "x4b_simhash_portable" -> {
       val bitSums = (0 until 60)
@@ -4439,6 +4465,7 @@ object ExtensionQueries {
     "x35_incremental_lsh"    -> (x35IncrementalLsh _),
     "x35b_lsh_from_artifact" -> (x35bLshFromArtifact _),
     "x37_incremental_containment" -> (x37IncrementalContainment _),
+    "x37b_containment_from_index" -> (x37bContainmentFromIndex _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),

@@ -362,8 +362,30 @@ object Dedup {
   def incrementalContainmentPairs(corpus: DataFrame, increment: DataFrame,
       idCol: String, textCol: String, n: Int = 3, thresholdPct: Int = 90,
       dfCap: DfCap = DfCap.NoCap): DataFrame =
-    incrementalCountsFromSplitLists(
-      incrementalSplitLists(corpus, increment, idCol, textCol, n, dfCap))
+    containmentFromCounts(incrementalCountsFromSplitLists(
+        incrementalSplitLists(corpus, increment, idCol, textCol, n, dfCap)),
+      thresholdPct)
+
+  /** [[incrementalContainmentPairs]] SERVED FROM a prebuilt
+    * [[postingIndex]] — x33's artifact contract with the containment
+    * score: one equi join against the bucketed index, the 4×-style
+    * adaptive cap restated from the same two 1-row stats aggregates,
+    * the corpus never re-shingled. Row-identical to the from-scratch
+    * form (IncrementalIndexSpec pins it). */
+  def incrementalContainmentPairsFromIndex(index: DataFrame,
+      increment: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      thresholdPct: Int = 90, dfCap: DfCap = DfCap.NoCap): DataFrame =
+    containmentFromCounts(incrementalCountsFromSplitLists(
+        incrementalSplitListsFromIndex(index, increment, idCol, textCol,
+          n, dfCap)),
+      thresholdPct)
+
+  /** The directed-containment gate over (ida, idb, c, na, nb) counts:
+    * both directions scored, `c·100 ≥ pct·nsub` membership,
+    * exact-integer `cont_ppm = ⌊c·10⁶/nsub⌋`. */
+  private def containmentFromCounts(counts: DataFrame,
+      thresholdPct: Int): DataFrame =
+    counts
       .select(explode(array(
         struct(col("ida").as("id_sub"), col("idb").as("id_super"),
           col("c"), col("na").as("nsub")),
@@ -473,7 +495,19 @@ object Dedup {
   def incrementalJaccardPairsFromIndex(index: DataFrame, increment: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       thresholdPpm: Long = 500000L,
-      dfCap: DfCap = DfCap.NoCap): DataFrame = {
+      dfCap: DfCap = DfCap.NoCap): DataFrame =
+    incrementalPairsFromSplitLists(
+      incrementalSplitListsFromIndex(index, increment, idCol, textCol,
+        n, dfCap),
+      thresholdPpm)
+
+  /** Shared from-index front: the batch's postings left-joined against
+    * the prebuilt index on `_sh`, cap restated from the two 1-row
+    * stats aggregates (see [[incrementalJaccardPairsFromIndex]]'s
+    * doc). */
+  private def incrementalSplitListsFromIndex(index: DataFrame,
+      increment: DataFrame, idCol: String, textCol: String, n: Int,
+      dfCap: DfCap): DataFrame = {
     val emptyLst = array().cast("array<long>")
     val listsN = postingsHashed(increment, idCol, textCol, n)
       .groupBy("_sh").agg(sort_array(collect_list(packedEntry)).as("_lstn"))
@@ -502,7 +536,7 @@ object Dedup {
       case bounded => throw new IllegalArgumentException(
         s"$bounded: cap the from-index shape with Fixed/AdaptiveAvg")
     }
-    incrementalPairsFromSplitLists(capped, thresholdPpm)
+    capped
   }
 
   /** [[incrementalJaccardPairsFromIndex]] over an APPEND-ONLY DELTA

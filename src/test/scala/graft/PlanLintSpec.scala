@@ -44,6 +44,7 @@ class PlanLintSpec extends SparkTestBase {
     "x37_incremental_containment",
     // the from-index cap stats, as in x33
     "x34b_curation_from_index",
+    "x37b_containment_from_index",
     // the from-index cap stats: two 1-row broadcast aggregates
     // (Σ|index lists| over the index; Σ|batch lists| + batch-only
     // shingle count over the joined batch)

@@ -92,6 +92,11 @@ class IncrementalNearDupSpec extends SparkTestBase {
     assert(inc === full)
     assert(inc.exists(_._1 >= 5000000000000L),
       "the 90% prefix re-crawl must appear as a SUB of its source")
+    // the from-index form (x37b) is row-identical
+    val fromIdx = rows(Dedup.incrementalContainmentPairsFromIndex(
+      Dedup.postingIndex(docs, "doc_id", "text", 3), increment,
+      "doc_id", "text", 3, 90, cap))
+    assert(fromIdx === inc)
   }
 
   test("empty increment: no pairs; empty corpus: exactly the " +
