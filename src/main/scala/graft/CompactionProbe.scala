@@ -81,6 +81,10 @@ object CompactionProbe {
     val snap = StreamNearDup.compactIndex(spark, baseDir, 3)
     val compactS = (System.nanoTime() - t0) / 1e9
     require(snap.contains((nBatches - 2).toLong), s"snapshot=$snap")
+    // covered-dir cleanup is deferred one pass (reader safety); the
+    // no-op follow-up performs the sweep so snapshot_files reports the
+    // steady-state file population
+    require(StreamNearDup.compactIndex(spark, baseDir, 3).isEmpty)
     val snapFiles = countFiles()
     val viaSnapshot = timePairing()
 

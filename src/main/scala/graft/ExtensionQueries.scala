@@ -3001,15 +3001,6 @@ object ExtensionQueries {
       |WHERE c*1000000 >= 500000*(sa.n+sb.n-c)
       |ORDER BY ida, idb""".stripMargin
 
-  // The incremental curation pipeline restated end-to-end: x32's
-  // batch construction (all four arrival kinds), x10's scoring /
-  // filter / fingerprint formulas, the corpus-fp exact probe, and the
-  // capped incremental pair listing (same cap rule and ppm arithmetic
-  // as x32, stated over corpus ∪ survivors). minstd split uses the
-  // mod-first form (≡ (id·48271) mod M, stays far below BIGINT range
-  // for the +5·10¹²/+6·10¹² batch ids). Shared verbatim by x34
-  // (from-scratch) and x34b (served from the posting index) —
-  // identical verdicts by construction, IncrementalCurationSpec.
   // x27b's directed containment over x32's union corpus, restricted
   // to pairs touching the increment — the x37/x37b oracle.
   private val incrementalContainmentSql =
@@ -3081,6 +3072,15 @@ object ExtensionQueries {
         |WHERE jaccard >= 0.8
         |ORDER BY ida, idb""".stripMargin
 
+  // The incremental curation pipeline restated end-to-end: x32's
+  // batch construction (all four arrival kinds), x10's scoring /
+  // filter / fingerprint formulas, the corpus-fp exact probe, and the
+  // capped incremental pair listing (same cap rule and ppm arithmetic
+  // as x32, stated over corpus ∪ survivors). minstd split uses the
+  // mod-first form (≡ (id·48271) mod M, stays far below BIGINT range
+  // for the +5·10¹²/+6·10¹² batch ids). Shared verbatim by x34
+  // (from-scratch) and x34b (served from the posting index) —
+  // identical verdicts by construction, IncrementalCurationSpec.
   private val incrementalCurationSql = {
     def hits(w: String) =
       s"(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')))/${w.length + 2}"
@@ -3374,8 +3374,8 @@ object ExtensionQueries {
     // x32: the full capped pair listing over corpus ∪ increment,
     // restricted to pairs touching the increment — increment ids are
     // the top of the id domain, so "≥1 new side" ⇔ the LARGER pair id
-    // is new (idb ≥ 5,000,000). Same cap rule and ppm arithmetic as
-    // x2b, stated over the union corpus.
+    // is new (idb ≥ 5·10¹², IncrementOffset). Same cap rule and ppm
+    // arithmetic as x2b, stated over the union corpus.
     "x32_incremental_neardup" -> incrementalNearDupSql,
 
     // x33: x32 served from the posting index — identical row set by

@@ -371,7 +371,12 @@ object Dedup {
     * score: one equi join against the bucketed index, the 4×-style
     * adaptive cap restated from the same two 1-row stats aggregates,
     * the corpus never re-shingled. Row-identical to the from-scratch
-    * form (IncrementalIndexSpec pins it). */
+    * form (IncrementalIndexSpec pins it).
+    *
+    * PRECONDITION: `index` must be the CANONICAL one-row-per-shingle
+    * layout — see [[incrementalJaccardPairsFromIndex]]'s doc for what
+    * the multi-row delta layout silently corrupts;
+    * [[assertCanonicalIndexLayout]] checks it. */
   def incrementalContainmentPairsFromIndex(index: DataFrame,
       increment: DataFrame, idCol: String, textCol: String, n: Int = 3,
       thresholdPct: Int = 90, dfCap: DfCap = DfCap.NoCap): DataFrame =
@@ -481,6 +486,24 @@ object Dedup {
     postingsHashed(corpus, idCol, textCol, n)
       .groupBy("_sh").agg(sort_array(collect_list(packedEntry)).as("_lst"))
 
+  /** Debug guard for the from-index entry points' canonical-layout
+    * precondition: throws if `index` carries more than one row for any
+    * shingle (the append-only DELTA layout, which the from-index join
+    * would silently fan out — route those through
+    * [[incrementalJaccardPairsFromIndexDeltas]] or collapse with
+    * [[mergePostingDeltas]] first). One count-only aggregate pass —
+    * O(1) state per key, no list ever built; an eager action by
+    * design, so call it from validation paths, not per query. */
+  def assertCanonicalIndexLayout(index: DataFrame): Unit = {
+    val dup = index.groupBy("_sh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"posting index is not canonical: shingle ${dup.head.get(0)} has " +
+        s"${dup.head.getLong(1)} rows — this is the multi-row delta " +
+        "layout; merge with mergePostingDeltas or use the *FromIndexDeltas " +
+        "entry point")
+  }
+
   /** [[incrementalJaccardPairsPpm]] SERVED FROM a prebuilt
     * [[postingIndex]]: identical row set (IncrementalIndexSpec pins
     * it), but the corpus side costs one equi join on `_sh` against the
@@ -491,7 +514,18 @@ object Dedup {
     * |index rows| + |batch-only shingles|, both from 1-row broadcast
     * aggregates (a deployment folds the index-side pair into the index
     * build and stores it with the table — it never changes between
-    * appends it participates in). */
+    * appends it participates in).
+    *
+    * PRECONDITION: `index` must be the CANONICAL one-row-per-shingle
+    * layout ([[postingIndex]] / [[appendToPostingIndex]] /
+    * [[mergePostingDeltas]] output). The multi-row DELTA layout (one
+    * row per shingle PER COMMITTED BATCH — what a live stream
+    * accumulates) must go through
+    * [[incrementalJaccardPairsFromIndexDeltas]] instead: handed to
+    * this entry point, the left join would fan each batch shingle out
+    * once per delta row and count new×new pairs once per duplicate —
+    * silently inflating co-shingle counts. Debug-check a questionable
+    * index with [[assertCanonicalIndexLayout]] (one aggregate pass). */
   def incrementalJaccardPairsFromIndex(index: DataFrame, increment: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       thresholdPpm: Long = 500000L,

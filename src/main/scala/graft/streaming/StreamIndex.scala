@@ -40,10 +40,21 @@ private[streaming] object StreamIndex {
     * every committed delta beyond it into ONE one-row-per-shingle
     * snapshot `index/c=<maxCommittedBatch>` ([[Dedup
     * .mergePostingDeltas]], pinned ≡ `postingIndex` of the union
-    * corpus), then best-effort delete what it covers — retried on the
-    * no-op path, so a crash between commit and cleanup is swept by the
-    * next pass. Returns the new snapshot id, or None when no committed
-    * delta extends the current snapshot. */
+    * corpus). Cleanup of covered dirs is DEFERRED BY ONE PASS: this
+    * call deletes only what the snapshot committed BEFORE it (`prev`)
+    * covers, never what the snapshot it just built covers — so an
+    * [[indexView]] reader that planned its scan against the pre-pass
+    * listing (prev snapshot + deltas beyond it) still finds every file
+    * it listed even while this pass commits. The newly covered dirs
+    * are provably ignored by every later reader (the view filters
+    * `batch > snapshot`) and the NEXT pass — including a no-op pass
+    * with nothing new to fold — sweeps them; the same retry also
+    * sweeps leftovers of a crash between commit and cleanup. The
+    * remaining caveat a deployment must schedule around: a reader
+    * still mid-scan after TWO further maintenance passes can lose its
+    * files — run compaction strictly less often than twice per
+    * longest reader. Returns the new snapshot id, or None when no
+    * committed delta extends the current snapshot. */
   def compactIndex(s: SparkSession, baseDir: String,
       heal: Seq[Long] => Unit): Option[Long] = {
     val prev = compactSnapshot(baseDir)
@@ -59,10 +70,14 @@ private[streaming] object StreamIndex {
         .write.mode("overwrite").parquet(s"$baseDir/index/c=$hi")
       Some(hi)
     }
-    built.orElse(prev).foreach { hi =>
-      committedDirs(s"$baseDir/index", "c=").filter(_ < hi)
+    // deferred cleanup: key the sweep on the snapshot committed at
+    // ENTRY, not the one just built — a concurrent reader's planned
+    // listing references c=prev and b>prev, neither of which this
+    // deletes
+    prev.foreach { p =>
+      committedDirs(s"$baseDir/index", "c=").filter(_ < p)
         .foreach(m => deleteTree(s"$baseDir/index/c=$m"))
-      deltaBatches(s"$baseDir/index").filter(_ <= hi)
+      deltaBatches(s"$baseDir/index").filter(_ <= p)
         .foreach(v => deleteTree(s"$baseDir/index/b=$v"))
     }
     built

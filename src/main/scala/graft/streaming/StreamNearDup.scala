@@ -135,11 +135,15 @@ object StreamNearDup {
     * (if any) and every committed delta beyond it into ONE
     * one-row-per-shingle snapshot `index/c=<maxCommittedBatch>`
     * ([[Dedup.mergePostingDeltas]] — pinned ≡ `postingIndex` of the
-    * union corpus, so pairing through the snapshot is unchanged),
-    * then best-effort delete what it covers. Without this, T triggers
-    * leave T delta files and up to T rows per hot shingle — the
-    * per-trigger merge stays O(touched postings) but its constant and
-    * the scan's file-open cost grow with stream age.
+    * union corpus, so pairing through the snapshot is unchanged);
+    * covered dirs are deleted ONE PASS LATER (see
+    * [[StreamIndex.compactIndex]] — a reader that planned its scan
+    * against the pre-pass listing keeps its files; one further
+    * maintenance pass per reader lifetime is the safe cadence).
+    * Without compaction, T triggers leave T delta files and up to T
+    * rows per hot shingle — the per-trigger merge stays O(touched
+    * postings) but its constant and the scan's file-open cost grow
+    * with stream age.
     *
     * Runs OUT-OF-BAND of the stream (a deployment's periodic
     * maintenance job), not per trigger: it reads the full index once
@@ -147,11 +151,11 @@ object StreamNearDup {
     * though it never re-shingles a document. Crash-safe against the
     * same reader rules as the write path: the snapshot's `_SUCCESS`
     * is the commit point (a torn snapshot is ignored and the covered
-    * deltas still serve); a crash after commit but before cleanup
-    * leaves covered dirs that [[indexView]] provably ignores, and the
-    * next compaction retries the delete. Returns the new snapshot's
-    * batch id, or None when no committed delta extends the current
-    * snapshot. */
+    * deltas still serve); a crash after commit but before the
+    * deferred cleanup leaves covered dirs that [[indexView]] provably
+    * ignores, and any later pass — including a no-op one — retries
+    * the delete. Returns the new snapshot's batch id, or None when no
+    * committed delta extends the current snapshot. */
   def compactIndex(s: SparkSession, baseDir: String, n: Int = 3):
       Option[Long] =
     StreamIndex.compactIndex(s, baseDir, healDeltas(s, baseDir, _, n))

@@ -105,13 +105,18 @@ class StreamNearDupSpec extends SparkTestBase {
     assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L))
     assert(StreamNearDup.pairBatch(b2.toDS(), 1L, dir, 3, 500000L))
     assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(1L))
-    // nothing new since the snapshot → no-op
-    assert(StreamNearDup.compactIndex(spark, dir, 3) === None)
     val idx = java.nio.file.Paths.get(s"$dir/index")
+    // cleanup is DEFERRED one pass so a reader planned against the
+    // pre-compaction listing still finds its deltas
+    assert(java.nio.file.Files.exists(idx.resolve("b=0")) &&
+      java.nio.file.Files.exists(idx.resolve("b=1")),
+      "freshly covered deltas must survive the pass that covered them")
+    // nothing new since the snapshot → no-op, which performs the sweep
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === None)
     assert(java.nio.file.Files.exists(idx.resolve("c=1/_SUCCESS")))
     assert(!java.nio.file.Files.exists(idx.resolve("b=0")) &&
       !java.nio.file.Files.exists(idx.resolve("b=1")),
-      "covered deltas must be deleted after the snapshot commit")
+      "covered deltas must be deleted by the pass after the commit")
     // canonical layout: one row per shingle, identical to a rebuild
     val snap = StreamNearDup.indexView(spark, dir, 3)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
@@ -125,10 +130,14 @@ class StreamNearDupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(streamed.toSet === expectedPairs)
     assert(streamed.length === streamed.toSet.size)
-    // second compaction folds snapshot + the new delta
+    // second compaction folds snapshot + the new delta; the
+    // superseded snapshot goes on the NEXT pass (deferred cleanup)
     assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(2L))
+    assert(java.nio.file.Files.exists(idx.resolve("c=1")),
+      "superseded snapshot survives the covering pass")
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === None)
     assert(!java.nio.file.Files.exists(idx.resolve("c=1")),
-      "superseded snapshot must be deleted")
+      "superseded snapshot must be deleted by the following pass")
     assert(StreamNearDup.indexView(spark, dir, 3).count() ===
       Dedup.postingIndex(allDocs.toDF("doc_id", "text"),
         "doc_id", "text", 3).count())
@@ -148,10 +157,12 @@ class StreamNearDupSpec extends SparkTestBase {
     val pairs = StreamNearDup.allPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 11L)) && pairs.contains((2L, 11L)))
-    // real compaction, then a covered delta reappears (crash landed
-    // between commit and cleanup): the view must ignore it, or batch
-    // 0/1 postings double and every df in the merge is wrong
+    // real compaction + the deferred sweep, then a covered delta
+    // reappears (crash landed between commit and cleanup): the view
+    // must ignore it, or batch 0/1 postings double and every df in
+    // the merge is wrong
     assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(1L))
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === None)
     Dedup.postingIndex(b1.toDF("doc_id", "text"), "doc_id", "text", 3)
       .write.parquet(s"$dir/index/b=0")
     val viaView = StreamNearDup.indexView(spark, dir, 3)
