@@ -283,35 +283,45 @@ object ExtensionQueries {
     * generator's 2⁴³ packing bound at every replica scale, and exact
     * dups never reach the generator anyway. */
   def x34IncrementalCuration(s: SparkSession, d: String): DataFrame =
-    incrementalCuration(s, d, (docs, survivors) =>
-      Dedup.incrementalJaccardPairsPpm(docs, survivors, "doc_id", "text",
-        n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveAvg(2)))
+    incrementalCuration(s, d,
+      curationCorpusFp(Tables.wide(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))),
+      (docs, survivors) =>
+        Dedup.incrementalJaccardPairsPpm(docs, survivors, "doc_id", "text",
+          n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.AdaptiveAvg(2)))
 
-  /** X34b — x34 SERVED FROM THE DURABLE POSTING INDEX (x33's pattern
-    * applied to the whole pipeline): identical verdicts — the oracle is
-    * x34's SQL verbatim — but the near-dup stage's corpus side is one
-    * equi join against the per-shingle posting artifact instead of
-    * re-shingling and re-shuffling the corpus, which at 125×m is most
-    * of x34's cost (PERF.md «Incremental curation at scale»). The fp
-    * probe stays the one corpus-sized pass this self-contained form
-    * recomputes inline — the durable fp-set artifact is the same
-    * contract, one distinct-string table per snapshot. */
+  /** X34b — x34 SERVED FROM THE DURABLE PER-SNAPSHOT ARTIFACTS (x33's
+    * pattern applied to the whole pipeline): identical verdicts — the
+    * oracle is x34's SQL verbatim — but BOTH corpus-sized stages read
+    * artifacts instead of re-deriving the corpus: the near-dup stage's
+    * corpus side is one equi join against the per-shingle posting
+    * index (no corpus re-shingle/re-shuffle — at 125×m most of x34's
+    * cost, PERF.md «Incremental curation at scale»), and the exact-dup
+    * probe joins the durable fingerprint set ([[docsCorpusFp]] — the
+    * bucketed fp table when [[useCorpusFp]] is active, the
+    * session-persisted build otherwise) instead of re-hashing every
+    * corpus document. With both artifacts durable, the daily job's
+    * cost tracks the BATCH in every stage. */
   def x34bCurationFromIndex(s: SparkSession, d: String): DataFrame =
-    incrementalCuration(s, d, (_, survivors) =>
+    incrementalCuration(s, d, docsCorpusFp(s, d), (_, survivors) =>
       Dedup.incrementalJaccardPairsFromIndex(docsPostingIndex(s, d),
         survivors, "doc_id", "text", n = 3, thresholdPpm = 500000L,
         dfCap = Dedup.DfCap.AdaptiveAvg(2)))
 
   /** The corpus fingerprint set — the second durable per-snapshot
     * artifact (alongside the posting index); one map pass + distinct.
-    * Package-private for TimeOne's stage dissection. */
+    * Package-private for TimeOne's stage dissection; the durable form
+    * is [[corpusFpArtifact]]. */
   private[graft] def curationCorpusFp(docs: DataFrame): DataFrame =
     docs.select(operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
-      .distinct().withColumn("_hit", lit(1))
+      .distinct()
 
   /** x34's batch + scoring + exact-flag chain (everything upstream of
-    * the pair stage) — package-private for TimeOne's dissection. */
-  private[graft] def curationFlagged(s: SparkSession, d: String): DataFrame = {
+    * the pair stage), probing `fpSet` for corpus-fp exact hits — x34
+    * passes the inline recompute (self-contained oracle form), x34b
+    * the durable artifact. Package-private for TimeOne's dissection. */
+  private[graft] def curationFlagged(s: SparkSession, d: String,
+      fpSet: DataFrame): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
@@ -340,15 +350,16 @@ object ExtensionQueries {
       col("quality") >= 0.3)
     val wFp = Window.partitionBy("fp").orderBy("doc_id")
     filt.withColumn("_rn", row_number().over(wFp))
-      .join(curationCorpusFp(docs), Seq("fp"), "left")
+      .join(fpSet.withColumn("_hit", lit(1)), Seq("fp"), "left")
       .withColumn("is_exact", col("_hit").isNotNull || col("_rn") > 1)
   }
 
   private def incrementalCuration(s: SparkSession, d: String,
+      fpSet: DataFrame,
       pairStage: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
-    val flagged = curationFlagged(s, d)
+    val flagged = curationFlagged(s, d, fpSet)
     val survivors = flagged.filter(!col("is_exact"))
       .select(col("doc_id"), col("text"))
     // batch survivors vs corpus + smaller-id survivors; increment ids
@@ -436,10 +447,12 @@ object ExtensionQueries {
 
   /** X35b — x35 SERVED FROM THE PER-SNAPSHOT LSH ARTIFACTS
     * ([[docsLshArtifacts]]: the band-bucket table + the verification
-    * set table, session-memoized stand-ins for the durable tables):
-    * the daily job signatures and bands ONLY the batch — the corpus is
-    * never re-shingled, re-signatured, or re-banded. Row-identical to
-    * x35 (oracle verbatim; same builder, prebuilt corpus side). */
+    * set table — the DURABLE bucketed catalog tables when
+    * [[useLshArtifacts]] is active, the session-persisted builds
+    * otherwise): the daily job signatures and bands ONLY the batch —
+    * the corpus is never re-shingled, re-signatured, or re-banded.
+    * Row-identical to x35 (oracle verbatim; same builder, prebuilt
+    * corpus side). */
   def x35bLshFromArtifact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
@@ -512,125 +525,40 @@ object ExtensionQueries {
     * later callers — including re-invocations of the same query —
     * start from the cached result. Keyed by (session, dir) so tests
     * and multi-sf runs never cross-contaminate. */
-  private val clusterMapMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  /** Builds observed by the memo — specs assert the durable read-back
-    * path never triggers one. */
-  private[graft] val clusterMapBuilds =
-    new java.util.concurrent.atomic.AtomicInteger(0)
-  /** Session conf key naming the durable cluster-map table. When set
-    * (see [[useClusterMap]]) and the named table exists AND was written
-    * for the same corpus dir, every consumer (x11/x17/x29, the
-    * pipeline) reads the table instead of building — the
-    * materialized-artifact path a snapshot pipeline runs. A dir
-    * mismatch (stale conf pointing at another snapshot's table) falls
-    * back to the build path rather than serving wrong clusters. */
-  val ClusterMapTableConf = "spark.graft.clusterMapTable"
-  private val SourceDirProp = "graft.sourceDir"
+  /** The cluster-map artifact: label propagation runs in the snapshot
+    * job; every later consumer (canonical pick, leakage split — in
+    * other sessions and other days) reads the bucketed table. Bucketed
+    * by doc_id so downstream doc-keyed joins/aggregates start from a
+    * hash-partitioned scan — at cluster scale the map-side exchange of
+    * the biggest consumer disappears; ClusterMapSpec pins the
+    * no-shuffle doc_id aggregate. (All the memo/conf/provenance
+    * plumbing lives in [[DurableArtifact]], shared by every
+    * per-snapshot artifact below.) */
+  private[graft] val clusterMapArtifact = new DurableArtifact(
+    "spark.graft.clusterMapTable", Seq("doc_id"),
+    (s, d) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8))
+      .select(col("node").as("doc_id"), col("cluster_id")))
+
+  /** Session conf key naming the durable cluster-map table (see
+    * [[useClusterMap]]); a dir mismatch falls back to the build path
+    * rather than serving another snapshot's clusters. */
+  val ClusterMapTableConf: String = clusterMapArtifact.tableConf
+  private[graft] def clusterMapBuilds = clusterMapArtifact.builds
   private[graft] def nearDupClusterMap(s: SparkSession, d: String): DataFrame =
-    durableClusterMap(s, d).getOrElse(memoizedClusterMap(s, d))
+    clusterMapArtifact.resolve(s, d)
 
-  /** The session-memo build path (bypasses the durable table — used by
-    * [[writeClusterMap]] so an overwrite never scans the very table it
-    * is replacing). */
-  private def memoizedClusterMap(s: SparkSession, d: String): DataFrame = {
-      // hygiene: a stopped-then-recreated session must not leak its
-      // (now-unusable) persisted entries into the memo forever
-      clusterMapMemo.keys.filter(_._1.sparkContext.isStopped)
-        .foreach(clusterMapMemo.remove)
-      clusterMapMemo.get((s, d)).getOrElse {
-        // label propagation runs driver-side loop actions eagerly, so
-        // concurrent first-callers each pay a build (and the counter
-        // records each); putIfAbsent keeps exactly one persisted map
-        // and unpersists the loser instead of leaking it
-        clusterMapBuilds.incrementAndGet()
-        val built = Dedup.connectedComponents(
-            Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-              n = 3, threshold = 0.8))
-          .select(col("node").as("doc_id"), col("cluster_id"))
-          .persist()
-        clusterMapMemo.putIfAbsent((s, d), built) match {
-          case Some(winner) => built.unpersist(); winner
-          case None         => built
-        }
-      }
-  }
+  /** Point this session's cluster-map consumers at a written table
+    * (writing it if absent or stamped for another dir). */
+  def useClusterMap(s: SparkSession, d: String, table: String): Unit =
+    clusterMapArtifact.use(s, d, table)
 
-  /** The durable-table branch of [[nearDupClusterMap]]: Some(table
-    * scan) iff the conf names a table that exists and carries this
-    * dir's provenance property. */
-  private def durableClusterMap(s: SparkSession, d: String): Option[DataFrame] = {
-    val t = s.conf.get(ClusterMapTableConf, "")
-    if (t.isEmpty || !s.catalog.tableExists(t)) None
-    else if (s.sql(s"SHOW TBLPROPERTIES $t").collect()
-        .exists(r => r.getString(0) == SourceDirProp && r.getString(1) == d))
-      Some(s.table(t))
-    else None
-  }
-
-  /** Point this session's cluster-map consumers at a written table:
-    * writes it if absent (first snapshot job), then sets
-    * [[ClusterMapTableConf]] so x11/x17/x29 and the pipeline read the
-    * bucketed table from here on. */
-  def useClusterMap(s: SparkSession, d: String, table: String): Unit = {
-    if (!s.catalog.tableExists(table)) writeClusterMap(s, d, table)
-    s.conf.set(ClusterMapTableConf, table)
-  }
-
-  /** Durable twin of [[nearDupClusterMap]] — writes the map as a
-    * BUCKETED catalog table, the once-per-corpus-snapshot artifact a
-    * real 100 TB pipeline produces: label propagation runs in the
-    * snapshot job, and every later consumer (canonical pick, leakage
-    * split, incremental dedup in *other sessions and other days*)
-    * reads the table. Bucketed by doc_id so downstream doc-keyed
-    * joins/aggregates start from a hash-partitioned scan — at cluster
-    * scale the map-side exchange of the biggest consumer disappears;
-    * ClusterMapSpec pins the no-shuffle doc_id aggregate. */
+  /** Durable bucketed write of the cluster map — see
+    * [[clusterMapArtifact]]. */
   def writeClusterMap(s: SparkSession, d: String, table: String,
-      buckets: Int = 8): Unit = {
-    dropOrphanWarehouseDir(s, table)
-    memoizedClusterMap(s, d).write.mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(table)
-    // provenance stamp: the durable-read branch only trusts a table
-    // whose recorded corpus dir matches the caller's — a conf left
-    // pointing at another snapshot's map falls back to building
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SourceDirProp' = '$d')")
-  }
-
-  /** A previous JVM's default-warehouse directory can outlive its
-    * in-memory metastore; saveAsTable then refuses to adopt the
-    * orphan location (LOCATION_ALREADY_EXISTS) and every fresh
-    * session would fall back to the memo build forever. Remove the
-    * orphan iff the catalog genuinely has no such table — never a
-    * live table's data. */
-  private def dropOrphanWarehouseDir(s: SparkSession, table: String): Unit = {
-    if (!s.catalog.tableExists(table)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        .stripPrefix("file:")
-      // default-db tables live at <wh>/<leaf>; any other database at
-      // <wh>/<db>.db/<leaf> — derive both segments from the identifier
-      // so a db-qualified name can't no-op here while deleting an
-      // unrelated same-named directory at the warehouse root
-      val parts = table.split('.').map(_.toLowerCase)
-      val leaf = parts.last
-      val db = parts.length match {
-        case 1 => "default"
-        case 2 => parts(0)
-        case _ => parts(parts.length - 2) // catalog.db.table
-      }
-      val orphan =
-        if (db == "default") java.nio.file.Paths.get(wh, leaf)
-        else java.nio.file.Paths.get(wh, s"$db.db", leaf)
-      if (java.nio.file.Files.exists(orphan)) {
-        val walk = java.nio.file.Files.walk(orphan)
-        try {
-          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => { val _ = java.nio.file.Files.deleteIfExists(f) })
-        } finally walk.close() // the stream holds a directory handle
-      }
-    }
-  }
+      buckets: Int = 8): Unit =
+    clusterMapArtifact.write(s, d, table, buckets)
 
   /** Read-back path for [[writeClusterMap]]'s table — no memo, no
     * rebuild: any session sharing the catalog (a fresh SparkSession,
@@ -638,89 +566,40 @@ object ExtensionQueries {
   def readClusterMap(s: SparkSession, table: String): DataFrame =
     s.table(table)
 
-  /** Eviction hook for the session memo: unpersists and forgets one
-    * (session, dir) entry — the counterpart a long-lived session
-    * iterating corpus snapshots calls when a snapshot is superseded. */
+  /** Eviction hook for the session memo. */
   def evictClusterMap(s: SparkSession, d: String): Unit =
-    clusterMapMemo.remove((s, d)).foreach(_.unpersist())
+    clusterMapArtifact.evict(s, d)
 
   // ——— durable posting index (the incremental near-dup artifact) ———
   // Same materialized-artifact contract as the cluster map: the
   // per-shingle packed posting lists ([[Dedup.postingIndex]]) are
   // built once per corpus snapshot, persisted as a catalog table
-  // BUCKETED BY `_sh`, and every later increment job (x33, and
-  // tomorrow's session) joins its batch against the table with no
+  // BUCKETED BY `_sh`, and every later increment job (x33/x37b/x34b,
+  // and tomorrow's session) joins its batch against the table with no
   // corpus-side shuffle and no corpus re-shingle.
-  private val postingIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  /** Builds observed by the memo — IncrementalIndexSpec asserts the
-    * durable read-back path never triggers one. */
-  private[graft] val postingIndexBuilds =
-    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val postingIndexArtifact = new DurableArtifact(
+    "spark.graft.postingIndexTable", Seq("_sh"),
+    (s, d) => Dedup.postingIndex(
+      Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 3))
+
   /** Session conf key naming the durable posting-index table; same
     * provenance rule as [[ClusterMapTableConf]] (dir mismatch falls
     * back to building rather than serving another snapshot's index). */
-  val PostingIndexTableConf = "spark.graft.postingIndexTable"
+  val PostingIndexTableConf: String = postingIndexArtifact.tableConf
+  /** Builds observed — IncrementalIndexSpec asserts the durable
+    * read-back path never triggers one. */
+  private[graft] def postingIndexBuilds = postingIndexArtifact.builds
 
-  private[graft] def docsPostingIndex(s: SparkSession, d: String): DataFrame = {
-    val t = s.conf.get(PostingIndexTableConf, "")
-    if (t.nonEmpty && s.catalog.tableExists(t) &&
-        s.sql(s"SHOW TBLPROPERTIES $t").collect()
-          .exists(r => r.getString(0) == SourceDirProp && r.getString(1) == d))
-      s.table(t)
-    else memoizedPostingIndex(s, d)
-  }
-
-  private def memoizedPostingIndex(s: SparkSession, d: String): DataFrame = {
-    postingIndexMemo.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(postingIndexMemo.remove)
-    postingIndexMemo.get((s, d)).getOrElse {
-      postingIndexBuilds.incrementAndGet()
-      val built = Dedup.postingIndex(
-          Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text")),
-          "doc_id", "text", n = 3)
-        .persist()
-      postingIndexMemo.putIfAbsent((s, d), built) match {
-        case Some(winner) => built.unpersist(); winner
-        case None         => built
-      }
-    }
-  }
-
-  // ——— memoized LSH artifacts (the x35b corpus side) ———
-  // The band-bucket table and the per-doc verification set table, both
-  // derived once per snapshot from Dedup.lshSigSet — session-memoized,
-  // the stand-in for the durable tables a deployment persists (x5c's
-  // codebook pattern; builds are a first-class benchOnly row, x35f).
-  private val lshArtifactsMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
-
-  private[graft] def docsLshArtifacts(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    lshArtifactsMemo.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(lshArtifactsMemo.remove)
-    lshArtifactsMemo.get((s, d)).getOrElse {
-      val sigSet = Dedup.lshSigSet(
-        Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text")),
-        "doc_id", "text", n = 3, numHashes = 128)
-      val built = (Dedup.lshBanded(sigSet, 128, 32).persist(),
-        sigSet.select(col("_id"), col("_set")).persist())
-      lshArtifactsMemo.putIfAbsent((s, d), built) match {
-        case Some(winner) =>
-          built._1.unpersist(); built._2.unpersist(); winner
-        case None => built
-      }
-    }
-  }
+  private[graft] def docsPostingIndex(s: SparkSession, d: String): DataFrame =
+    postingIndexArtifact.resolve(s, d)
 
   /** Point this session's increment jobs at a written index table:
-    * writes it if absent (the snapshot job), then sets
+    * writes it if absent or mismatched (the snapshot job), then sets
     * [[PostingIndexTableConf]] so [[x33IncrementalFromIndex]] and any
     * other from-index caller reads the bucketed table from here on. */
-  def usePostingIndex(s: SparkSession, d: String, table: String): Unit = {
-    if (!s.catalog.tableExists(table)) writePostingIndex(s, d, table)
-    s.conf.set(PostingIndexTableConf, table)
-  }
+  def usePostingIndex(s: SparkSession, d: String, table: String): Unit =
+    postingIndexArtifact.use(s, d, table)
 
   /** Durable write of [[Dedup.postingIndex]] — bucketed by `_sh` so
     * the serve-side batch join and [[Dedup.appendToPostingIndex]]'s
@@ -728,17 +607,101 @@ object ExtensionQueries {
     * cluster scale the index (the corpus-sized side) is never
     * exchanged again; only the day's batch shuffles. */
   def writePostingIndex(s: SparkSession, d: String, table: String,
-      buckets: Int = 8): Unit = {
-    dropOrphanWarehouseDir(s, table)
-    memoizedPostingIndex(s, d).write.mode("overwrite")
-      .bucketBy(buckets, "_sh").sortBy("_sh")
-      .format("parquet").saveAsTable(table)
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SourceDirProp' = '$d')")
-  }
+      buckets: Int = 8): Unit =
+    postingIndexArtifact.write(s, d, table, buckets)
 
   /** Eviction hook mirroring [[evictClusterMap]]. */
   def evictPostingIndex(s: SparkSession, d: String): Unit =
-    postingIndexMemo.remove((s, d)).foreach(_.unpersist())
+    postingIndexArtifact.evict(s, d)
+
+  // ——— durable LSH artifacts (the x35b corpus side) ———
+  // The band-bucket table and the per-doc verification set table, both
+  // derived once per snapshot from ONE Dedup.lshSigSet pass (the
+  // shared upstream is memoized so the two builds don't each re-run
+  // the signature aggregation; x35f benches that pass un-memoized).
+  // Durable twins: the banded table bucketed by the band-hash join
+  // key, the set table by the verification-join id.
+  private val lshSigSetMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def docsLshSigSet(s: SparkSession, d: String): DataFrame = {
+    lshSigSetMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(lshSigSetMemo.remove)
+    lshSigSetMemo.getOrElseUpdate((s, d),
+      Dedup.lshSigSet(
+        Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, numHashes = 128).persist())
+  }
+
+  private[graft] val lshBandedArtifact = new DurableArtifact(
+    "spark.graft.lshBandedTable", Seq("_bh"),
+    (s, d) => Dedup.lshBanded(docsLshSigSet(s, d), 128, 32))
+  private[graft] val lshSetsArtifact = new DurableArtifact(
+    "spark.graft.lshSetsTable", Seq("_id"),
+    (s, d) => docsLshSigSet(s, d).select(col("_id"), col("_set")))
+
+  private[graft] def docsLshArtifacts(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (lshBandedArtifact.resolve(s, d), lshSetsArtifact.resolve(s, d))
+
+  /** Point this session's x35b at written LSH artifact tables
+    * (`<base>_banded`, `<base>_sets`), writing them if absent or
+    * mismatched — the LSH snapshot job. */
+  def useLshArtifacts(s: SparkSession, d: String, base: String): Unit = {
+    lshBandedArtifact.use(s, d, s"${base}_banded")
+    lshSetsArtifact.use(s, d, s"${base}_sets")
+  }
+
+  /** Eviction hook for the LSH artifact memos (both tables and the
+    * shared sigSet upstream). */
+  def evictLshArtifacts(s: SparkSession, d: String): Unit = {
+    lshBandedArtifact.evict(s, d)
+    lshSetsArtifact.evict(s, d)
+    lshSigSetMemo.remove((s, d)).foreach(_.unpersist())
+  }
+
+  // ——— durable corpus fingerprint set (the x34b exact-dup probe) ———
+  // One distinct md5 per corpus document — the second per-snapshot
+  // curation artifact alongside the posting index. Bucketed by fp so
+  // the exact-dup probe join reads the corpus side with no exchange.
+  private[graft] val corpusFpArtifact = new DurableArtifact(
+    "spark.graft.corpusFpTable", Seq("fp"),
+    (s, d) => curationCorpusFp(
+      Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text"))))
+
+  private[graft] def docsCorpusFp(s: SparkSession, d: String): DataFrame =
+    corpusFpArtifact.resolve(s, d)
+
+  /** Point this session's x34b at a written fp-set table. */
+  def useCorpusFp(s: SparkSession, d: String, table: String): Unit =
+    corpusFpArtifact.use(s, d, table)
+
+  /** Eviction hook for the fp-set memo. */
+  def evictCorpusFp(s: SparkSession, d: String): Unit =
+    corpusFpArtifact.evict(s, d)
+
+  // ——— durable embedding bucket table (the x36 corpus side) ———
+  // The radius-1-probed hyperplane buckets of the vector corpus
+  // ([[Similarity.probedBuckets]]) — probing folded INTO the artifact
+  // so the daily re-embed batch never maps over the corpus. Bucketed
+  // by the bucket code, the candidate join's key.
+  private[graft] val embBucketsArtifact = new DurableArtifact(
+    "spark.graft.embBucketTable", Seq("_bucket"),
+    (s, d) => Similarity.probedBuckets(
+      Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12))
+
+  private[graft] def docsEmbBuckets(s: SparkSession, d: String): DataFrame =
+    embBucketsArtifact.resolve(s, d)
+
+  /** Point this session's x36 at a written probed-bucket table. */
+  def useEmbBuckets(s: SparkSession, d: String, table: String): Unit =
+    embBucketsArtifact.use(s, d, table)
+
+  /** Eviction hook for the embedding-bucket memo. */
+  def evictEmbBuckets(s: SparkSession, d: String): Unit =
+    embBucketsArtifact.evict(s, d)
 
   /** Incremental dedup: an incoming batch is anti-joined against the
     * existing corpus on the content fingerprint — the shape of every
@@ -1056,10 +1019,9 @@ object ExtensionQueries {
         transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
     val corpus = raw.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    val corpusProbed = Similarity.probedBuckets(
-      corpus.select(col("vec_id"),
-        col("embedding").cast("array<float>").as("embedding")),
-      "vec_id", "embedding", dim = 64, nPlanes = 12)
+    // the probed corpus artifact — the durable bucketed table when
+    // useEmbBuckets is active, the session-persisted build otherwise
+    val corpusProbed = docsEmbBuckets(s, d)
     val cand = Similarity.incrementalLshCandidates(corpusProbed,
       increment.select(col("vec_id"),
         col("embedding").cast("array<float>").as("embedding")),
@@ -1069,6 +1031,81 @@ object ExtensionQueries {
       .filter(col("cos") >= 0.99)
       .orderBy("ida", "idb")
   }
+
+  /** The ~1M-vector stress corpus shared by the embStress bench rows
+    * and TimeOne's x36stress dissection: each base embedding
+    * replicated 500× with a deterministic per-copy one-dimension
+    * perturbation — the scale where the vector recurrence's
+    * artifact-vs-recompute gap is measurable (at the fixture's 200
+    * vectors every path is stage-latency bound). */
+  def embStressCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(499))).as("k"))
+      .select((col("vec_id") * 1000 + col("k")).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === pmod(col("k"), lit(64)),
+            x + col("k").cast("float") / 10000).otherwise(x))
+          .cast("array<float>").as("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  // the memoized persisted probed-bucket artifact over the stress
+  // corpus — prebuilt per snapshot in a deployment, so the serve row
+  // times the daily job (rep 1 pays the one-time build; Bench reports
+  // the min of 3 reps = the warm serve)
+  private val embStressArtifactMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def embStressArtifact(s: SparkSession, d: String): DataFrame = {
+    embStressArtifactMemo.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(embStressArtifactMemo.remove)
+    embStressArtifactMemo.getOrElseUpdate((s, d),
+      Similarity.probedBuckets(embStressCorpus(s, d), "vec_id", "embedding",
+        dim = 64, nPlanes = 12).persist())
+  }
+
+  /** The vector recurrence's ~0.1% re-embed batch over
+    * [[embStressCorpus]] — TimeOne x36stress's fixture, shared by the
+    * serve bench row. */
+  private def embStressIncrement(s: SparkSession, d: String): DataFrame =
+    embStressCorpus(s, d).filter(pmod(col("vec_id"), lit(997)) === 0)
+      .select((col("vec_id") + 1000000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f))
+          .cast("array<float>").as("embedding"))
+
+  /** The vector-recurrence SCALE path as bench history (the r10
+    * verdict's gap: x36's bench row is fixture-constant, so the
+    * 2.0-vs-6.3 s evidence at ~1M vectors lived only in TimeOne
+    * notes): serves the stress batch's candidate generation from the
+    * memoized probed-bucket artifact — the daily job, corpus never
+    * mapped over. benchOnly: the candidate semantics are pinned by
+    * IncrementalEmbedSpec at fixture scale; this row exists to track
+    * the SERVE cost at the scale where it separates from the
+    * recompute. */
+  def x36sEmbStressServe(s: SparkSession, d: String): DataFrame =
+    Similarity.incrementalLshCandidates(embStressArtifact(s, d),
+        embStressIncrement(s, d), "vec_id", "embedding",
+        dim = 64, nPlanes = 12)
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("idb")), lit(0L)).as("idb_sum"))
+
+  /** The probed-bucket artifact BUILD at stress scale, un-memoized —
+    * the snapshot job's cost, visible in bench history like
+    * x33b/x35f (sums over the bucket codes so column pruning can't
+    * skip the hyperplane math). */
+  def x36sfEmbStressBuild(s: SparkSession, d: String): DataFrame =
+    Similarity.probedBuckets(embStressCorpus(s, d), "vec_id", "embedding",
+        dim = 64, nPlanes = 12)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("_bucket")), lit(0L)).as("bucket_sum"))
+
+  /** The corpus fingerprint-set BUILD (x34b's second durable artifact)
+    * as a first-class bench row — one md5 map pass + distinct over the
+    * corpus, un-memoized (x34b serves from the memo/table). */
+  def x34fFpBuild(s: SparkSession, d: String): DataFrame =
+    curationCorpusFp(Tables.wide(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")))
+      .agg(count(lit(1)).as("n_fps"))
 
   /** The PRODUCTION ANN path, benched as itself: multi-table LSH with
     * the native codegen'd cosine rerank (no per-dimension explode, no
@@ -4597,5 +4634,10 @@ object ExtensionQueries {
     "x33b_index_build"     -> (x33bIndexBuild _),
     // LSH signature/set artifact build cost (x35b serves from the memo)
     "x35f_lsh_sigset_build" -> (x35fLshSigsetBuild _),
+    // corpus fp-set build cost (x34b serves from the memo/table)
+    "x34f_fp_build"        -> (x34fFpBuild _),
+    // the vector recurrence at ~1M vectors: artifact serve vs build
+    "x36s_embstress_serve"  -> (x36sEmbStressServe _),
+    "x36sf_embstress_build" -> (x36sfEmbStressBuild _),
   )
 }

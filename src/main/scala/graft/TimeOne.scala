@@ -23,19 +23,9 @@ object TimeOne {
         col("text"))).reduce(_ union _)
     }
     // ~1M-vector corpus: each base embedding replicated 500× with a
-    // deterministic per-copy perturbation on one dimension
-    def embStress = {
-      val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding"))
-      e.select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(0), lit(499))).as("k"))
-        .select((col("vec_id") * 1000 + col("k")).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === pmod(col("k"), lit(64)),
-              x + col("k").cast("float") / 10000).otherwise(x))
-            .cast("array<float>").as("embedding"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    }
+    // deterministic per-copy perturbation on one dimension (shared
+    // with the x36s/x36sf bench rows)
+    def embStress = ExtensionQueries.embStressCorpus(spark, sfDir)
     def annQueries(c: org.apache.spark.sql.DataFrame) =
       c.filter(col("vec_id") % 2000 === 0) // 1000 query vectors
     // ~5M-trade / ~1M-quote as-of stress: events replicated with
@@ -358,7 +348,9 @@ object TimeOne {
             Tables.documents(spark, sfDir).select("doc_id", "text"))
           .agg(count(lit(1)).as("n"))
       case "x34flag" =>
-        ExtensionQueries.curationFlagged(spark, sfDir)
+        ExtensionQueries.curationFlagged(spark, sfDir,
+            ExtensionQueries.curationCorpusFp(
+              Tables.documents(spark, sfDir).select("doc_id", "text")))
           .agg(count(lit(1)).as("n"),
             sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"))
       // x36's incremental vector near-dup machinery at ~1M corpus
@@ -388,7 +380,9 @@ object TimeOne {
           }
         cand.agg(count(lit(1)).as("n_candidates"))
       case "x34pairsidx" | "x34pairs" =>
-        val flagged = ExtensionQueries.curationFlagged(spark, sfDir)
+        val flagged = ExtensionQueries.curationFlagged(spark, sfDir,
+          ExtensionQueries.curationCorpusFp(
+            Tables.documents(spark, sfDir).select("doc_id", "text")))
         val survivors = flagged.filter(!col("is_exact"))
           .select(col("doc_id"), col("text"))
         val pairs =

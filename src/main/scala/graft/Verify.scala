@@ -25,21 +25,42 @@ object Verify {
       case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
       case None      => SparkEntry.queries
     }
-    // Exercise the materialized cluster-map artifact end-to-end: write
-    // the bucketed snapshot table once, point the session conf at it,
-    // and evict the memo — x11/x17/x29 then run the READ-BACK path, so
-    // the oracle rows prove the durable table serves the same clusters
-    // the build path does. Any failure falls back to the memo build.
-    val mapConsumers =
-      Set("x11_dup_clusters", "x17_cluster_canonical", "x29_leakage_split")
-    if (selected.keys.exists(mapConsumers)) {
-      try {
-        ExtensionQueries.useClusterMap(spark, sfDir, "g_cluster_map_snapshot")
-        ExtensionQueries.evictClusterMap(spark, sfDir)
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[verify] cluster-map snapshot failed (memo fallback): ${e.getMessage}")
+    // Exercise every materialized per-snapshot artifact end-to-end:
+    // write the bucketed snapshot table once, point the session conf
+    // at it, and evict the memo — the consuming queries then run the
+    // READ-BACK path, so their oracle rows prove the durable tables
+    // serve the same rows the build path does (x35b/x36/x34b in a
+    // fresh JVM read saveAsTable artifacts, not memos). Any failure
+    // falls back to the memo build.
+    def snapshot(consumers: Set[String], what: String)(write: => Unit): Unit =
+      if (selected.keys.exists(consumers)) {
+        try write
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[verify] $what snapshot failed (memo fallback): ${e.getMessage}")
+        }
       }
+    snapshot(Set("x11_dup_clusters", "x17_cluster_canonical",
+        "x29_leakage_split"), "cluster-map") {
+      ExtensionQueries.useClusterMap(spark, sfDir, "g_cluster_map_snapshot")
+      ExtensionQueries.evictClusterMap(spark, sfDir)
+    }
+    snapshot(Set("x33_incremental_from_index", "x37b_containment_from_index",
+        "x34b_curation_from_index"), "posting-index") {
+      ExtensionQueries.usePostingIndex(spark, sfDir, "g_posting_index_snapshot")
+      ExtensionQueries.evictPostingIndex(spark, sfDir)
+    }
+    snapshot(Set("x35b_lsh_from_artifact"), "lsh-artifacts") {
+      ExtensionQueries.useLshArtifacts(spark, sfDir, "g_lsh_snapshot")
+      ExtensionQueries.evictLshArtifacts(spark, sfDir)
+    }
+    snapshot(Set("x34b_curation_from_index"), "corpus-fp") {
+      ExtensionQueries.useCorpusFp(spark, sfDir, "g_corpus_fp_snapshot")
+      ExtensionQueries.evictCorpusFp(spark, sfDir)
+    }
+    snapshot(Set("x36_incremental_embed_neardup"), "emb-buckets") {
+      ExtensionQueries.useEmbBuckets(spark, sfDir, "g_emb_buckets_snapshot")
+      ExtensionQueries.evictEmbBuckets(spark, sfDir)
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
