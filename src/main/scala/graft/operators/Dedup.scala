@@ -401,6 +401,40 @@ object Dedup {
       .select(col("id_sub"), col("id_super"),
         expr("c * 1000000 div nsub").as("cont_ppm"))
 
+  /** The batch side shared by every from-artifact incremental shape:
+    * one sorted packed posting list per increment-touched shingle. */
+  private def batchPostingLists(increment: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    postingsHashed(increment, idCol, textCol, n)
+      .groupBy("_sh").agg(sort_array(collect_list(packedEntry)).as("_lstn"))
+
+  /** The shared cap gate of the incremental split-list shapes: filter
+    * on TOTAL per-shingle df (new + old). `adaptiveCapRow(mult)`
+    * supplies the shape's 1-row `_cap` stats frame (broadcast-joined
+    * once); shapes with no sound adaptive source (the delta layout,
+    * where the statistic drifts per trigger) pass None and reject. A
+    * new incremental score (x38+) composes [[batchPostingLists]], a
+    * join against its artifact, this gate, and a score gate over
+    * [[incrementalCountsFromSplitLists]] — no new plumbing. */
+  private def capSplitLists(lists: DataFrame, dfCap: DfCap,
+      adaptiveCapRow: Option[Int => DataFrame]): DataFrame = {
+    val totalDf = size(col("_lstn")) + size(col("_lsto"))
+    dfCap match {
+      case DfCap.NoCap => lists
+      case DfCap.Fixed(m) => lists.filter(totalDf <= m)
+      case DfCap.AdaptiveAvg(mult) if adaptiveCapRow.isDefined =>
+        lists.crossJoin(broadcast(adaptiveCapRow.get(mult)))
+          .filter(totalDf <= col("_cap"))
+          .select(col("_sh"), col("_lstn"), col("_lsto"))
+      case DfCap.AdaptiveAvg(_) => throw new IllegalArgumentException(
+        s"$dfCap: adaptive caps drift as deltas accumulate; freeze a " +
+          "DfCap.Fixed from a corpus snapshot for the delta-index shape")
+      case bounded => throw new IllegalArgumentException(
+        s"$bounded: bounded collection is not wired for the split-list " +
+          "incremental shapes; cap with Fixed/AdaptiveAvg")
+    }
+  }
+
   /** Shared front of the incremental pair shapes: the union posting
     * shuffle with per-shingle SPLIT new/old packed lists, cap applied
     * on TOTAL df, only increment-touched shingles kept (the only-old
@@ -417,23 +451,10 @@ object Dedup {
     val lists0 = post.groupBy("_sh").agg(
       sort_array(collect_list(when(col("_new"), packedEntry))).as("_lstn"),
       sort_array(collect_list(when(!col("_new"), packedEntry))).as("_lsto"))
-    val totalDf = size(col("_lstn")) + size(col("_lsto"))
-    val lists = dfCap match {
-      case DfCap.NoCap => lists0
-      case DfCap.Fixed(m) => lists0.filter(totalDf <= m)
-      case DfCap.AdaptiveAvg(mult) =>
-        val capRow = lists0.agg(expr(
-          s"$mult * sum(size(_lstn) + size(_lsto)) div count(*)").as("_cap"))
-        lists0.crossJoin(broadcast(capRow))
-          .filter(totalDf <= col("_cap")).drop("_cap")
-      case bounded => throw new IllegalArgumentException(
-        s"$bounded: bounded collection is not wired for the split-list " +
-          "incremental shape; cap with Fixed/AdaptiveAvg")
-    }
-    // Only shingles the increment touches can produce pairs; the
-    // only-old tail (the vast majority at real corpus:increment
-    // ratios) drops here, before any pair generation.
-    lists.filter(size(col("_lstn")) >= 1)
+    val capRow = (mult: Int) => lists0.agg(expr(
+      s"$mult * sum(size(_lstn) + size(_lsto)) div count(*)").as("_cap"))
+    capSplitLists(lists0, dfCap, Some(capRow))
+      .filter(size(col("_lstn")) >= 1)
   }
 
   /** Pair counts from per-shingle SPLIT posting lists (`_sh`, `_lstn`
@@ -543,34 +564,25 @@ object Dedup {
       increment: DataFrame, idCol: String, textCol: String, n: Int,
       dfCap: DfCap): DataFrame = {
     val emptyLst = array().cast("array<long>")
-    val listsN = postingsHashed(increment, idCol, textCol, n)
-      .groupBy("_sh").agg(sort_array(collect_list(packedEntry)).as("_lstn"))
     // Only increment-touched shingles can pair, so the big index side
     // flows through ONE equi join keyed on its own layout; left join —
     // index-only shingles reach the result only via the cap stats.
-    val joined = listsN.join(index.withColumnRenamed("_lst", "_lsto"),
-        Seq("_sh"), "left")
+    val joined = batchPostingLists(increment, idCol, textCol, n)
+      .join(index.withColumnRenamed("_lst", "_lsto"), Seq("_sh"), "left")
       .select(col("_sh"), col("_lstn"),
         coalesce(col("_lsto"), emptyLst).as("_lsto"))
-    val totalDf = size(col("_lstn")) + size(col("_lsto"))
-    val capped = dfCap match {
-      case DfCap.NoCap => joined
-      case DfCap.Fixed(m) => joined.filter(totalDf <= m)
-      case DfCap.AdaptiveAvg(mult) =>
-        val idxStats = index.agg(
-          coalesce(sum(size(col("_lst"))), lit(0L)).as("_so"),
-          count(lit(1)).as("_co"))
-        val newStats = joined.agg(
-          coalesce(sum(size(col("_lstn"))), lit(0L)).as("_sn"),
-          coalesce(sum(when(size(col("_lsto")) === 0, 1L).otherwise(0L)),
-            lit(0L)).as("_cn"))
-        joined.crossJoin(broadcast(idxStats)).crossJoin(broadcast(newStats))
-          .filter(totalDf <= expr(s"$mult * (_so + _sn) div (_co + _cn)"))
-          .select(col("_sh"), col("_lstn"), col("_lsto"))
-      case bounded => throw new IllegalArgumentException(
-        s"$bounded: cap the from-index shape with Fixed/AdaptiveAvg")
+    val capRow = (mult: Int) => {
+      val idxStats = index.agg(
+        coalesce(sum(size(col("_lst"))), lit(0L)).as("_so"),
+        count(lit(1)).as("_co"))
+      val newStats = joined.agg(
+        coalesce(sum(size(col("_lstn"))), lit(0L)).as("_sn"),
+        coalesce(sum(when(size(col("_lsto")) === 0, 1L).otherwise(0L)),
+          lit(0L)).as("_cn"))
+      idxStats.crossJoin(newStats)
+        .select(expr(s"$mult * (_so + _sn) div (_co + _cn)").as("_cap"))
     }
-    capped
+    capSplitLists(joined, dfCap, Some(capRow))
   }
 
   /** [[incrementalJaccardPairsFromIndex]] over an APPEND-ONLY DELTA
@@ -592,25 +604,17 @@ object Dedup {
       thresholdPpm: Long = 500000L,
       dfCap: DfCap = DfCap.NoCap): DataFrame = {
     val emptyLst = array().cast("array<long>")
-    val listsN = postingsHashed(increment, idCol, textCol, n)
-      .groupBy("_sh").agg(sort_array(collect_list(packedEntry)).as("_lstn"))
     // collect_list drops the left join's no-match nulls; flatten then
     // rebuilds one sorted old-side list per touched shingle
-    val joined = listsN.join(deltas.withColumnRenamed("_lst", "_lstd"),
-        Seq("_sh"), "left")
+    val joined = batchPostingLists(increment, idCol, textCol, n)
+      .join(deltas.withColumnRenamed("_lst", "_lstd"), Seq("_sh"), "left")
       .groupBy("_sh")
       .agg(first(col("_lstn")).as("_lstn"),
         sort_array(coalesce(flatten(collect_list(col("_lstd"))), emptyLst))
           .as("_lsto"))
-    val capped = dfCap match {
-      case DfCap.NoCap => joined
-      case DfCap.Fixed(m) =>
-        joined.filter(size(col("_lstn")) + size(col("_lsto")) <= m)
-      case adaptive => throw new IllegalArgumentException(
-        s"$adaptive: adaptive caps drift as deltas accumulate; freeze a " +
-          "DfCap.Fixed from a corpus snapshot for the delta-index shape")
-    }
-    incrementalPairsFromSplitLists(capped, thresholdPpm)
+    // no adaptive source: the statistic would drift per trigger
+    incrementalPairsFromSplitLists(capSplitLists(joined, dfCap, None),
+      thresholdPpm)
   }
 
   /** Collapse an append-only DELTA union (several packed lists per
