@@ -45,12 +45,16 @@ object CompactionProbe {
     val nDocs = docs.count()
     val baseDir = Files.createTempDirectory("graft_compact_probe").toString
 
-    // lay down the committed stream state: corpus + index delta per
-    // batch (the write path's artifacts; pair outputs aren't timed here)
+    // lay down the committed stream state: corpus + index delta + fp
+    // delta per batch (the write path's artifacts; pair/verdict
+    // outputs aren't timed here)
     (0 until nBatches - 1).foreach { b =>
       val part = docs.filter(col("_b") === b).select("doc_id", "text")
       Dedup.postingIndex(part, "doc_id", "text", 3)
         .write.mode("overwrite").parquet(s"$baseDir/index/b=$b")
+      part.select(graft.operators.TextAnalysis.fingerprintMd5(col("text"))
+          .as("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$baseDir/fps/b=$b")
       part.write.mode("overwrite").parquet(s"$baseDir/corpus/b=$b")
     }
     val lastBatch = docs.filter(col("_b") === (nBatches - 1))
@@ -68,30 +72,58 @@ object CompactionProbe {
       }
       times.min
     }
-    def countFiles(): Long = {
-      val walk = Files.walk(java.nio.file.Paths.get(s"$baseDir/index"))
+    // ST9's exact-dup probe: the last batch's fps against the
+    // accumulated fp view (the other layer that grows one file per
+    // trigger without maintenance)
+    def timeFpProbe(): Double = {
+      val lastFps = lastBatch.select(
+        graft.operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = lastFps.join(
+          graft.streaming.StreamAdmission.fpView(spark, baseDir),
+          Seq("fp"), "left_semi").count()
+        require(n >= 0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+    def countFiles(layer: String): Long = {
+      val walk = Files.walk(java.nio.file.Paths.get(s"$baseDir/$layer"))
       try walk.filter(p => p.getFileName.toString.endsWith(".parquet"))
         .count()
       finally walk.close()
     }
 
-    val deltaFiles = countFiles()
+    val deltaFiles = countFiles("index")
+    val fpDeltaFiles = countFiles("fps")
     val viaDeltas = timePairing()
+    val fpViaDeltas = timeFpProbe()
     val t0 = System.nanoTime()
     val snap = StreamNearDup.compactIndex(spark, baseDir, 3)
     val compactS = (System.nanoTime() - t0) / 1e9
     require(snap.contains((nBatches - 2).toLong), s"snapshot=$snap")
+    val t1 = System.nanoTime()
+    val fpSnap = graft.streaming.StreamAdmission.compactFps(spark, baseDir)
+    val fpCompactS = (System.nanoTime() - t1) / 1e9
+    require(fpSnap.contains((nBatches - 2).toLong), s"fp snapshot=$fpSnap")
     // covered-dir cleanup is deferred one pass (reader safety); the
-    // no-op follow-up performs the sweep so snapshot_files reports the
-    // steady-state file population
+    // no-op follow-ups perform the sweep so snapshot file counts
+    // report the steady-state population
     require(StreamNearDup.compactIndex(spark, baseDir, 3).isEmpty)
-    val snapFiles = countFiles()
+    require(graft.streaming.StreamAdmission.compactFps(spark, baseDir).isEmpty)
+    val snapFiles = countFiles("index")
+    val fpSnapFiles = countFiles("fps")
     val viaSnapshot = timePairing()
+    val fpViaSnapshot = timeFpProbe()
 
     println(f"""{"docs":$nDocs,"batches":$nBatches,"last_batch_docs":$nLast,""" +
       f""""delta_files":$deltaFiles,"snapshot_files":$snapFiles,""" +
       f""""pair_deltas_s":$viaDeltas%.3f,"compact_s":$compactS%.3f,""" +
-      f""""pair_snapshot_s":$viaSnapshot%.3f}""")
+      f""""pair_snapshot_s":$viaSnapshot%.3f,""" +
+      f""""fp_delta_files":$fpDeltaFiles,"fp_snapshot_files":$fpSnapFiles,""" +
+      f""""fp_probe_deltas_s":$fpViaDeltas%.3f,"fp_compact_s":$fpCompactS%.3f,""" +
+      f""""fp_probe_snapshot_s":$fpViaSnapshot%.3f}""")
     spark.stop()
   }
 }

@@ -129,17 +129,18 @@ object StreamAdmission {
   }
 
   /** Fingerprints of every document filtered-in by a committed batch —
-    * the exact-dedup probe set, read from the per-batch fp deltas
-    * (32 B/doc, never re-hashing committed text). */
+    * the exact-dedup probe set: the newest committed fp snapshot (if
+    * [[compactFps]] ran) plus the per-batch fp deltas beyond it
+    * (32 B/doc, never re-hashing committed text). Same
+    * snapshot/delta/crash rules as the posting-index layer. */
   def fpView(s: SparkSession, baseDir: String): DataFrame = {
-    val vs = StreamIndex.committedBatches(s"$baseDir/corpus")
-    healFps(s, baseDir, vs)
-    if (vs.isEmpty)
+    val dirs = StreamIndex.layerDirs(baseDir, "fps", healFps(s, baseDir, _))
+    if (dirs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("fp",
             org.apache.spark.sql.types.StringType))))
-    else s.read.parquet(vs.map(v => s"$baseDir/fps/b=$v"): _*).distinct()
+    else s.read.parquet(dirs: _*).distinct()
   }
 
   /** The accumulated exact-survivor posting-index view (ST8's layout,
@@ -147,10 +148,27 @@ object StreamAdmission {
   def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame =
     StreamIndex.indexView(s, baseDir, healIndex(s, baseDir, _, n))
 
-  /** ST8's out-of-band compaction with the curation heal. */
+  /** ST9's out-of-band maintenance pass: ST8's index compaction with
+    * the curation heal, PLUS the fp-layer compaction — the fp deltas
+    * grow one file per trigger exactly like the index deltas, and the
+    * probe's file-open cost grows with stream age the same way
+    * (CompactionProbe's fp table). Returns the index snapshot id. */
   def compactIndex(s: SparkSession, baseDir: String, n: Int = 3):
-      Option[Long] =
-    StreamIndex.compactIndex(s, baseDir, healIndex(s, baseDir, _, n))
+      Option[Long] = {
+    val built = StreamIndex.compactIndex(s, baseDir,
+      healIndex(s, baseDir, _, n))
+    val _ = compactFps(s, baseDir)
+    built
+  }
+
+  /** Fold the committed fp deltas beyond the newest fp snapshot into
+    * one distinct-fp snapshot `fps/c=<maxBatch>`; covered-dir cleanup
+    * deferred one pass (see [[StreamIndex.compactLayer]]). A covered
+    * fp delta that a heal later rebuilds (healIndex reads per-batch fp
+    * dirs) is provably ignored by [[fpView]] and re-swept. */
+  def compactFps(s: SparkSession, baseDir: String): Option[Long] =
+    StreamIndex.compactLayer(s, baseDir, "fps", healFps(s, baseDir, _),
+      _.distinct())
 
   /** Every verdict emitted so far — the exactly-once union the spec
     * pins against the one-shot recompute. Only verdict dirs whose

@@ -26,14 +26,24 @@ private[streaming] object StreamIndex {
     * invisible and its covered deltas still serve. */
   def indexView(s: SparkSession, baseDir: String,
       heal: Seq[Long] => Unit): DataFrame = {
-    val snap = compactSnapshot(baseDir)
+    val dirs = layerDirs(baseDir, "index", heal)
+    if (dirs.isEmpty) emptyIndex(s)
+    else s.read.parquet(dirs: _*)
+  }
+
+  /** The committed dirs a layer's view reads: newest committed compact
+    * snapshot (if any) plus every committed corpus batch's delta
+    * beyond it (healing those first). Shared by the index and fps
+    * layers — both accumulate `b=<batch>` deltas compacted into
+    * `c=<max>` snapshots under the same crash rules. */
+  def layerDirs(baseDir: String, layer: String,
+      heal: Seq[Long] => Unit): Seq[String] = {
+    val snap = layerSnapshot(baseDir, layer)
     val live = committedBatches(s"$baseDir/corpus")
       .filter(v => snap.forall(v > _))
     heal(live)
-    val dirs = snap.map(m => s"$baseDir/index/c=$m").toSeq ++
-      live.map(v => s"$baseDir/index/b=$v")
-    if (dirs.isEmpty) emptyIndex(s)
-    else s.read.parquet(dirs: _*)
+    snap.map(m => s"$baseDir/$layer/c=$m").toSeq ++
+      live.map(v => s"$baseDir/$layer/b=$v")
   }
 
   /** Out-of-band maintenance: fold the previous snapshot (if any) and
@@ -56,18 +66,27 @@ private[streaming] object StreamIndex {
     * longest reader. Returns the new snapshot id, or None when no
     * committed delta extends the current snapshot. */
   def compactIndex(s: SparkSession, baseDir: String,
-      heal: Seq[Long] => Unit): Option[Long] = {
-    val prev = compactSnapshot(baseDir)
+      heal: Seq[Long] => Unit): Option[Long] =
+    compactLayer(s, baseDir, "index", heal, Dedup.mergePostingDeltas)
+
+  /** Generic layer compaction — the index layer merges with
+    * [[Dedup.mergePostingDeltas]], the fps layer with `distinct`; the
+    * snapshot/delta/crash/deferred-cleanup rules (see
+    * [[compactIndex]]'s doc) are identical. */
+  def compactLayer(s: SparkSession, baseDir: String, layer: String,
+      heal: Seq[Long] => Unit,
+      merge: DataFrame => DataFrame): Option[Long] = {
+    val prev = layerSnapshot(baseDir, layer)
     val fresh = committedBatches(s"$baseDir/corpus")
       .filter(v => prev.forall(v > _))
     val built = if (fresh.isEmpty) None
     else {
       heal(fresh)
       val hi = fresh.max
-      val parts = prev.map(m => s"$baseDir/index/c=$m").toSeq ++
-        fresh.map(v => s"$baseDir/index/b=$v")
-      Dedup.mergePostingDeltas(s.read.parquet(parts: _*))
-        .write.mode("overwrite").parquet(s"$baseDir/index/c=$hi")
+      val parts = prev.map(m => s"$baseDir/$layer/c=$m").toSeq ++
+        fresh.map(v => s"$baseDir/$layer/b=$v")
+      merge(s.read.parquet(parts: _*))
+        .write.mode("overwrite").parquet(s"$baseDir/$layer/c=$hi")
       Some(hi)
     }
     // deferred cleanup: key the sweep on the snapshot committed at
@@ -75,10 +94,10 @@ private[streaming] object StreamIndex {
     // listing references c=prev and b>prev, neither of which this
     // deletes
     prev.foreach { p =>
-      committedDirs(s"$baseDir/index", "c=").filter(_ < p)
-        .foreach(m => deleteTree(s"$baseDir/index/c=$m"))
-      deltaBatches(s"$baseDir/index").filter(_ <= p)
-        .foreach(v => deleteTree(s"$baseDir/index/b=$v"))
+      committedDirs(s"$baseDir/$layer", "c=").filter(_ < p)
+        .foreach(m => deleteTree(s"$baseDir/$layer/c=$m"))
+      deltaBatches(s"$baseDir/$layer").filter(_ <= p)
+        .foreach(v => deleteTree(s"$baseDir/$layer/b=$v"))
     }
     built
   }
@@ -95,7 +114,11 @@ private[streaming] object StreamIndex {
 
   /** Newest committed compact snapshot id under `index/`, if any. */
   def compactSnapshot(baseDir: String): Option[Long] =
-    committedDirs(s"$baseDir/index", "c=").maxOption
+    layerSnapshot(baseDir, "index")
+
+  /** Newest committed compact snapshot id under `<layer>/`, if any. */
+  def layerSnapshot(baseDir: String, layer: String): Option[Long] =
+    committedDirs(s"$baseDir/$layer", "c=").maxOption
 
   /** Batch ids under `dir` whose write completed (`_SUCCESS`). */
   def committedBatches(dir: String): Seq[Long] = committedDirs(dir, "b=")

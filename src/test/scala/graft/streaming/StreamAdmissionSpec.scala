@@ -144,7 +144,23 @@ class StreamAdmissionSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_sa_compact").toString
     assert(StreamAdmission.curateBatch(b1.toDS(), 0L, dir))
     assert(StreamAdmission.curateBatch(b2.toDS(), 1L, dir))
+    val fpsBefore = StreamAdmission.fpView(spark, dir)
+      .collect().map(_.getString(0)).toSet
     assert(StreamAdmission.compactIndex(spark, dir) === Some(1L))
+    // the maintenance pass compacts the fp layer too; a sweep pass
+    // (deferred cleanup) then removes the covered fp deltas, and the
+    // probe set is unchanged through both
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/fps/c=1/_SUCCESS")))
+    assert(StreamAdmission.compactIndex(spark, dir) === None)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/fps/b=0")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/fps/b=1")),
+      "covered fp deltas must be swept by the pass after the commit")
+    assert(StreamAdmission.fpView(spark, dir)
+      .collect().map(_.getString(0)).toSet === fpsBefore,
+      "fp compaction must be transparent to the probe set")
     assert(StreamAdmission.curateBatch(b3.toDS(), 2L, dir))
     assert(verdictMap(StreamAdmission.allVerdicts(spark, dir)) === oneShot)
     // the view (snapshot + the post-compaction delta, merged) carries
