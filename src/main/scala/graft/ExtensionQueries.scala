@@ -2075,8 +2075,10 @@ object ExtensionQueries {
   def x27cContainmentBoundedState(s: SparkSession, d: String): DataFrame =
     x27CappedCore(s, d, Dedup.DfCap.AdaptiveBounded(4))
 
-  private def x27CappedCore(s: SparkSession, d: String,
-      cap: Dedup.DfCap): DataFrame = {
+  /** x27's snippet-augmented corpus (docs ∪ 40%-prefix snippets of
+    * every 20th doc) — package-private for TimeOne's stage
+    * dissection. */
+  private[graft] def x27Corpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.wide(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
@@ -2084,10 +2086,14 @@ object ExtensionQueries {
     val snippets = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"),
         array_join(slice(ws, lit(1), kWords), " ").as("text"))
-    Dedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text",
+    docs.unionByName(snippets)
+  }
+
+  private def x27CappedCore(s: SparkSession, d: String,
+      cap: Dedup.DfCap): DataFrame =
+    Dedup.containmentPairs(x27Corpus(s, d), "doc_id", "text",
         n = 3, thresholdPct = 90, dfCap = cap)
       .orderBy("id_sub", "id_super")
-  }
 
   /** X26 — URL canonicalization + URL-level dedup: the first pass of a
     * web-crawl curation pipeline. Messy URL variants (scheme/host case,

@@ -7,8 +7,11 @@ object TimeOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE decouples reduce partition count from task
+    // slots (the SpillProbe levers) for memory-posture experiments
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -379,6 +382,21 @@ object TimeOne {
               artifact, increment, "vec_id", "embedding", 64, 12)
           }
         cand.agg(count(lit(1)).as("n_candidates"))
+      // x27b stage dissection: "x27blists" = posting-list build + the
+      // 4x adaptive cap; "x27bpairs" = lists + pair explode + the
+      // (ida,idb) count aggregate; the full query adds only the
+      // directed double-explode + gate on top
+      case "x27blists" =>
+        operators.Dedup.cappedListsForTiming(
+            ExtensionQueries.x27Corpus(spark, sfDir), "doc_id", "text", 3,
+            operators.Dedup.DfCap.AdaptiveAvg(4))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(size(col("_lst"))).as("n_postings"))
+      case "x27bpairs" =>
+        operators.Dedup.pairCountsForTiming(
+            ExtensionQueries.x27Corpus(spark, sfDir), "doc_id", "text", 3,
+            operators.Dedup.DfCap.AdaptiveAvg(4))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("mass"))
       case "x34pairsidx" | "x34pairs" =>
         val flagged = ExtensionQueries.curationFlagged(spark, sfDir,
           ExtensionQueries.curationCorpusFp(
