@@ -445,6 +445,41 @@ object ExtensionQueries {
       .orderBy("id_sub", "id_super")
   }
 
+  /** X38 — INCREMENTAL fuzzy dedup: t5b's composition (capped shingle
+    * candidates → exact levenshtein verify) on the incremental
+    * recurrence — all edit-distance≤10 pairs TOUCHING x32's re-crawl
+    * batch, with corpus-internal candidates never generated
+    * (Σ df_new·df_total, not Σ df²). Exactly the round-11 claim for
+    * the factored split-list core made concrete: a NEW incremental
+    * score is [[Dedup.incrementalJaccardPairsPpm]] at the candidate
+    * gate (300000 ppm, 2× adaptive cap over the union — t5b's
+    * parameters restated incrementally) plus a verify join — no new
+    * plumbing. The levenshtein runs only on candidate pairs (the
+    * O(len²) stage is bounded by the capped candidate count), prefix
+    * 60 chars like t5/t5b; the DuckDB oracle recomputes candidates
+    * and verify over the union corpus restricted to ≥1-new. */
+  def x38IncrementalFuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    val cand = Dedup.incrementalJaccardPairsPpm(docs, increment,
+      "doc_id", "text", n = 3, thresholdPpm = 300000L,
+      dfCap = Dedup.DfCap.AdaptiveAvg(2))
+    val pfx = docs.unionByName(increment)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("p"))
+    cand
+      .join(pfx.toDF("ida2", "pa"), col("ida") === col("ida2"))
+      .join(pfx.toDF("idb2", "pb"), col("idb") === col("idb2"))
+      .select(col("ida"), col("idb"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= 10)
+      .orderBy("ida", "idb")
+  }
+
   /** X35b — x35 SERVED FROM THE PER-SNAPSHOT LSH ARTIFACTS
     * ([[docsLshArtifacts]]: the band-bucket table + the verification
     * set table — the DURABLE bucketed catalog tables when
@@ -3044,6 +3079,50 @@ object ExtensionQueries {
       |WHERE c*1000000 >= 500000*(sa.n+sb.n-c)
       |ORDER BY ida, idb""".stripMargin
 
+  // x38: t5b's candidate-then-verify over the incremental recurrence
+  // — the same union corpus / cap / restriction CTEs as the x32
+  // oracle, the candidate gate at t5b's 300000 ppm, and the exact
+  // levenshtein verify on 60-char prefixes of the union corpus texts.
+  private val incrementalFuzzySql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 5000000000000 AS doc_id,
+      |    array_to_string(
+      |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+      |      ' ') AS text
+      |  FROM documents WHERE doc_id % 9 = 4),
+      |words AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM corpus)),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  JOIN df ON df.shingle = a.shingle
+      |  WHERE df.df <= (SELECT 2*SUM(df)//COUNT(*) FROM df)
+      |    AND b.doc_id >= 5000000000000
+      |  GROUP BY 1,2),
+      |cand AS (
+      |  SELECT ida, idb
+      |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+      |             JOIN sizes sb ON sb.doc_id=idb
+      |  WHERE c*1000000 >= 300000*(sa.n+sb.n-c))
+      |SELECT p.ida, p.idb,
+      | levenshtein(substr(ca.text,1,60), substr(cb.text,1,60)) AS dist
+      |FROM cand p
+      |JOIN corpus ca ON ca.doc_id = p.ida
+      |JOIN corpus cb ON cb.doc_id = p.idb
+      |WHERE levenshtein(substr(ca.text,1,60), substr(cb.text,1,60)) <= 10
+      |ORDER BY ida, idb""".stripMargin
+
   // x27b's directed containment over x32's union corpus, restricted
   // to pairs touching the increment — the x37/x37b oracle.
   private val incrementalContainmentSql =
@@ -3507,6 +3586,11 @@ object ExtensionQueries {
     // Shared verbatim by x37b (served from the posting index).
     "x37b_containment_from_index" -> incrementalContainmentSql,
     "x37_incremental_containment" -> incrementalContainmentSql,
+
+    // x38: incremental fuzzy dedup — t5b's candidate gate restated
+    // over the x32 union corpus restricted to ≥1-new, exact
+    // levenshtein verify on 60-char prefixes
+    "x38_incremental_fuzzy" -> incrementalFuzzySql,
     
 
     "x4b_simhash_portable" -> {
@@ -4509,6 +4593,7 @@ object ExtensionQueries {
     "x35b_lsh_from_artifact" -> (x35bLshFromArtifact _),
     "x37_incremental_containment" -> (x37IncrementalContainment _),
     "x37b_containment_from_index" -> (x37bContainmentFromIndex _),
+    "x38_incremental_fuzzy"       -> (x38IncrementalFuzzy _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),
