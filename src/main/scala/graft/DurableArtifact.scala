@@ -76,8 +76,13 @@ private[graft] final class DurableArtifact(
     * then sets [[tableConf]] so every consumer reads the bucketed
     * table from here on. */
   def use(s: SparkSession, d: String, table: String): Unit = {
-    if (!s.catalog.tableExists(table) || !stampedFor(s, table, d))
+    if (!s.catalog.tableExists(table) || !stampedFor(s, table, d)) {
       write(s, d, table)
+      // the build frame served its purpose (it is now the table);
+      // don't pin a corpus-sized persisted copy for the session's
+      // lifetime on callers that forget the matching evict()
+      evict(s, d)
+    }
     s.conf.set(tableConf, table)
   }
 
@@ -94,8 +99,39 @@ private[graft] final class DurableArtifact(
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
     // provenance stamp: the durable-read branch only trusts a table
-    // whose recorded corpus dir matches the caller's
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SourceDirProp' = '$d')")
+    // whose recorded corpus dir matches the caller's (normalized so
+    // trailing-slash / file:-prefix spellings compare equal, escaped
+    // so a quote in the path can't break the statement)
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$SourceDirProp' = '${sqlEscape(normDir(d))}')")
+  }
+
+  /** Fold a batch DELTA into the durable table at O(batch): an INSERT
+    * of the delta's rows under the table's own bucket spec (Spark
+    * appends new per-bucket files — the bucketed-join layout
+    * survives), plus a bump of the [[DurableArtifact.FoldsProp]]
+    * counter so provenance records that the table now carries the
+    * snapshot corpus PLUS folded batches. Only valid for the
+    * artifacts whose rows are per-doc/per-key APPEND-ONLY sets (fp
+    * set, LSH band/set tables, emb buckets — where append ≡ rebuild
+    * on the union corpus); the posting index MERGES per-shingle rows
+    * and must fold through its delta layout + compaction instead
+    * ([[graft.operators.Dedup.incrementalJaccardPairsFromIndexDeltas]] /
+    * [[graft.operators.Dedup.mergePostingDeltas]]). The memo entry for
+    * `d` (the pre-fold build) is evicted — it no longer matches the
+    * table. */
+  def appendDelta(s: SparkSession, d: String, table: String,
+      delta: DataFrame, buckets: Int = 8): Unit = {
+    require(s.catalog.tableExists(table),
+      s"appendDelta: no table $table — write the snapshot first")
+    delta.write.mode("append")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+    val n = DurableArtifact.foldsOf(s, table) + 1
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('${DurableArtifact.FoldsProp}' = '$n')")
+    evict(s, d)
   }
 
   /** Eviction hook for the session memo: unpersists and forgets one
@@ -107,12 +143,34 @@ private[graft] final class DurableArtifact(
 
 private[graft] object DurableArtifact {
   private[graft] val SourceDirProp = "graft.sourceDir"
+  /** Count of batch deltas folded into the table since its snapshot
+    * write ([[DurableArtifact.appendDelta]]). */
+  private[graft] val FoldsProp = "graft.folds"
 
-  /** True iff `table` carries `d` as its recorded corpus dir. */
+  /** Folds recorded on `table` (0 when never folded). */
+  private[graft] def foldsOf(s: SparkSession, table: String): Int =
+    s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == FoldsProp =>
+        r.getString(1).toInt }
+      .getOrElse(0)
+
+  /** Corpus dirs compare NORMALIZED: equivalent spellings (trailing
+    * slash, file: prefix, ./ segments) must hit the durable table, not
+    * silently fall back to a corpus-sized rebuild. */
+  private[graft] def normDir(d: String): String =
+    new java.io.File(d.stripPrefix("file:")).getCanonicalPath
+
+  /** Single-quote doubling for the one string we interpolate into the
+    * TBLPROPERTIES statement. */
+  private def sqlEscape(v: String): String = v.replace("'", "''")
+
+  /** True iff `table` carries `d` (normalized) as its recorded corpus
+    * dir. */
   private[graft] def stampedFor(s: SparkSession, table: String,
       d: String): Boolean =
     s.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .exists(r => r.getString(0) == SourceDirProp && r.getString(1) == d)
+      .exists(r => r.getString(0) == SourceDirProp &&
+        r.getString(1) == normDir(d))
 
   /** A previous JVM's default-warehouse directory can outlive its
     * in-memory metastore; saveAsTable then refuses to adopt the

@@ -147,6 +147,13 @@ object ExtensionQueries {
     * fingerprint rank, still under the pair generator's 2⁴³ bound. */
   private val ResubmitOffset = 6000000000000L
 
+  /** Third increment id domain — x40's DAY-2 batch, arriving after
+    * day 1's survivors were folded into the serving artifacts; above
+    * both day-1 domains (pair orientation: day-2 ids are always the
+    * larger side), still under the pair generator's 2⁴³ bound at
+    * every replica scale. */
+  private val Day2Offset = 7000000000000L
+
   /** X32 — INCREMENTAL near-dup: the daily-ingest recurrence. The
     * corpus is `documents`; the increment batch is a deterministic
     * 90%-prefix re-crawl of every ninth document (id +5·10¹² — the
@@ -316,6 +323,23 @@ object ExtensionQueries {
     docs.select(operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .distinct()
 
+  /** The day's NEW fingerprints only — the O(batch) insert rows of the
+    * fp-set fold: the batch's distinct fps anti-joined against the
+    * corpus set (which, bucketed by fp, scans without an exchange).
+    * This is what [[DurableArtifact.appendDelta]] inserts into the
+    * durable fp table. */
+  private[graft] def corpusFpDelta(fpSet: DataFrame,
+      batch: DataFrame): DataFrame =
+    curationCorpusFp(batch).join(fpSet, Seq("fp"), "left_anti")
+
+  /** Fold a day's surviving batch into the corpus fingerprint set:
+    * fp(C) ∪ (fp(B) \ fp(C)) ≡ fp(C ∪ B) exactly — the set is
+    * append-only, so the fold costs one batch-sized anti join and
+    * never re-hashes a corpus document (DurableArtifactsSpec pins
+    * rebuild-equivalence; x40 serves day 2 from the folded set). */
+  def appendToCorpusFp(fpSet: DataFrame, batch: DataFrame): DataFrame =
+    fpSet.unionByName(corpusFpDelta(fpSet, batch))
+
   /** x34's batch + scoring + exact-flag chain (everything upstream of
     * the pair stage), probing `fpSet` for corpus-fp exact hits — x34
     * passes the inline recompute (self-contained oracle form), x34b
@@ -478,6 +502,112 @@ object ExtensionQueries {
         levenshtein(col("pa"), col("pb")).as("dist"))
       .filter(col("dist") <= 10)
       .orderBy("ida", "idb")
+  }
+
+  /** X39 — INCREMENTAL cluster-map maintenance: the last corpus-sized
+    * recurrence in the curation chain closed. x32 makes pair DISCOVERY
+    * O(batch); this folds the day's new pairs into the durable x11
+    * cluster map with [[Dedup.foldPairsIntoClusterMap]] — label
+    * propagation runs only on the CONTRACTED touched-cluster graph,
+    * and the corpus-sized map updates through one broadcast relabel
+    * join (no corpus shuffle, no re-run of the snapshot's iterative
+    * CC). The day's pairs are the exact incremental Jaccard ≥ 0.8
+    * listing between x32's re-crawl batch and corpus ∪ batch
+    * (uncapped, integer-ppm gate — c·10⁶ ≥ 8·10⁵·u differs from x11's
+    * ROUND(·,6) ≥ 0.8 only within 1/(5u) < 5·10⁻⁷, unreachable for
+    * integer counts at document set sizes). The oracle recomputes the
+    * whole union map from scratch with x11's recursive CTE — fold ≡
+    * full recompute IS the correctness statement. */
+  def x39IncrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    val newPairs = Dedup.incrementalJaccardPairsPpm(docs, increment,
+      "doc_id", "text", n = 3, thresholdPpm = 800000L,
+      dfCap = Dedup.DfCap.NoCap)
+    Dedup.foldPairsIntoClusterMap(nearDupClusterMap(s, d), newPairs)
+      .orderBy("doc_id")
+  }
+
+  /** X40 — SERVE → FOLD → SERVE: the daily job's full two-day loop
+    * over the durable dedup artifacts. Day 1 curates a mixed batch
+    * (resubmits `%9==1`, new pages `%9==2` word-reversed, re-crawl
+    * prefixes `%9==4`) against the snapshot artifacts — the exact-dup
+    * probe joins the fp set ([[docsCorpusFp]]), the near-dup stage
+    * joins the posting index ([[docsPostingIndex]]) — then FOLDS the
+    * survivors back into both ([[appendToCorpusFp]],
+    * [[Dedup.appendToPostingIndex]]), and day 2's batch is curated
+    * against the FOLDED artifacts: a resubmission of a day-1 kept page
+    * (`%18==2`) is an exact dup ONLY IF the fp fold worked, a
+    * re-crawl prefix of a day-1 kept page (`%18==11`) is a near dup
+    * ONLY IF the index fold worked, and day-2 brand-new pages
+    * (`%9==7` reversed) stay kept. Verdict rule both days: exact
+    * first (fp ∈ served set), else near (the doc is the LARGER side
+    * of an incremental Jaccard-ppm ≥ 0.5 pair — the family's
+    * drop-idb orientation), else kept. Uncapped, so the whole
+    * two-day chain is one lazy plan with no 1-row cap merges. */
+  def x40ServeFoldServe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val prefixText = array_join(slice(ws, lit(1), kWords), " ")
+    val revText = array_join(reverse(ws), " ")
+    val b1 = docs.filter(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + IncrementOffset).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + IncrementOffset).as("doc_id"),
+          revText.as("text")))
+      .unionByName(docs.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + IncrementOffset).as("doc_id"),
+          prefixText.as("text")))
+    val fp0 = docsCorpusFp(s, d)
+    val idx0 = docsPostingIndex(s, d)
+    val v1 = dayVerdicts(b1, fp0, idx0)
+    val s1 = v1.filter(col("verdict") === "kept")
+      .select(col("doc_id"), col("text"))
+    // the fold: day-1 survivors into BOTH serving artifacts, O(batch)
+    val fp1 = appendToCorpusFp(fp0, s1)
+    val idx1 = Dedup.appendToPostingIndex(idx0, s1, "doc_id", "text", n = 3)
+    val b2 = docs.filter(col("doc_id") % 18 === 2)
+        .select((col("doc_id") + Day2Offset).as("doc_id"),
+          revText.as("text"))
+      .unionByName(docs.filter(col("doc_id") % 18 === 11)
+        .select((col("doc_id") + Day2Offset).as("doc_id"),
+          array_join(slice(reverse(ws), lit(1), kWords), " ").as("text")))
+      .unionByName(docs.filter(col("doc_id") % 9 === 7)
+        .select((col("doc_id") + Day2Offset).as("doc_id"),
+          revText.as("text")))
+    val v2 = dayVerdicts(b2, fp1, idx1)
+    v1.select(lit(1).as("day"), col("doc_id"), col("verdict"))
+      .unionByName(v2.select(lit(2).as("day"), col("doc_id"),
+        col("verdict")))
+      .orderBy("day", "doc_id")
+  }
+
+  /** One curation day of x40: exact-dup probe against the served fp
+    * set, near-dup = the batch doc is the larger (dropped) side of an
+    * incremental Jaccard ≥ 0.5 pair against the served posting index,
+    * exact-before-near precedence. */
+  private def dayVerdicts(batch: DataFrame, fpSet: DataFrame,
+      index: DataFrame): DataFrame = {
+    val dropped = Dedup.incrementalJaccardPairsFromIndex(index, batch,
+        "doc_id", "text", n = 3, thresholdPpm = 500000L,
+        dfCap = Dedup.DfCap.NoCap)
+      .select(col("idb").as("doc_id")).distinct()
+      .withColumn("_near", lit(1))
+    batch
+      .withColumn("fp", operators.TextAnalysis.fingerprintMd5(col("text")))
+      .join(fpSet.withColumn("_hit", lit(1)), Seq("fp"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        when(col("_hit").isNotNull, "exact_dup")
+          .when(col("_near").isNotNull, "near_dup")
+          .otherwise("kept").as("verdict"))
   }
 
   /** X35b — x35 SERVED FROM THE PER-SNAPSHOT LSH ARTIFACTS
@@ -3123,6 +3253,157 @@ object ExtensionQueries {
       |WHERE levenshtein(substr(ca.text,1,60), substr(cb.text,1,60)) <= 10
       |ORDER BY ida, idb""".stripMargin
 
+  // The x39 oracle recomputes the WHOLE union cluster map from
+  // scratch (x11's recursive transitive closure), so fold ≡ full
+  // recompute is the hash-matched statement. Corpus-internal edges
+  // use x11's ROUND(·,6) ≥ 0.8 rule, increment-touching edges
+  // (idb ≥ 5·10¹² — increment ids top the domain) the engine's
+  // exact-integer ppm gate; the two rules agree except within
+  // 1/(5u) < 5·10⁻⁷ of the threshold, unreachable for integer
+  // counts at document shingle-set sizes.
+  private val incrementalClustersSql =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 5000000000000 AS doc_id,
+      |    array_to_string(
+      |      (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+      |      ' ') AS text
+      |  FROM documents WHERE doc_id % 9 = 4),
+      |words AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM corpus)),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2),
+      |pairs AS (
+      |  SELECT ida, idb
+      |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+      |             JOIN sizes sb ON sb.doc_id=idb
+      |  WHERE CASE WHEN idb >= 5000000000000
+      |        THEN c*1000000 >= 800000*(sa.n+sb.n-c)
+      |        ELSE ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) >= 0.8 END),
+      |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+      |          UNION SELECT idb, ida FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst)
+      |SELECT node AS doc_id, MIN(label) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // The x40 oracle restates BOTH curation days from scratch: day 2's
+  // corpus is documents ∪ day-1 survivors, so a hash match proves the
+  // engine's folded artifacts served exactly the union corpus. The
+  // larger-side-new restriction (idb ≥ the day's offset) is exact
+  // because each day's ids top the id domain.
+  private val serveFoldServeSql = {
+    val fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    val rev = "array_to_string(list_reverse(string_split(text,' ')), ' ')"
+    val pfx =
+      """array_to_string(
+        |    (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |    ' ')""".stripMargin
+    val pfxRev =
+      """array_to_string(
+        |    (list_reverse(string_split(text,' ')))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |    ' ')""".stripMargin
+    s"""WITH b1 AS (
+      |  SELECT doc_id + 5000000000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 9 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 5000000000000, $rev
+      |  FROM documents WHERE doc_id % 9 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 5000000000000, $pfx
+      |  FROM documents WHERE doc_id % 9 = 4),
+      |fp0 AS (SELECT DISTINCT $fp AS fp FROM documents),
+      |c1 AS (SELECT doc_id, text FROM documents
+      |       UNION ALL SELECT doc_id, text FROM b1),
+      |w1 AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM c1)),
+      |sh1 AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM w1 a JOIN w1 b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |            JOIN w1 c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      |sz1 AS (SELECT doc_id, COUNT(*) n FROM sh1 GROUP BY 1),
+      |i1 AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh1 a JOIN sh1 b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  WHERE b.doc_id >= 5000000000000
+      |  GROUP BY 1,2),
+      |nd1 AS (
+      |  SELECT DISTINCT idb AS doc_id
+      |  FROM i1 JOIN sz1 sa ON sa.doc_id=ida JOIN sz1 sb ON sb.doc_id=idb
+      |  WHERE c*1000000 >= 500000*(sa.n+sb.n-c)),
+      |v1 AS (
+      |  SELECT b.doc_id, b.text,
+      |    CASE WHEN f.fp IS NOT NULL THEN 'exact_dup'
+      |         WHEN nd1.doc_id IS NOT NULL THEN 'near_dup'
+      |         ELSE 'kept' END AS verdict
+      |  FROM b1 b
+      |  LEFT JOIN fp0 f
+      |    ON f.fp = md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))
+      |  LEFT JOIN nd1 ON nd1.doc_id = b.doc_id),
+      |s1 AS (SELECT doc_id, text FROM v1 WHERE verdict = 'kept'),
+      |fp1 AS (SELECT fp FROM fp0 UNION SELECT $fp FROM s1),
+      |b2 AS (
+      |  SELECT doc_id + 7000000000000 AS doc_id, $rev AS text
+      |  FROM documents WHERE doc_id % 18 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 7000000000000, $pfxRev
+      |  FROM documents WHERE doc_id % 18 = 11
+      |  UNION ALL
+      |  SELECT doc_id + 7000000000000, $rev
+      |  FROM documents WHERE doc_id % 9 = 7),
+      |c2 AS (SELECT doc_id, text FROM documents
+      |       UNION ALL SELECT doc_id, text FROM s1
+      |       UNION ALL SELECT doc_id, text FROM b2),
+      |w2 AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM c2)),
+      |sh2 AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM w2 a JOIN w2 b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |            JOIN w2 c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+      |sz2 AS (SELECT doc_id, COUNT(*) n FROM sh2 GROUP BY 1),
+      |i2 AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh2 a JOIN sh2 b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  WHERE b.doc_id >= 7000000000000
+      |  GROUP BY 1,2),
+      |nd2 AS (
+      |  SELECT DISTINCT idb AS doc_id
+      |  FROM i2 JOIN sz2 sa ON sa.doc_id=ida JOIN sz2 sb ON sb.doc_id=idb
+      |  WHERE c*1000000 >= 500000*(sa.n+sb.n-c)),
+      |v2 AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN f.fp IS NOT NULL THEN 'exact_dup'
+      |         WHEN nd2.doc_id IS NOT NULL THEN 'near_dup'
+      |         ELSE 'kept' END AS verdict
+      |  FROM b2 b
+      |  LEFT JOIN fp1 f
+      |    ON f.fp = md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))
+      |  LEFT JOIN nd2 ON nd2.doc_id = b.doc_id)
+      |SELECT 1 AS day, doc_id, verdict FROM v1
+      |UNION ALL
+      |SELECT 2 AS day, doc_id, verdict FROM v2
+      |ORDER BY day, doc_id""".stripMargin
+  }
+
   // x27b's directed containment over x32's union corpus, restricted
   // to pairs touching the increment — the x37/x37b oracle.
   private val incrementalContainmentSql =
@@ -3591,6 +3872,12 @@ object ExtensionQueries {
     // over the x32 union corpus restricted to ≥1-new, exact
     // levenshtein verify on 60-char prefixes
     "x38_incremental_fuzzy" -> incrementalFuzzySql,
+
+    // x39: the folded cluster map vs a from-scratch union recompute
+    "x39_incremental_clusters" -> incrementalClustersSql,
+
+    // x40: two curation days, day 2 against the folded artifacts
+    "x40_serve_fold_serve" -> serveFoldServeSql,
     
 
     "x4b_simhash_portable" -> {
@@ -4594,6 +4881,8 @@ object ExtensionQueries {
     "x37_incremental_containment" -> (x37IncrementalContainment _),
     "x37b_containment_from_index" -> (x37bContainmentFromIndex _),
     "x38_incremental_fuzzy"       -> (x38IncrementalFuzzy _),
+    "x39_incremental_clusters"    -> (x39IncrementalClusters _),
+    "x40_serve_fold_serve"        -> (x40ServeFoldServe _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),

@@ -232,9 +232,17 @@ object Dedup {
   val ListStageTargetBytesConf = "spark.graft.listStageTargetBytes"
 
   private def listStageWidth(df: DataFrame): Option[Int] = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = df.sparkSession.conf
-      .get(ListStageTargetBytesConf, (16L << 20).toString).toLong
+    // ANALYZED plan stats, not optimizedPlan: the Dataset is already
+    // analyzed eagerly at construction, so this reads file-listing
+    // sizeInBytes without forcing an extra optimize pass per query
+    // build (and without touching the AQE frame — see CLAUDE.md's
+    // executedPlan stage-reuse sharp edge)
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val raw = df.sparkSession.conf
+      .get(ListStageTargetBytesConf, (16L << 20).toString)
+    val target = scala.util.Try(raw.toLong).toOption.filter(_ > 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ListStageTargetBytesConf must be a positive long, got '$raw'"))
     val default = df.sparkSession.sessionState.conf.numShufflePartitions
     val want = (bytes / target).min(4096).toInt
     if (want > default) Some(want) else None
@@ -939,6 +947,103 @@ object Dedup {
     edges.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Fold a day's NEW near-dup pairs into an existing cluster map —
+    * the incremental maintenance step that keeps [[connectedComponents]]'
+    * (node, cluster_id = component min) artifact exact without ever
+    * re-running label propagation over the corpus-sized pair graph.
+    *
+    * Mechanics: the new pairs' endpoints are looked up in the map
+    * (self-root when unmapped — brand-new docs), each pair is
+    * CONTRACTED to an edge between cluster roots (within-cluster pairs
+    * drop — they carry no new connectivity), and label propagation
+    * runs on that contracted graph only: O(new pairs + touched
+    * clusters) nodes, never the corpus. The resulting old-root →
+    * new-root relabel map is TINY (touched clusters only), so the
+    * corpus-sized map updates through one broadcast join — map-side,
+    * no corpus shuffle, and a deployment can equally write it as a
+    * patch layer next to the bucketed table. Because every old
+    * cluster_id is its component's min node id and new nodes enter the
+    * contracted graph as themselves, the propagated min over
+    * contracted nodes IS the min over all nodes of each merged
+    * component — fold ≡ full recompute on the union graph
+    * (IncrementalClusterSpec pins it, including the two-old-clusters
+    * merge that forces the x17 canonical re-election).
+    *
+    * `newPairs` must carry `aCol < bCol` per row (the pair
+    * generators' contract); `map` is (doc_id, cluster_id). */
+  def foldPairsIntoClusterMap(map: DataFrame, newPairs: DataFrame,
+      aCol: String = "ida", bCol: String = "idb",
+      maxIter: Int = 25): DataFrame = {
+    val pairs = newPairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .persist()
+    val nodes = pairs.select(col("_a").as("_n"))
+      .union(pairs.select(col("_b").as("_n"))).distinct()
+    // current root per touched node: its cluster when mapped, itself
+    // when new — the corpus-sized map joins on its own bucket key
+    val roots = nodes
+      .join(map.select(col("doc_id").as("_n"), col("cluster_id")),
+        Seq("_n"), "left")
+      .select(col("_n"), coalesce(col("cluster_id"), col("_n")).as("_r"),
+        col("cluster_id").isNotNull.as("_mapped"))
+      .persist()
+    // localCheckpoint severs the deep pair-generator lineage before
+    // the iterative loop: label propagation's plan tree references its
+    // child twice per round (it doubles), so the loop must start from
+    // a leaf, not from the incremental-pair plan
+    val contracted = pairs
+      .join(roots.select(col("_n").as("_a"), col("_r").as("_ra")), Seq("_a"))
+      .join(roots.select(col("_n").as("_b"), col("_r").as("_rb")), Seq("_b"))
+      .filter(col("_ra") =!= col("_rb"))
+      .select(col("_ra"), col("_rb"))
+      .localCheckpoint()
+    // label propagation over roots only — the tiny graph. The result
+    // is materialized as a LOCAL relation: it is O(touched clusters)
+    // rows (the exact rows the broadcast join ships to the driver
+    // anyway), and severing the lineage here keeps the iterative
+    // loop's self-referencing plan tree — which doubles per round —
+    // out of every downstream consumer's plan.
+    val ccRows = connectedComponents(contracted, "_ra", "_rb", maxIter)
+      .select(col("node").as("_root"), col("cluster_id").as("_l"))
+    val cc = map.sparkSession.createDataFrame(
+      java.util.Arrays.asList(ccRows.collect(): _*), ccRows.schema)
+    val relabel = cc.filter(col("_root") =!= col("_l"))
+    // corpus map: touched clusters relabel through the broadcast map,
+    // untouched rows pass through — one map-side pass, no shuffle
+    val updatedOld = map
+      .join(broadcast(relabel), map("cluster_id") === relabel("_root"),
+        "left")
+      .select(map("doc_id"),
+        coalesce(col("_l"), map("cluster_id")).as("cluster_id"))
+    // brand-new nodes: their contracted label when they formed or
+    // joined a component, themselves otherwise (within-batch pairs
+    // that collapsed entirely cannot leave a new node unlabeled — a
+    // new node's root is itself, so any pair it survives in keeps it
+    // in the contracted graph)
+    val newNodes = roots.filter(!col("_mapped"))
+      .join(broadcast(cc), col("_r") === col("_root"), "left")
+      .select(col("_n").as("doc_id"),
+        coalesce(col("_l"), col("_r")).as("cluster_id"))
+    val out = updatedOld.unionByName(newNodes)
+    pairs.unpersist(); roots.unpersist()
+    out
+  }
+
+  /** Fold a batch into the two per-snapshot LSH artifacts (the
+    * [[lshBanded]] band-bucket table and the per-doc shingle-set
+    * table): both are PER-DOC row sets — the hash planes and band
+    * layout are corpus-independent — so the fold is a pure O(batch)
+    * append of the batch's own signature derivation; no corpus row is
+    * read, touched, or re-banded, and append ≡ rebuild on the union
+    * corpus exactly (DurableArtifactsSpec pins it). Requires batch ids
+    * disjoint from corpus ids (the engine's offset layout). */
+  def appendToLshArtifacts(corpusBanded: DataFrame, corpusSets: DataFrame,
+      increment: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): (DataFrame, DataFrame) = {
+    val bs = lshSigSet(increment, idCol, textCol, n, numHashes)
+    (corpusBanded.unionByName(lshBanded(bs, numHashes, bands)),
+      corpusSets.unionByName(bs.select(col("_id"), col("_set"))))
   }
 
   /** Fuzzy (edit-distance) near-dup pairs: all (a,b) with

@@ -398,6 +398,19 @@ object Similarity {
         if (multiProbe) probeRadius1(col("_b0"), nPlanes)
         else array(col("_b0"))).as("_bucket"))
 
+  /** Fold a re-embedded batch into the probed-bucket artifact: the
+    * hyperplanes are deterministic in (dim, nPlanes) — corpus-
+    * independent — so the fold is a pure O(batch) append of the
+    * batch's own probed buckets; no corpus vector is re-hashed, and
+    * append ≡ rebuild on the union corpus exactly
+    * (DurableArtifactsSpec pins it). Requires batch ids disjoint from
+    * corpus ids (the engine's offset layout). */
+  def appendToEmbBuckets(corpusProbed: DataFrame, increment: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nPlanes: Int = 12,
+      multiProbe: Boolean = true): DataFrame =
+    corpusProbed.unionByName(
+      probedBuckets(increment, idCol, vecCol, dim, nPlanes, multiProbe))
+
   /** INCREMENTAL [[lshNearDupCandidates]]: candidate pairs TOUCHING
     * the increment only, with the corpus bucket table never
     * self-joined — increment×corpus candidates from one equi join of

@@ -56,11 +56,22 @@ object StreamAdmission {
     * `baseDir/corpus/b=<id>`. */
   def verdictsStream(docs: Dataset[NdDoc], baseDir: String,
       checkpointDir: String, n: Int = 3, thresholdPpm: Long = 500000L,
-      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap): StreamingQuery =
+      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap,
+      autoCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: Dataset[NdDoc], id: Long) =>
-        val _ = curateBatch(b, id, baseDir, n, thresholdPpm, dfCap)
+        val committed = curateBatch(b, id, baseDir, n, thresholdPpm, dfCap)
+        // same in-trigger scheduling contract as StreamNearDup
+        // .pairsStream: synchronous, so the stream's own per-trigger
+        // probes never race the deferred cleanup; compacts BOTH layers
+        // (index + fps) — the fp-probe cost is the one that grows
+        // fastest with delta count
+        if (committed && autoCompactEvery > 0 &&
+            (StreamIndex.liveDeltas(baseDir, "index") >= autoCompactEvery ||
+             StreamIndex.liveDeltas(baseDir, "fps") >= autoCompactEvery)) {
+          val _ = compactIndex(b.sparkSession, baseDir, n)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

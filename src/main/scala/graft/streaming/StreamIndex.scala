@@ -116,6 +116,16 @@ private[streaming] object StreamIndex {
   def compactSnapshot(baseDir: String): Option[Long] =
     layerSnapshot(baseDir, "index")
 
+  /** Committed deltas not yet covered by a layer's compact snapshot —
+    * the statistic the streams' `autoCompactEvery` trigger compares
+    * against: the per-trigger probe cost grows with exactly this
+    * count (the fp probe measured 3.4× faster at 63 deltas → 1
+    * snapshot, amortizing in ~1.4 triggers — PERF.md round 11). */
+  def liveDeltas(baseDir: String, layer: String): Int = {
+    val snap = layerSnapshot(baseDir, layer)
+    committedBatches(s"$baseDir/corpus").count(v => snap.forall(v > _))
+  }
+
   /** Newest committed compact snapshot id under `<layer>/`, if any. */
   def layerSnapshot(baseDir: String, layer: String): Option[Long] =
     committedDirs(s"$baseDir/$layer", "c=").maxOption

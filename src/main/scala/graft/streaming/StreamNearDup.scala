@@ -56,15 +56,32 @@ case class NdDoc(doc_id: Long, text: String)
 object StreamNearDup {
 
   /** Start the AvailableNow foreachBatch query: pairs land under
-    * `baseDir/pairs/b=<id>`, the corpus under `baseDir/corpus/b=<id>`. */
+    * `baseDir/pairs/b=<id>`, the corpus under `baseDir/corpus/b=<id>`.
+    *
+    * `autoCompactEvery` > 0 schedules [[compactIndex]] INSIDE the
+    * trigger whenever the uncompacted delta count reaches it — the
+    * probe cost grows with that count, and the compaction amortizes in
+    * ~1.4 triggers (PERF.md round 11). Running synchronously inside
+    * foreachBatch means every trigger plans its delta scan strictly
+    * after the previous trigger's compaction committed, so the
+    * stream's OWN reads can never race the deferred-one-pass cleanup;
+    * the documented external-reader caveat (strictly less often than
+    * twice per longest reader) is unchanged, and a threshold ≥ 2
+    * keeps passes at most every other trigger. 0 = off (out-of-band
+    * maintenance only). */
   def pairsStream(docs: Dataset[NdDoc], baseDir: String,
       checkpointDir: String, n: Int = 3,
       thresholdPpm: Long = 500000L,
-      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap): StreamingQuery =
+      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap,
+      autoCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: Dataset[NdDoc], id: Long) =>
-        val _ = pairBatch(b, id, baseDir, n, thresholdPpm, dfCap)
+        val committed = pairBatch(b, id, baseDir, n, thresholdPpm, dfCap)
+        if (committed && autoCompactEvery > 0 &&
+            StreamIndex.liveDeltas(baseDir, "index") >= autoCompactEvery) {
+          val _ = compactIndex(b.sparkSession, baseDir, n)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

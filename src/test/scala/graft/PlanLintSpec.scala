@@ -45,6 +45,10 @@ class PlanLintSpec extends SparkTestBase {
     // the from-index cap stats, as in x33
     "x34b_curation_from_index",
     "x37b_containment_from_index",
+    // x38 composes the factored split-list core: its two
+    // SinglePartition exchanges are the same 1-row AdaptiveAvg cap
+    // merges as x32/x2b (sum/count partials -> global merge)
+    "x38_incremental_fuzzy",
     // the from-index cap stats: two 1-row broadcast aggregates
     // (Σ|index lists| over the index; Σ|batch lists| + batch-only
     // shingle count over the joined batch)

@@ -122,6 +122,91 @@ class DurableArtifactsSpec extends SparkTestBase {
     spark.conf.unset(ExtensionQueries.embBucketsArtifact.tableConf)
   }
 
+  test("appendTo* ≡ rebuild on the union corpus for every append-only " +
+      "artifact (fp set, LSH band/set, emb buckets)") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val docs = Tables.wide(Tables.documents(spark, d))
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    // disjoint id domain + perturbed text so fps genuinely differ
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 1000000000000L).as("doc_id"),
+        concat(col("text"), lit(" zzfold")).as("text"))
+    val union = corpus.unionByName(batch)
+
+    // fp set
+    assert(rows(ExtensionQueries.appendToCorpusFp(
+        ExtensionQueries.curationCorpusFp(corpus), batch))
+      === rows(ExtensionQueries.curationCorpusFp(union)))
+
+    // LSH band/set tables (sets compared order-insensitively — the
+    // collect_list shingle order is not part of the contract)
+    def normSets(df: DataFrame) = rows(
+      df.select(col("_id"), sort_array(col("_set")).as("_set")))
+    val cs = Dedup.lshSigSet(corpus, "doc_id", "text", n = 3,
+      numHashes = 128)
+    val (aBanded, aSets) = Dedup.appendToLshArtifacts(
+      Dedup.lshBanded(cs, 128, 32), cs.select(col("_id"), col("_set")),
+      batch, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val us = Dedup.lshSigSet(union, "doc_id", "text", n = 3,
+      numHashes = 128)
+    assert(rows(aBanded) === rows(Dedup.lshBanded(us, 128, 32)))
+    assert(normSets(aSets) === normSets(us.select(col("_id"), col("_set"))))
+
+    // emb buckets
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val embC = emb.filter(col("vec_id") < 150)
+    val embB = emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+      .select((col("vec_id") + 1000000000000L).as("vec_id"),
+        col("embedding"))
+    assert(rows(Similarity.appendToEmbBuckets(
+        Similarity.probedBuckets(embC, "vec_id", "embedding", dim = 64),
+        embB, "vec_id", "embedding", dim = 64))
+      === rows(Similarity.probedBuckets(embC.unionByName(embB), "vec_id",
+        "embedding", dim = 64)))
+  }
+
+  test("appendDelta folds a batch delta into the durable fp table: " +
+      "O(batch) bucketed INSERT, folds counter bumps, layout survives, " +
+      "the folded table serves with zero rebuilds") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val t = "g_corpus_fp_fold_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ExtensionQueries.corpusFpArtifact.write(spark, d, t)
+    ExtensionQueries.evictCorpusFp(spark, d)
+    val base = rows(spark.table(t))
+    assert(graft.DurableArtifact.foldsOf(spark, t) === 0)
+
+    // the day's survivors: perturbed texts → genuinely new fps
+    val batch = Tables.wide(Tables.documents(spark, d))
+      .select((col("doc_id") + 1000000000000L).as("doc_id"),
+        concat(col("text"), lit(" zzday1")).as("text"))
+      .filter(col("doc_id") % 3 === 0)
+    val delta = ExtensionQueries.corpusFpDelta(spark.table(t), batch)
+    val deltaRows = rows(delta)
+    assert(deltaRows.nonEmpty && deltaRows.intersect(base).isEmpty)
+
+    val before = ExtensionQueries.corpusFpArtifact.builds.get()
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta)
+    assert(ExtensionQueries.corpusFpArtifact.builds.get() === before,
+      "the fold must never rebuild the corpus artifact")
+    assert(graft.DurableArtifact.foldsOf(spark, t) === 1)
+    assert(rows(spark.table(t)) === base ++ deltaRows)
+    assert(bucketSpec(t).exists(b =>
+      b.numBuckets == 8 && b.bucketColumnNames == Seq("fp")))
+
+    // a fresh session serves the FOLDED set straight from the table
+    val s2 = spark.newSession()
+    s2.conf.set(ExtensionQueries.corpusFpArtifact.tableConf, t)
+    assert(rows(ExtensionQueries.docsCorpusFp(s2, d)) === base ++ deltaRows)
+    assert(ExtensionQueries.corpusFpArtifact.builds.get() === before)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("use() rewrites a table stamped for another dir instead of " +
       "silently falling back to the memo for every consumer") {
     val d2 = "/root/testdata/sf0.01"

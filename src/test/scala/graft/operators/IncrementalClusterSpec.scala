@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental cluster-map maintenance
+  * ([[Dedup.foldPairsIntoClusterMap]]): fold ≡ full recompute on the
+  * union pair graph — pinned on handcrafted merge topologies (every
+  * structural case the contraction must get right) and on the real
+  * corpus fixture with x39's exact pair machinery. The two-old-
+  * clusters merge also re-elects the per-cluster canonical (x17's
+  * consumer contract). */
+class IncrementalClusterSpec extends SparkTestBase {
+
+  private def pairsDf(ps: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    ps.toDF("ida", "idb")
+  }
+
+  private def mapOf(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** fold(cc(base), inc) must equal cc(base ∪ inc), node for node. */
+  private def checkFold(base: Seq[(Long, Long)],
+      inc: Seq[(Long, Long)]): Unit = {
+    val mapped = Dedup.connectedComponents(pairsDf(base))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val folded = Dedup.foldPairsIntoClusterMap(mapped, pairsDf(inc))
+    val rebuilt = Dedup.connectedComponents(pairsDf(base ++ inc))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    assert(mapOf(folded) === mapOf(rebuilt))
+  }
+
+  test("attach: a new node joins an existing cluster") {
+    checkFold(base = Seq((1L, 2L), (10L, 11L)), inc = Seq((2L, 100L)))
+  }
+
+  test("merge: one new node bridges two old clusters") {
+    // clusters {1,2} and {10,11} merge through 100 — every member of
+    // the higher-rooted cluster must relabel to 1
+    checkFold(base = Seq((1L, 2L), (10L, 11L)),
+      inc = Seq((2L, 100L), (11L, 100L)))
+  }
+
+  test("chain merge: three old clusters through two new nodes") {
+    checkFold(base = Seq((1L, 2L), (10L, 11L), (20L, 21L)),
+      inc = Seq((2L, 100L), (10L, 100L), (100L, 101L), (101L, 21L)))
+  }
+
+  test("brand-new cluster: both endpoints unmapped") {
+    checkFold(base = Seq((1L, 2L)), inc = Seq((100L, 101L), (101L, 102L)))
+  }
+
+  test("new node below the old root relabels the whole cluster") {
+    // 0 < 1: the merged component's min is the NEW node
+    checkFold(base = Seq((1L, 2L)), inc = Seq((0L, 2L)))
+  }
+
+  test("within-cluster pair is a no-op") {
+    checkFold(base = Seq((1L, 2L), (2L, 3L)), inc = Seq((1L, 3L)))
+  }
+
+  test("empty increment returns the map unchanged") {
+    checkFold(base = Seq((1L, 2L), (10L, 11L)), inc = Seq.empty)
+  }
+
+  test("direct old-old pair merges without any new node") {
+    checkFold(base = Seq((1L, 2L), (10L, 11L)), inc = Seq((2L, 10L)))
+  }
+
+  test("a two-cluster merge re-elects the per-cluster canonical") {
+    // x17's consumer contract: canonical = min doc_id per cluster.
+    // Before the fold there are two canonicals (1 and 10); after the
+    // merge exactly one survives, and it is the global min.
+    val mapped = Dedup.connectedComponents(pairsDf(Seq((1L, 2L), (10L, 11L))))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    def canon(m: DataFrame) =
+      m.groupBy("cluster_id").agg(min("doc_id").as("canonical"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(canon(mapped) === Set((1L, 1L), (10L, 10L)))
+    val folded = Dedup.foldPairsIntoClusterMap(mapped,
+      pairsDf(Seq((2L, 100L), (11L, 100L))))
+    assert(canon(folded) === Set((1L, 1L)))
+  }
+
+  test("corpus fixture: x39's fold equals the from-scratch union map") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.wide(Tables.documents(spark, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val increment = docs.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + 5000000000000L).as("doc_id"),
+        array_join(slice(ws, lit(1), kWords), " ").as("text"))
+    val mapped = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.8))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val newPairs = Dedup.incrementalJaccardPairsPpm(docs, increment,
+      "doc_id", "text", n = 3, thresholdPpm = 800000L,
+      dfCap = Dedup.DfCap.NoCap)
+    val folded = Dedup.foldPairsIntoClusterMap(mapped, newPairs)
+    val rebuilt = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs.unionByName(increment), "doc_id",
+          "text", n = 3, threshold = 0.8))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val f = mapOf(folded)
+    val r = mapOf(rebuilt)
+    assert(f === r)
+    // anti-vacuity: the fold actually grew the map with batch nodes
+    val mapRows = mapOf(mapped)
+    assert(f.size > mapRows.size)
+    assert(f.exists(_._1 >= 5000000000000L))
+  }
+}

@@ -108,6 +108,29 @@ class StreamAdmissionSpec extends SparkTestBase {
     assert(!vm.contains(3L), "filtered-out docs get no verdict")
   }
 
+  test("autoCompactEvery fires compaction of BOTH layers automatically " +
+      "mid-stream; verdicts stay identical to the one-shot recompute") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sa_auto").toString
+    val ckpt = Files.createTempDirectory("graft_sa_auto_ckpt").toString
+    val mem = MemoryStream[NdDoc](43)
+    def drain(): Unit = {
+      val q = StreamAdmission.verdictsStream(mem.toDS(), dir, ckpt, 3,
+        500000L, Dedup.DfCap.NoCap, autoCompactEvery = 2)
+      try { val _ = q.awaitTermination(120000) } finally q.stop()
+    }
+    mem.addData(b1: _*); drain()
+    mem.addData(b2: _*); drain()
+    mem.addData(b3: _*); drain()
+    // fired inside batch 1's trigger, on both layers
+    assert(StreamIndex.layerSnapshot(dir, "index") === Some(1L))
+    assert(StreamIndex.layerSnapshot(dir, "fps") === Some(1L))
+    val streamed = StreamAdmission.allVerdicts(spark, dir)
+    val rows = streamed.collect()
+    assert(rows.length === rows.map(_.getLong(0)).distinct.length)
+    assert(verdictMap(streamed) === oneShot)
+  }
+
   test("adaptive caps are rejected; Fixed is accepted") {
     val dir = Files.createTempDirectory("graft_sa_cap").toString
     val e = intercept[IllegalArgumentException] {

@@ -62,6 +62,34 @@ class StreamNearDupSpec extends SparkTestBase {
     assert(StreamNearDup.corpusView(spark, dir).count() === allDocs.size)
   }
 
+  test("autoCompactEvery fires compaction automatically mid-stream; " +
+      "the exactly-once union is unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_snd_auto").toString
+    val ckpt = Files.createTempDirectory("graft_snd_auto_ckpt").toString
+    val mem = MemoryStream[NdDoc](47)
+    // AvailableNow terminates per drain, so each day's run is one
+    // restart over the shared checkpoint — the deployment shape
+    def drain(): Unit = {
+      val q = StreamNearDup.pairsStream(mem.toDS(), dir, ckpt, 3,
+        500000L, Dedup.DfCap.NoCap, autoCompactEvery = 2)
+      try { val _ = q.awaitTermination(120000) } finally q.stop()
+    }
+    mem.addData(b1: _*); drain()
+    mem.addData(b2: _*); drain()
+    mem.addData(b3: _*); drain()
+    // threshold 2: the pass fired inside batch 1's trigger (2 live
+    // deltas), and NOT after batch 2 (1 live delta) — a snapshot id
+    // strictly below the last batch id proves mid-stream firing
+    assert(StreamIndex.layerSnapshot(dir, "index") === Some(1L))
+    // the compacted layout serves the same exactly-once union
+    val rows = StreamNearDup.allPairs(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet === expectedPairs)
+    assert(rows.length === rows.toSet.size)
+    assert(StreamNearDup.corpusView(spark, dir).count() === allDocs.size)
+  }
+
   test("adaptive caps are rejected; Fixed is accepted") {
     val dir = Files.createTempDirectory("graft_snd_cap").toString
     val e = intercept[IllegalArgumentException] {
