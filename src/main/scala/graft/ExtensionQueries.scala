@@ -535,17 +535,20 @@ object ExtensionQueries {
 
   /** X40 — SERVE → FOLD → SERVE: the daily job's full two-day loop
     * over the durable dedup artifacts. Day 1 curates a mixed batch
-    * (resubmits `%9==1`, new pages `%9==2` word-reversed, re-crawl
-    * prefixes `%9==4`) against the snapshot artifacts — the exact-dup
+    * (resubmits `%27==1`, new pages `%36∈{2,11}` word-reversed,
+    * re-crawl prefixes `%27==4`) against the snapshot artifacts — the
+    * exact-dup
     * probe joins the fp set ([[docsCorpusFp]]), the near-dup stage
     * joins the posting index ([[docsPostingIndex]]) — then FOLDS the
-    * survivors back into both ([[appendToCorpusFp]],
-    * [[Dedup.appendToPostingIndex]]), and day 2's batch is curated
+    * survivors back into both ([[appendToCorpusFp]]; the index folds
+    * through its DELTA layout — the O(batch) durable fold ST8 ships,
+    * with [[Dedup.appendToPostingIndex]] as the compaction-time
+    * canonical merge), and day 2's batch is curated
     * against the FOLDED artifacts: a resubmission of a day-1 kept page
-    * (`%18==2`) is an exact dup ONLY IF the fp fold worked, a
-    * re-crawl prefix of a day-1 kept page (`%18==11`) is a near dup
+    * (`%36==2`) is an exact dup ONLY IF the fp fold worked, a
+    * re-crawl prefix of a day-1 kept page (`%36==11`) is a near dup
     * ONLY IF the index fold worked, and day-2 brand-new pages
-    * (`%9==7` reversed) stay kept. Verdict rule both days: exact
+    * (`%27==7` reversed) stay kept. Verdict rule both days: exact
     * first (fp ∈ served set), else near (the doc is the LARGER side
     * of an incremental Jaccard-ppm ≥ 0.5 pair — the family's
     * drop-idb orientation), else kept. Uncapped, so the whole
@@ -557,32 +560,47 @@ object ExtensionQueries {
     val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
     val prefixText = array_join(slice(ws, lit(1), kWords), " ")
     val revText = array_join(reverse(ws), " ")
-    val b1 = docs.filter(col("doc_id") % 9 === 1)
+    val b1 = docs.filter(col("doc_id") % 27 === 1)
         .select((col("doc_id") + IncrementOffset).as("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 9 === 2)
+      .unionByName(docs.filter(col("doc_id") % 36 === 2 ||
+          col("doc_id") % 36 === 11)
         .select((col("doc_id") + IncrementOffset).as("doc_id"),
           revText.as("text")))
-      .unionByName(docs.filter(col("doc_id") % 9 === 4)
+      .unionByName(docs.filter(col("doc_id") % 27 === 4)
         .select((col("doc_id") + IncrementOffset).as("doc_id"),
           prefixText.as("text")))
     val fp0 = docsCorpusFp(s, d)
     val idx0 = docsPostingIndex(s, d)
-    val v1 = dayVerdicts(b1, fp0, idx0)
+    // day-1 verdicts materialize ONCE (localCheckpoint): three
+    // consumers (the output rows, the fp fold, the index fold) would
+    // otherwise each re-run the day-1 pair stage
+    val v1 = dayVerdicts(b1, fp0,
+      Dedup.incrementalJaccardPairsFromIndex(idx0, b1, "doc_id", "text",
+        n = 3, thresholdPpm = 500000L, dfCap = Dedup.DfCap.NoCap))
+      .localCheckpoint()
     val s1 = v1.filter(col("verdict") === "kept")
       .select(col("doc_id"), col("text"))
-    // the fold: day-1 survivors into BOTH serving artifacts, O(batch)
+    // the fold, O(batch) for both artifacts: new fps anti-joined in;
+    // the index folds through its DELTA layout (the posting index
+    // merges per-shingle rows, so its durable fold is a delta append
+    // + deferred compaction — ST8's machinery — not a corpus-wide
+    // full-outer rewrite; the delta serve is pinned ≡ canonical)
     val fp1 = appendToCorpusFp(fp0, s1)
-    val idx1 = Dedup.appendToPostingIndex(idx0, s1, "doc_id", "text", n = 3)
-    val b2 = docs.filter(col("doc_id") % 18 === 2)
+    val idx1Deltas = idx0.unionByName(
+      Dedup.postingIndex(s1, "doc_id", "text", n = 3))
+    val b2 = docs.filter(col("doc_id") % 36 === 2)
         .select((col("doc_id") + Day2Offset).as("doc_id"),
           revText.as("text"))
-      .unionByName(docs.filter(col("doc_id") % 18 === 11)
+      .unionByName(docs.filter(col("doc_id") % 36 === 11)
         .select((col("doc_id") + Day2Offset).as("doc_id"),
           array_join(slice(reverse(ws), lit(1), kWords), " ").as("text")))
-      .unionByName(docs.filter(col("doc_id") % 9 === 7)
+      .unionByName(docs.filter(col("doc_id") % 27 === 7)
         .select((col("doc_id") + Day2Offset).as("doc_id"),
           revText.as("text")))
-    val v2 = dayVerdicts(b2, fp1, idx1)
+    val v2 = dayVerdicts(b2, fp1,
+      Dedup.incrementalJaccardPairsFromIndexDeltas(idx1Deltas, b2,
+        "doc_id", "text", n = 3, thresholdPpm = 500000L,
+        dfCap = Dedup.DfCap.NoCap))
     v1.select(lit(1).as("day"), col("doc_id"), col("verdict"))
       .unionByName(v2.select(lit(2).as("day"), col("doc_id"),
         col("verdict")))
@@ -590,14 +608,13 @@ object ExtensionQueries {
   }
 
   /** One curation day of x40: exact-dup probe against the served fp
-    * set, near-dup = the batch doc is the larger (dropped) side of an
-    * incremental Jaccard ≥ 0.5 pair against the served posting index,
+    * set, near-dup = the batch doc is the larger (dropped) side of a
+    * pair from the supplied incremental listing (day 1 reads the
+    * canonical index, day 2 the day-1-folded delta layout),
     * exact-before-near precedence. */
   private def dayVerdicts(batch: DataFrame, fpSet: DataFrame,
-      index: DataFrame): DataFrame = {
-    val dropped = Dedup.incrementalJaccardPairsFromIndex(index, batch,
-        "doc_id", "text", n = 3, thresholdPpm = 500000L,
-        dfCap = Dedup.DfCap.NoCap)
+      pairs: DataFrame): DataFrame = {
+    val dropped = pairs
       .select(col("idb").as("doc_id")).distinct()
       .withColumn("_near", lit(1))
     batch
@@ -3318,13 +3335,13 @@ object ExtensionQueries {
         |    ' ')""".stripMargin
     s"""WITH b1 AS (
       |  SELECT doc_id + 5000000000000 AS doc_id, text
-      |  FROM documents WHERE doc_id % 9 = 1
+      |  FROM documents WHERE doc_id % 27 = 1
       |  UNION ALL
       |  SELECT doc_id + 5000000000000, $rev
-      |  FROM documents WHERE doc_id % 9 = 2
+      |  FROM documents WHERE doc_id % 36 = 2 OR doc_id % 36 = 11
       |  UNION ALL
       |  SELECT doc_id + 5000000000000, $pfx
-      |  FROM documents WHERE doc_id % 9 = 4),
+      |  FROM documents WHERE doc_id % 27 = 4),
       |fp0 AS (SELECT DISTINCT $fp AS fp FROM documents),
       |c1 AS (SELECT doc_id, text FROM documents
       |       UNION ALL SELECT doc_id, text FROM b1),
@@ -3360,13 +3377,13 @@ object ExtensionQueries {
       |fp1 AS (SELECT fp FROM fp0 UNION SELECT $fp FROM s1),
       |b2 AS (
       |  SELECT doc_id + 7000000000000 AS doc_id, $rev AS text
-      |  FROM documents WHERE doc_id % 18 = 2
+      |  FROM documents WHERE doc_id % 36 = 2
       |  UNION ALL
       |  SELECT doc_id + 7000000000000, $pfxRev
-      |  FROM documents WHERE doc_id % 18 = 11
+      |  FROM documents WHERE doc_id % 36 = 11
       |  UNION ALL
       |  SELECT doc_id + 7000000000000, $rev
-      |  FROM documents WHERE doc_id % 9 = 7),
+      |  FROM documents WHERE doc_id % 27 = 7),
       |c2 AS (SELECT doc_id, text FROM documents
       |       UNION ALL SELECT doc_id, text FROM s1
       |       UNION ALL SELECT doc_id, text FROM b2),

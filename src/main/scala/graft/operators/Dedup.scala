@@ -981,53 +981,116 @@ object Dedup {
     val nodes = pairs.select(col("_a").as("_n"))
       .union(pairs.select(col("_b").as("_n"))).distinct()
     // current root per touched node: its cluster when mapped, itself
-    // when new — the corpus-sized map joins on its own bucket key
+    // when new — the corpus-sized map joins on its own bucket key.
+    // localCheckpoint, not persist: the frame is consumed again by the
+    // RETURNED plan (newNodes), and a persist released at construction
+    // end would silently re-run the whole pair pipeline at execution
+    // time (measured 2× on x39 before this)
     val roots = nodes
       .join(map.select(col("doc_id").as("_n"), col("cluster_id")),
         Seq("_n"), "left")
       .select(col("_n"), coalesce(col("cluster_id"), col("_n")).as("_r"),
         col("cluster_id").isNotNull.as("_mapped"))
-      .persist()
+      .localCheckpoint()
     // localCheckpoint severs the deep pair-generator lineage before
-    // the iterative loop: label propagation's plan tree references its
-    // child twice per round (it doubles), so the loop must start from
-    // a leaf, not from the incremental-pair plan
+    // the contracted-graph work: label propagation's plan tree
+    // references its child twice per round (it doubles), so the loop
+    // must start from a leaf, not from the incremental-pair plan —
+    // and the checkpoint's row count is the size gate below for free
     val contracted = pairs
       .join(roots.select(col("_n").as("_a"), col("_r").as("_ra")), Seq("_a"))
       .join(roots.select(col("_n").as("_b"), col("_r").as("_rb")), Seq("_b"))
       .filter(col("_ra") =!= col("_rb"))
-      .select(col("_ra"), col("_rb"))
+      .select(col("_ra").cast("long"), col("_rb").cast("long"))
       .localCheckpoint()
-    // label propagation over roots only — the tiny graph. The result
-    // is materialized as a LOCAL relation: it is O(touched clusters)
-    // rows (the exact rows the broadcast join ships to the driver
-    // anyway), and severing the lineage here keeps the iterative
-    // loop's self-referencing plan tree — which doubles per round —
-    // out of every downstream consumer's plan.
-    val ccRows = connectedComponents(contracted, "_ra", "_rb", maxIter)
-      .select(col("node").as("_root"), col("cluster_id").as("_l"))
-    val cc = map.sparkSession.createDataFrame(
-      java.util.Arrays.asList(ccRows.collect(): _*), ccRows.schema)
+    // Connected components over roots only. Size-gated: below the
+    // threshold (the common daily-batch shape) the contracted edges
+    // collect to the driver — they were headed there anyway as the
+    // broadcast relabel map — and a union-find labels them in
+    // microseconds, where the distributed loop pays ~0.5 s of local
+    // stage latency PER ITERATION at any SF. Above it, the
+    // distributed min-label loop runs and the labels stay distributed
+    // (a relabel map too big to collect is too big to broadcast).
+    val spark = map.sparkSession
+    val rawMax = spark.conf.get(FoldLocalCcMaxEdgesConf, "4000000")
+    val maxLocal = scala.util.Try(rawMax.toLong).toOption.filter(_ >= 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$FoldLocalCcMaxEdgesConf must be a non-negative long, got " +
+          s"'$rawMax'"))
+    val (cc, small) =
+      if (contracted.count() <= maxLocal) {
+        val labels = localMinLabels(contracted.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_root",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_l",
+            org.apache.spark.sql.types.LongType)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(labels.toSeq.map { case (n, l) =>
+            org.apache.spark.sql.Row(n, l) }: _*)
+        (spark.createDataFrame(rows, schema), true)
+      } else
+        (connectedComponents(contracted, "_ra", "_rb", maxIter)
+          .select(col("node").as("_root"), col("cluster_id").as("_l")),
+          false)
+    val hint = (df: DataFrame) => if (small) broadcast(df) else df
     val relabel = cc.filter(col("_root") =!= col("_l"))
-    // corpus map: touched clusters relabel through the broadcast map,
-    // untouched rows pass through — one map-side pass, no shuffle
+    // corpus map: touched clusters relabel through the (broadcast,
+    // when small) map, untouched rows pass through — one map-side
+    // pass, no corpus shuffle
     val updatedOld = map
-      .join(broadcast(relabel), map("cluster_id") === relabel("_root"),
-        "left")
+      .join(hint(relabel), map("cluster_id") === relabel("_root"), "left")
       .select(map("doc_id"),
-        coalesce(col("_l"), map("cluster_id")).as("cluster_id"))
+        coalesce(col("_l"), map("cluster_id").cast("long"))
+          .as("cluster_id"))
     // brand-new nodes: their contracted label when they formed or
     // joined a component, themselves otherwise (within-batch pairs
     // that collapsed entirely cannot leave a new node unlabeled — a
     // new node's root is itself, so any pair it survives in keeps it
     // in the contracted graph)
     val newNodes = roots.filter(!col("_mapped"))
-      .join(broadcast(cc), col("_r") === col("_root"), "left")
+      .join(hint(cc), col("_r") === col("_root"), "left")
       .select(col("_n").as("doc_id"),
-        coalesce(col("_l"), col("_r")).as("cluster_id"))
+        coalesce(col("_l"), col("_r").cast("long")).as("cluster_id"))
     val out = updatedOld.unionByName(newNodes)
-    pairs.unpersist(); roots.unpersist()
+    pairs.unpersist() // contracted + roots are materialized; safe now
     out
+  }
+
+  /** Session conf: contracted-edge count up to which
+    * [[foldPairsIntoClusterMap]] labels the touched-cluster graph with
+    * a driver-side union-find instead of the distributed min-label
+    * loop (default 4M edges ≈ 64 MB collected — the broadcast-join
+    * budget the relabel map must fit anyway). IncrementalClusterSpec
+    * pins both paths identical; set 0 to force the distributed loop. */
+  val FoldLocalCcMaxEdgesConf = "spark.graft.foldLocalCcMaxEdges"
+
+  /** Union-find with path compression over the collected contracted
+    * edges, relabeled to each component's MIN node id — the driver-
+    * side twin of [[connectedComponents]]' fixpoint. */
+  private def localMinLabels(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach { n =>
+      val r = find(n)
+      minOf.update(r, math.min(minOf.getOrElse(r, n), n))
+    }
+    parent.keysIterator.map(n => n -> minOf(find(n))).toMap
   }
 
   /** Fold a batch into the two per-snapshot LSH artifacts (the

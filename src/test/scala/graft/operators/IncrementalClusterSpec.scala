@@ -84,6 +84,23 @@ class IncrementalClusterSpec extends SparkTestBase {
     assert(canon(folded) === Set((1L, 1L)))
   }
 
+  test("the forced distributed loop labels identically to the " +
+      "driver-side union-find") {
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val inc = Seq((2L, 100L), (10L, 100L), (0L, 21L), (200L, 201L))
+    val mapped = Dedup.connectedComponents(pairsDf(base))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val viaLocal = mapOf(Dedup.foldPairsIntoClusterMap(mapped, pairsDf(inc)))
+    spark.conf.set(Dedup.FoldLocalCcMaxEdgesConf, "0")
+    try {
+      val viaDist = mapOf(Dedup.foldPairsIntoClusterMap(mapped, pairsDf(inc)))
+      assert(viaDist === viaLocal)
+    } finally spark.conf.unset(Dedup.FoldLocalCcMaxEdgesConf)
+    assert(viaLocal === mapOf(Dedup.connectedComponents(
+        pairsDf(base ++ inc))
+      .select(col("node").as("doc_id"), col("cluster_id"))))
+  }
+
   test("corpus fixture: x39's fold equals the from-scratch union map") {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.wide(Tables.documents(spark, d))
