@@ -10,12 +10,20 @@ object TimeOne {
     // SPARK_GRAFT_SHUFFLE decouples reduce partition count from task
     // slots (the SpillProbe levers) for memory-posture experiments
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF="k=v;k=v" — posture experiments (sort-agg
+    // forced, AQE width knobs) without editing the harness per run
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // 20x-replicated documents (ids offset per copy) — stress input
     // approximating the next scale factor up
@@ -346,6 +354,36 @@ object TimeOne {
       // scoring/exact-flag chain, and the from-index pair stage over
       // the survivors — each reduced to a count so the timing is the
       // stage, not a result materialization
+      // x39 stage dissection: "x39pairs" = the incremental pair
+      // listing alone; "x39fold" = foldPairsIntoClusterMap alone
+      // (pairs + map persisted on rep1, plan-keyed cache reused by
+      // later reps — the x36stress convention); "x39rebuild" = the
+      // from-scratch union map the fold replaces
+      case "x39pairs" | "x39fold" | "x39rebuild" =>
+        val docs = Tables.wide(Tables.documents(spark, sfDir))
+          .select(col("doc_id"), col("text"))
+        val ws = split(col("text"), " ")
+        val kWords =
+          expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+        val increment = docs.filter(col("doc_id") % 9 === 4)
+          .select((col("doc_id") + 5000000000000L).as("doc_id"),
+            array_join(slice(ws, lit(1), kWords), " ").as("text"))
+        def pairs = operators.Dedup.incrementalJaccardPairsPpm(docs,
+          increment, "doc_id", "text", 3, 800000L,
+          operators.Dedup.DfCap.NoCap)
+        name match {
+          case "x39pairs" => pairs.agg(count(lit(1)).as("n"))
+          case "x39rebuild" =>
+            operators.Dedup.connectedComponents(
+                operators.Dedup.ngramJaccardPairs(
+                  docs.unionByName(increment), "doc_id", "text", 3, 0.8))
+              .agg(count(lit(1)).as("n"), min(col("cluster_id")).as("mn"))
+          case _ =>
+            val p = pairs.persist(); val _ = p.count()
+            val m = ExtensionQueries.nearDupClusterMap(spark, sfDir)
+            operators.Dedup.foldPairsIntoClusterMap(m, p)
+              .agg(count(lit(1)).as("n"), min(col("cluster_id")).as("mn"))
+        }
       case "x34fp" =>
         ExtensionQueries.curationCorpusFp(
             Tables.documents(spark, sfDir).select("doc_id", "text"))
@@ -470,6 +508,17 @@ object TimeOne {
         (SparkEntry.queries ++ SparkEntry.benchOnly)(other)(spark, sfDir)
     }
     SparkEntry.queries("a1_po_totals")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_WARMUP_DIR: run the SAME query once on a tiny SF
+    // first — the rep1-dissection protocol that separates JVM/codegen
+    // warmup (paid here, on negligible data) from data-dependent
+    // first-run cost (still in rep1)
+    sys.env.get("SPARK_GRAFT_WARMUP_DIR").foreach { wd =>
+      val t0 = System.nanoTime()
+      (SparkEntry.queries ++ SparkEntry.benchOnly)(name)(spark, wd)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[timeone] $name code-warmup on $wd: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
       dfFor(name).write.format("noop").mode("overwrite").save()
