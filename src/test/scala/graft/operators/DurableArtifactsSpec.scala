@@ -207,6 +207,31 @@ class DurableArtifactsSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("appendDelta folds a batch's bands into the durable LSH banded " +
+      "table — the same INSERT machinery generalizes per artifact") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val t = "g_lsh_banded_fold_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ExtensionQueries.lshBandedArtifact.write(spark, d, t)
+    ExtensionQueries.evictLshArtifacts(spark, d)
+    val base = rows(spark.table(t))
+
+    val batch = Tables.wide(Tables.documents(spark, d))
+      .select((col("doc_id") + 1000000000000L).as("doc_id"),
+        concat(col("text"), lit(" zzday2")).as("text"))
+      .filter(col("doc_id") % 5 === 0)
+    val delta = Dedup.lshBanded(
+      Dedup.lshSigSet(batch, "doc_id", "text", n = 3, numHashes = 128),
+      128, 32)
+    ExtensionQueries.lshBandedArtifact.appendDelta(spark, d, t, delta)
+    assert(graft.DurableArtifact.foldsOf(spark, t) === 1)
+    assert(rows(spark.table(t)) === base ++ rows(delta))
+    assert(bucketSpec(t).exists(b =>
+      b.numBuckets == 8 && b.bucketColumnNames == Seq("_bh")))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("use() rewrites a table stamped for another dir instead of " +
       "silently falling back to the memo for every consumer") {
     val d2 = "/root/testdata/sf0.01"
