@@ -924,24 +924,45 @@ object Dedup {
     * rather than silently returning unconverged labels. */
   def connectedComponents(pairs: DataFrame, aCol: String = "ida",
       bCol: String = "idb", maxIter: Int = 25): DataFrame = {
+    // Plan-growth discipline: each round's plan embeds the previous
+    // round's, and the previous round appears once in the join and
+    // once via the label columns — the LOGICAL plan roughly doubles
+    // per round. Shallow near-dup graphs (≤ ~5 rounds) never notice,
+    // but a ~15-round propagation (random/path-like graphs) built a
+    // 2 GB plan string and OOM'd the driver before any work ran. The
+    // fix is a PERIODIC localCheckpoint (every 8th round, bounding
+    // growth at 2⁸ × base) rather than one per round: a checkpoint
+    // leaf in the RETURNED plan breaks AQE exchange reuse through the
+    // cached cluster map downstream (x29's shared-stage device went
+    // dark — bisected against the per-round form), so the common
+    // shallow case must come back persist-backed with its analytic
+    // lineage intact. The convergence check reads the `_old` column
+    // carried into the materialized round — a map-only filter, no
+    // second join.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("node")).distinct()
+    var mat = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
+    var matPersisted = true
+    var labels = mat
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("_nbr"))
-      val next = labels.join(nbrMin, col("node") === col("src"), "left_outer")
-        .select(col("node"),
+      val next0 = labels.join(nbrMin, col("node") === col("src"), "left_outer")
+        .select(col("node"), col("label").as("_old"),
           least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
-        .persist()
-      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      val (next, persisted) =
+        if (iter % 8 == 7) (next0.localCheckpoint(), false)
+        else (next0.persist(), true)
+      changed = next.filter(col("label") =!= col("_old")).count()
+      // a localCheckpoint must never be unpersisted (its lineage is
+      // gone); superseded checkpoint RDDs are reclaimed on GC
+      if (matPersisted) mat.unpersist()
+      mat = next; matPersisted = persisted
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     edges.unpersist()

@@ -101,6 +101,60 @@ class IncrementalClusterSpec extends SparkTestBase {
       .select(col("node").as("doc_id"), col("cluster_id"))))
   }
 
+  test("fuzz: fold ≡ union rebuild over 60 seeded random graphs, " +
+      "batched into one comparison via disjoint id spaces") {
+    // the IncrementalFuzzSpec trick: per-case disjoint id domains make
+    // fold(⋃maps, ⋃pairs) = ⋃fold(map_k, pairs_k), so ONE Spark
+    // comparison checks all 60 random (base, increment) graphs —
+    // random merges, chains, new-only clusters, new-min relabels
+    val rnd = new scala.util.Random(12021)
+    def randPairs(off: Long, n: Int, dom: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((off + rnd.nextInt(dom), off + rnd.nextInt(dom)))
+        .filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2))
+    val cases = (0 until 60).map { k =>
+      (randPairs(k * 10000L, 1 + rnd.nextInt(30), 40),
+        randPairs(k * 10000L, rnd.nextInt(25), 60))
+    }
+    val allBase = cases.flatMap(_._1)
+    val allInc = cases.flatMap(_._2)
+    val mapped = Dedup.connectedComponents(pairsDf(allBase))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val rebuilt = mapOf(Dedup.connectedComponents(pairsDf(allBase ++ allInc))
+      .select(col("node").as("doc_id"), col("cluster_id")))
+    val folded = mapOf(Dedup.foldPairsIntoClusterMap(mapped, pairsDf(allInc)))
+    assert(folded === rebuilt)
+    // anti-vacuity: the random increments actually relabeled old rows
+    // somewhere (a merge happened), and added new nodes
+    val before = mapOf(mapped).toMap
+    assert(folded.exists { case (n, l) => before.get(n).exists(_ != l) },
+      "no case produced a relabel — fuzz degenerate")
+    assert(folded.exists { case (n, _) => !before.contains(n) })
+  }
+
+  test("multi-day associativity: folding two day-batches sequentially " +
+      "equals one fold and equals the full rebuild") {
+    val rnd = new scala.util.Random(40917)
+    def randPairs(off: Long, n: Int, dom: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((off + rnd.nextInt(dom), off + rnd.nextInt(dom)))
+        .filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2))
+    val base = (0 until 20).flatMap(k => randPairs(k * 1000L, 8, 30))
+    val day1 = (0 until 20).flatMap(k => randPairs(k * 1000L, 6, 45))
+    val day2 = (0 until 20).flatMap(k => randPairs(k * 1000L, 6, 60))
+    val m0 = Dedup.connectedComponents(pairsDf(base))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val twoStep = mapOf(Dedup.foldPairsIntoClusterMap(
+      Dedup.foldPairsIntoClusterMap(m0, pairsDf(day1)), pairsDf(day2)))
+    val oneStep = mapOf(Dedup.foldPairsIntoClusterMap(m0,
+      pairsDf(day1 ++ day2)))
+    val rebuilt = mapOf(Dedup.connectedComponents(
+        pairsDf(base ++ day1 ++ day2))
+      .select(col("node").as("doc_id"), col("cluster_id")))
+    assert(twoStep === rebuilt)
+    assert(oneStep === rebuilt)
+  }
+
   test("corpus fixture: x39's fold equals the from-scratch union map") {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.wide(Tables.documents(spark, d))
