@@ -29,7 +29,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] final class DurableArtifact(
     val tableConf: String,
     bucketCols: Seq[String],
-    build: (SparkSession, String) => DataFrame) {
+    build: (SparkSession, String) => DataFrame,
+    /** How the durable branch reads the table — the default is the
+      * plain catalog scan; merge-style artifacts whose durable fold is
+      * a PATCH LAYER (the cluster map) plug in the patch-applying
+      * reader so conf-resolved consumers see the folded rows, not the
+      * stale base. */
+    readTable: (SparkSession, String) => DataFrame =
+      (s, t) => s.table(t)) {
   import DurableArtifact._
 
   private val memo = scala.collection.concurrent.TrieMap
@@ -45,8 +52,18 @@ private[graft] final class DurableArtifact(
 
   private def durable(s: SparkSession, d: String): Option[DataFrame] = {
     val t = s.conf.get(tableConf, "")
-    if (t.nonEmpty && s.catalog.tableExists(t) && stampedFor(s, t, d))
-      Some(s.table(t))
+    // A FOLDED table (graft.folds > 0) carries the snapshot corpus
+    // PLUS appended batches — serving it as the pure snapshot artifact
+    // of `d` would silently hand extra rows to snapshot-scoped
+    // consumers (the wrong-rows hazard the provenance stamp exists to
+    // prevent). Snapshot consumers therefore fall back to the build
+    // path once a fold lands; fold-AWARE consumers (the daily job
+    // serving the union corpus) opt in explicitly via
+    // [[DurableArtifact.ServeFoldedConf]].
+    if (t.nonEmpty && s.catalog.tableExists(t) && stampedFor(s, t, d) &&
+        (foldsOf(s, t) == 0 ||
+          s.conf.get(ServeFoldedConf, "false").toBoolean))
+      Some(readTable(s, t))
     else None
   }
 
@@ -119,11 +136,18 @@ private[graft] final class DurableArtifact(
     * ([[graft.operators.Dedup.incrementalJaccardPairsFromIndexDeltas]] /
     * [[graft.operators.Dedup.mergePostingDeltas]]). The memo entry for
     * `d` (the pre-fold build) is evicted — it no longer matches the
-    * table. */
+    * table. After the fold, [[resolve]] refuses to serve the table to
+    * SNAPSHOT consumers (it is no longer the pure snapshot of `d`);
+    * fold-aware consumers opt in via
+    * [[DurableArtifact.ServeFoldedConf]]. The bucket count comes from
+    * the existing table's own bucket spec — an append under a
+    * mismatched spec would break the bucketed-join layout the
+    * artifact exists for. */
   def appendDelta(s: SparkSession, d: String, table: String,
-      delta: DataFrame, buckets: Int = 8): Unit = {
+      delta: DataFrame): Unit = {
     require(s.catalog.tableExists(table),
       s"appendDelta: no table $table — write the snapshot first")
+    val buckets = DurableArtifact.numBucketsOf(s, table, bucketCols)
     delta.write.mode("append")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -146,6 +170,28 @@ private[graft] object DurableArtifact {
   /** Count of batch deltas folded into the table since its snapshot
     * write ([[DurableArtifact.appendDelta]]). */
   private[graft] val FoldsProp = "graft.folds"
+  /** Session conf: set "true" to let [[DurableArtifact.resolve]] serve
+    * FOLDED tables (graft.folds > 0 — snapshot corpus plus appended
+    * batches). Default false: snapshot-scoped consumers must never
+    * silently read a folded table's extra rows, so they fall back to
+    * the build path; the daily job that KNOWS it serves the union
+    * corpus sets this explicitly. */
+  val ServeFoldedConf = "spark.graft.serveFoldedArtifacts"
+
+  /** The bucket count of `table`'s own bucket spec, validated against
+    * the artifact's bucket columns — appends must land under the
+    * layout the snapshot write established. */
+  private[graft] def numBucketsOf(s: SparkSession, table: String,
+      bucketCols: Seq[String]): Int = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"appendDelta: $table has no bucket spec — not an artifact table"))
+    require(spec.bucketColumnNames == bucketCols,
+      s"appendDelta: $table is bucketed by ${spec.bucketColumnNames}, " +
+        s"artifact expects $bucketCols")
+    spec.numBuckets
+  }
 
   /** Folds recorded on `table` (0 when never folded). */
   private[graft] def foldsOf(s: SparkSession, table: String): Int =

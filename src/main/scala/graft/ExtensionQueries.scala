@@ -154,6 +154,18 @@ object ExtensionQueries {
     * every replica scale. */
   private val Day2Offset = 7000000000000L
 
+  /** EVERY declared arrival id-domain offset, by kind. A new arrival
+    * kind MUST claim its offset here: IdDomainSpec asserts each entry
+    * plus the largest supported replica corpus id stays inside the
+    * pair generator's packed-id bound ([[operators.Dedup.PackedIdBound]])
+    * and that adjacent domains can't overlap at full replica scale —
+    * the guard that fails BEFORE a fourth domain at 8·10¹² silently
+    * wraps packed ids. */
+  private[graft] val ArrivalOffsets: Map[String, Long] = Map(
+    "increment" -> IncrementOffset,
+    "resubmit" -> ResubmitOffset,
+    "day2" -> Day2Offset)
+
   /** X32 — INCREMENTAL near-dup: the daily-ingest recurrence. The
     * corpus is `documents`; the increment batch is a deterministic
     * 90%-prefix re-crawl of every ninth document (id +5·10¹² — the
@@ -627,6 +639,160 @@ object ExtensionQueries {
           .otherwise("kept").as("verdict"))
   }
 
+  /** X41 — SERVE → FOLD → SERVE on the SKETCH path: x40's two-day
+    * loop proof applied to the LSH band/set artifacts (the round-12
+    * verdict's gap — [[Dedup.appendToLshArtifacts]] was pinned
+    * append ≡ rebuild but no oracle row served day 2 from a FOLDED
+    * LSH artifact). Day 1 curates a batch (brand-new reversed pages
+    * `%36∈{2,11}`, re-crawl prefixes `%27==4`) against the snapshot
+    * band/set tables ([[docsLshArtifacts]]); the kept pages FOLD into
+    * both artifacts (a pure O(batch) append — planes and band layout
+    * are corpus-independent); day 2's batch is served from the FOLDED
+    * tables: a resubmission of a day-1 kept page (`%36==2`, identical
+    * text) and a re-crawl prefix of one (`%36==11`) are near dups
+    * ONLY IF the fold worked — reversed-word pages share no shingles
+    * with the forward corpus, so nothing in the original snapshot can
+    * catch them — while day-2 brand-new pages (`%27==7` reversed)
+    * stay kept. Oracle = both days' exact-Jaccard listings restated
+    * from scratch with day 2's corpus = documents ∪ day-1 survivors;
+    * same recall contract as x35 (banding recall 1-(1-0.8⁴)³² ≈
+    * 1-5·10⁻⁸ per pair, every candidate exact-verified). */
+  def x41LshFoldServe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+    val prefixText = array_join(slice(ws, lit(1), kWords), " ")
+    val revText = array_join(reverse(ws), " ")
+    val pfxRevText = array_join(slice(reverse(ws), lit(1), kWords), " ")
+    val b1 = docs.filter(col("doc_id") % 36 === 2 ||
+        col("doc_id") % 36 === 11)
+      .select((col("doc_id") + IncrementOffset).as("doc_id"),
+        revText.as("text"))
+      .unionByName(docs.filter(col("doc_id") % 27 === 4)
+        .select((col("doc_id") + IncrementOffset).as("doc_id"),
+          prefixText.as("text")))
+    val (banded0, sets0) = docsLshArtifacts(s, d)
+    // day-1 verdicts materialize ONCE: two consumers (output rows,
+    // the fold's survivor filter) — same localCheckpoint discipline
+    // as x40
+    val v1 = lshDayVerdicts(b1,
+      Dedup.incrementalLshFromArtifacts(banded0, sets0, b1, "doc_id",
+        "text", n = 3, numHashes = 128, bands = 32, threshold = 0.8))
+      .localCheckpoint()
+    val s1 = v1.filter(col("verdict") === "kept")
+      .select(col("doc_id"), col("text"))
+    val (banded1, sets1) = Dedup.appendToLshArtifacts(banded0, sets0,
+      s1, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val b2 = docs.filter(col("doc_id") % 36 === 2)
+        .select((col("doc_id") + Day2Offset).as("doc_id"),
+          revText.as("text"))
+      .unionByName(docs.filter(col("doc_id") % 36 === 11)
+        .select((col("doc_id") + Day2Offset).as("doc_id"),
+          pfxRevText.as("text")))
+      .unionByName(docs.filter(col("doc_id") % 27 === 7)
+        .select((col("doc_id") + Day2Offset).as("doc_id"),
+          revText.as("text")))
+    val v2 = lshDayVerdicts(b2,
+      Dedup.incrementalLshFromArtifacts(banded1, sets1, b2, "doc_id",
+        "text", n = 3, numHashes = 128, bands = 32, threshold = 0.8))
+    v1.select(lit(1).as("day"), col("doc_id"), col("verdict"))
+      .unionByName(v2.select(lit(2).as("day"), col("doc_id"),
+        col("verdict")))
+      .orderBy("day", "doc_id")
+  }
+
+  /** One curation day of x41: near_dup = the batch doc is the larger
+    * (dropped) side of a verified LSH pair from the supplied listing,
+    * else kept — the sketch-path twin of x40's [[dayVerdicts]],
+    * without the fp stage (x40 already proves that artifact's loop). */
+  private def lshDayVerdicts(batch: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val dropped = pairs.select(col("idb").as("doc_id")).distinct()
+      .withColumn("_near", lit(1))
+    batch.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        when(col("_near").isNotNull, "near_dup")
+          .otherwise("kept").as("verdict"))
+  }
+
+  /** X42 — SERVE → FOLD → SERVE on the VECTOR modality: the same
+    * two-day proof for the probed embedding-bucket artifact
+    * ([[Similarity.appendToEmbBuckets]]). Day 1 probes a mixed batch
+    * (re-embeds `%3==1` at +0.001 — near dups of their source — and
+    * brand-new NEGATED vectors `%3==2`, cosine −1 against everything
+    * forward) against the snapshot bucket table; the kept vectors
+    * fold in (pure O(batch) append — the hyperplanes are
+    * corpus-independent); day 2 probes the FOLDED table: a re-embed
+    * of a day-1 kept vector (`%3==2`, −x+0.001) is a near dup ONLY IF
+    * the fold worked — nothing in the forward-vector snapshot sits
+    * within 0.99 of a negated vector — while day-2 brand-new negated
+    * vectors (`%3==0`) stay kept. Scores on the exact quantized-
+    * decimal path (cos ≥ 0.99); oracle = both days' exact decimal
+    * pair listings with day 2's corpus = vectors ∪ day-1 survivors —
+    * same every-candidate-verified / near-parallel-recall
+    * adjudication as x36. */
+  def x42EmbFoldServe(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = raw.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val b1 = raw.filter(col("vec_id") % 3 === 1)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+      .unionByName(raw.filter(col("vec_id") % 3 === 2)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => -x)
+            .as("embedding")))
+    val probed0 = docsEmbBuckets(s, d)
+    val cand1 = Similarity.incrementalLshCandidates(probed0,
+      b1.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12)
+    val near1 = scaledCosOnPairs(quantizedVectors(corpus.unionByName(b1)),
+        cand1, "ida", "idb")
+      .filter(col("cos") >= 0.99)
+    val v1 = embDayVerdicts(b1, near1).localCheckpoint()
+    val s1 = v1.filter(col("verdict") === "kept")
+      .select(col("vec_id"), col("embedding"))
+    val probed1 = Similarity.appendToEmbBuckets(probed0,
+      s1.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12)
+    val b2 = raw.filter(col("vec_id") % 3 === 2)
+      .select((col("vec_id") + 2000000).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => -x + lit(0.001)).as("embedding"))
+      .unionByName(raw.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => -x)
+            .as("embedding")))
+    val cand2 = Similarity.incrementalLshCandidates(probed1,
+      b2.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12)
+    val near2 = scaledCosOnPairs(
+        quantizedVectors(corpus.unionByName(s1).unionByName(b2)),
+        cand2, "ida", "idb")
+      .filter(col("cos") >= 0.99)
+    val v2 = embDayVerdicts(b2, near2)
+    v1.select(lit(1).as("day"), col("vec_id"), col("verdict"))
+      .unionByName(v2.select(lit(2).as("day"), col("vec_id"),
+        col("verdict")))
+      .orderBy("day", "vec_id")
+  }
+
+  /** One curation day of x42 — the vector twin of [[lshDayVerdicts]]. */
+  private def embDayVerdicts(batch: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val dropped = pairs.select(col("idb").as("vec_id")).distinct()
+      .withColumn("_near", lit(1))
+    batch.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        when(col("_near").isNotNull, "near_dup")
+          .otherwise("kept").as("verdict"))
+  }
+
   /** X35b — x35 SERVED FROM THE PER-SNAPSHOT LSH ARTIFACTS
     * ([[docsLshArtifacts]]: the band-bucket table + the verification
     * set table — the DURABLE bucketed catalog tables when
@@ -721,7 +887,11 @@ object ExtensionQueries {
     (s, d) => Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8))
-      .select(col("node").as("doc_id"), col("cluster_id")))
+      .select(col("node").as("doc_id"), col("cluster_id")),
+    // the durable read applies the patch layer, so conf-resolved
+    // consumers of a FOLDED map (ServeFoldedConf opt-in) see the
+    // folded labels, never the stale base rows
+    readTable = (s, t) => readClusterMap(s, t))
 
   /** Session conf key naming the durable cluster-map table (see
     * [[useClusterMap]]); a dir mismatch falls back to the build path
@@ -742,11 +912,114 @@ object ExtensionQueries {
       buckets: Int = 8): Unit =
     clusterMapArtifact.write(s, d, table, buckets)
 
+  /** Suffix of the cluster map's PATCH table: the tiny old-root →
+    * new-root relabel layer [[foldClusterMapDurable]] maintains beside
+    * the corpus-sized base table. */
+  private[graft] val ClusterMapPatchSuffix = "_patch"
+
   /** Read-back path for [[writeClusterMap]]'s table — no memo, no
     * rebuild: any session sharing the catalog (a fresh SparkSession,
-    * a different day's job) consumes the written map directly. */
-  def readClusterMap(s: SparkSession, table: String): DataFrame =
-    s.table(table)
+    * a different day's job) consumes the written map directly.
+    * PATCH-AWARE: when `<table>_patch` exists, the relabel layer is
+    * applied through one broadcast join (the exact plan x39's
+    * in-memory fold runs), so readers of a durably-folded map see the
+    * folded labels while the corpus-sized base stays byte-identical
+    * on disk — and keeps its doc_id bucket layout (the patch joins on
+    * cluster_id, broadcast side only). */
+  def readClusterMap(s: SparkSession, table: String): DataFrame = {
+    val base = s.table(table)
+    val pt = table + ClusterMapPatchSuffix
+    if (s.catalog.tableExists(pt))
+      Dedup.applyClusterRelabel(base,
+        s.table(pt).select(col("old_cluster_id").as("_root"),
+          col("new_cluster_id").as("_l")))
+    else base
+  }
+
+  /** Durable O(batch) persistence of a cluster-map fold — the
+    * merge-style twin of [[DurableArtifact.appendDelta]] (which is
+    * documented INVALID here: relabels mutate existing rows). The
+    * day's new pairs reduce to [[Dedup.clusterFoldDelta]]'s
+    * batch-sized delta; the brand-new nodes APPEND into the bucketed
+    * base table (their rows never mutate), and the relabel map lands
+    * in the tiny `<table>_patch` side table, COMPOSED with any
+    * already-stored patch so readers always apply exactly one level:
+    *
+    *  - stored patch P maps retired labels to current ones; the new
+    *    relabel R is stated over CURRENT labels (the fold ran against
+    *    the patched read), so the composition is P' = {r → R(l) or l
+    *    for (r → l) ∈ P} ∪ R — and the key sets cannot collide
+    *    because a retired label never becomes current again (labels
+    *    are component minima; merges never split).
+    *
+    * Everything written is batch-sized: a nightly deployment persists
+    * the fold at O(new pairs + touched clusters) instead of
+    * rewriting the corpus map ([[writeClusterMap]]). Readers go
+    * through [[readClusterMap]]; [[compactClusterMap]] periodically
+    * folds the patch layer back into a canonical bucketed snapshot.
+    * The base table's folds counter bumps, so snapshot-scoped
+    * consumers fall back to building rather than silently reading
+    * folded labels ([[DurableArtifact.ServeFoldedConf]]). */
+  def foldClusterMapDurable(s: SparkSession, d: String, table: String,
+      newPairs: DataFrame): Unit = {
+    val delta = Dedup.clusterFoldDelta(readClusterMap(s, table), newPairs)
+    require(delta.broadcastable,
+      "foldClusterMapDurable: the relabel delta exceeded the driver " +
+        s"union-find gate (${Dedup.FoldLocalCcMaxEdgesConf}) — a patch " +
+        "layer that cannot broadcast cannot serve; compact and rewrite " +
+        "the snapshot instead")
+    val r = delta.relabel.collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val pt = table + ClusterMapPatchSuffix
+    val stored =
+      if (s.catalog.tableExists(pt))
+        s.table(pt).collect()
+          .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      else Map.empty[Long, Long]
+    val composed = stored.map { case (root, l) =>
+      root -> r.getOrElse(l, l) } ++ r
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("old_cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("new_cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(composed.toSeq.map { case (a, b) =>
+        org.apache.spark.sql.Row(a, b) }: _*)
+    s.createDataFrame(rows, schema).write.mode("overwrite")
+      .format("parquet").saveAsTable(pt)
+    // new-node rows append under the base table's own bucket spec and
+    // bump the folds counter (appendDelta's machinery — valid for
+    // these rows exactly because they never mutate)
+    clusterMapArtifact.appendDelta(s, d, table, delta.newNodes)
+  }
+
+  /** Fold the patch layer back into a canonical bucketed snapshot —
+    * the periodic maintenance pass (the patch stays broadcast-tiny
+    * between compactions; this bounds how many folds accumulate).
+    * The patched read is materialized OFF the table first
+    * (localCheckpoint — Spark refuses to overwrite a table a live
+    * plan still scans), rewritten under the same bucket spec, and the
+    * patch table drops. Provenance properties (source dir, folds
+    * counter) are re-applied: compaction changes layout, never
+    * content, so a folded table stays marked folded. */
+  def compactClusterMap(s: SparkSession, table: String): Unit = {
+    val pt = table + ClusterMapPatchSuffix
+    if (!s.catalog.tableExists(pt)) return
+    val buckets = graft.DurableArtifact.numBucketsOf(s, table, Seq("doc_id"))
+    val props = s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(row => row.getString(0) -> row.getString(1))
+      .filter { case (k, _) => k.startsWith("graft.") }
+    val folded = readClusterMap(s, table).localCheckpoint()
+    folded.write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    props.foreach { case (k, v) =>
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$k' = " +
+        s"'${v.replace("'", "''")}')")
+    }
+    s.sql(s"DROP TABLE $pt")
+  }
 
   /** Eviction hook for the session memo. */
   def evictClusterMap(s: SparkSession, d: String): Unit =

@@ -67,7 +67,19 @@ import org.apache.spark.sql.functions._
   * `documents.n_chars` is recomputed from the mutated text so the
   * stored-length invariant holds. */
 object MakeScale {
-  private val S = 100000000L // id stride per copy; far above any sf0.1 id
+  /** Id stride per copy — far above any sf0.1 id, so per-copy id
+    * domains never collide. private[graft] for IdDomainSpec's
+    * packed-id-bound arithmetic. */
+  private[graft] val Stride = 100000000L
+
+  /** The largest replica (in copies) the engine's id-domain layout is
+    * CONTRACTED to support: every arrival offset must clear
+    * `MaxSupportedCopies · Stride` inside the pair generator's packed
+    * bound (IdDomainSpec). The x32-family offset docs state the same
+    * 10,000-copy figure. */
+  private[graft] val MaxSupportedCopies = 10000L
+
+  private val S = Stride
 
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_ == "--mutate")

@@ -513,11 +513,19 @@ object TimeOne {
     // warmup (paid here, on negligible data) from data-dependent
     // first-run cost (still in rep1)
     sys.env.get("SPARK_GRAFT_WARMUP_DIR").foreach { wd =>
-      val t0 = System.nanoTime()
-      (SparkEntry.queries ++ SparkEntry.benchOnly)(name)(spark, wd)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[timeone] $name code-warmup on $wd: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      (SparkEntry.queries ++ SparkEntry.benchOnly).get(name) match {
+        case Some(q) =>
+          val t0 = System.nanoTime()
+          q(spark, wd).write.format("noop").mode("overwrite").save()
+          println(f"[timeone] $name code-warmup on $wd: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        case None =>
+          // dissection pseudo-names (x39fold, x34fp, …) close over the
+          // main sfDir — warming them on another dir isn't expressible,
+          // and throwing here would kill the whole measurement run
+          println(s"[timeone] $name is a dissection pseudo-name; " +
+            "skipping code-warmup (WARMUP_DIR warms registered queries only)")
+      }
     }
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()

@@ -181,6 +181,12 @@ object Dedup {
     * setSize < 2^20 shingles per doc, id < 2^43. */
   private val SizeBits = 20
 
+  /** Exclusive upper bound of the id domain [[packedEntry]] can pack
+    * (2^(63−SizeBits) = 2⁴³ ≈ 8.80·10¹²). Arrival-domain offsets plus
+    * the largest replica corpus id must stay strictly below this —
+    * IdDomainSpec enforces it for every declared domain. */
+  private[graft] val PackedIdBound: Long = 1L << (63 - SizeBits)
+
   /** Packed posting entry `id << SizeBits | setSize`, with the packing
     * domain ENFORCED at runtime (shiftleft/add wrap silently, which
     * would corrupt pair identities, so out-of-range inputs must fail
@@ -939,8 +945,23 @@ object Dedup {
     // lineage intact. The convergence check reads the `_old` column
     // carried into the materialized round — a map-only filter, no
     // second join.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Deep-base gate: the first localCheckpoint only lands at iter 8,
+    // so rounds 0-7 grow ~2⁷ COPIES OF THE BASE PLAN. A shallow base
+    // (the artifact builds' pair generators) never notices, but a
+    // caller handing a very deep plan straight in (hundreds of nodes —
+    // an un-checkpointed incremental pair pipeline) can OOM the driver
+    // in explainString before any work runs. Severing such a base to a
+    // checkpoint LEAF first keeps pre-checkpoint growth multiplying a
+    // leaf. Gated, not unconditional: a checkpoint leaf in the
+    // RETURNED plan breaks AQE exchange reuse through the cached
+    // cluster map downstream (x29's shared-stage device — bisected),
+    // so the common shallow case must keep its analytic lineage.
+    val base =
+      if (planNodeCount(pairs) > DeepBaseNodeLimit) {
+        pairs.select(col(aCol), col(bCol)).localCheckpoint()
+      } else pairs
+    val edges = base.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(base.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     var mat = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
@@ -970,6 +991,19 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** Analyzed-plan node count — the deep-base gate's measure (the
+    * analyzed plan, not optimized: measuring must not trigger a full
+    * optimizer pass per call). */
+  private[operators] def planNodeCount(df: DataFrame): Int =
+    df.queryExecution.analyzed.collect { case p => p }.size
+
+  /** Base-plan node count above which [[connectedComponents]] severs
+    * its input to a localCheckpoint leaf before the propagation loop.
+    * The artifact builds' pair generators analyze to well under 100
+    * nodes, so the shallow path (whose uncut lineage x29's exchange
+    * reuse needs) is unaffected. */
+  private[operators] val DeepBaseNodeLimit = 256
+
   /** Fold a day's NEW near-dup pairs into an existing cluster map —
     * the incremental maintenance step that keeps [[connectedComponents]]'
     * (node, cluster_id = component min) artifact exact without ever
@@ -997,6 +1031,42 @@ object Dedup {
   def foldPairsIntoClusterMap(map: DataFrame, newPairs: DataFrame,
       aCol: String = "ida", bCol: String = "idb",
       maxIter: Int = 25): DataFrame = {
+    val delta = clusterFoldDelta(map, newPairs, aCol, bCol, maxIter)
+    applyClusterRelabel(map, delta.relabel, delta.broadcastable)
+      .unionByName(delta.newNodes)
+  }
+
+  /** A cluster-map fold reduced to its BATCH-SIZED delta: the
+    * old-root → new-label relabel map over touched clusters plus the
+    * brand-new nodes' rows (labels already final for this fold).
+    * [[foldPairsIntoClusterMap]] applies it in memory;
+    * `ExtensionQueries.foldClusterMapDurable` PERSISTS it as a patch
+    * layer beside the bucketed map table — the merge-style twin of the
+    * append-only artifacts' [[graft.DurableArtifact.appendDelta]]
+    * (relabels MUTATE existing rows, so the durable fold is a tiny
+    * patch readers apply via one broadcast join, not a row append).
+    * `broadcastable` records whether the relabel stayed under the
+    * driver union-find gate — exactly the broadcast-budget contract. */
+  private[graft] final case class ClusterFoldDelta(relabel: DataFrame,
+      newNodes: DataFrame, broadcastable: Boolean)
+
+  /** Relabel pass shared by the in-memory fold and the patched durable
+    * read: touched clusters relabel through the (broadcast, when
+    * batch-sized) map, untouched rows pass through — one map-side
+    * pass, no corpus shuffle, and a doc_id-bucketed `map` keeps its
+    * layout (the join key is cluster_id on the broadcast side). */
+  private[graft] def applyClusterRelabel(map: DataFrame, relabel: DataFrame,
+      broadcastable: Boolean = true): DataFrame = {
+    val hinted = if (broadcastable) broadcast(relabel) else relabel
+    map.join(hinted, map("cluster_id") === relabel("_root"), "left")
+      .select(map("doc_id"),
+        coalesce(col("_l"), map("cluster_id").cast("long"))
+          .as("cluster_id"))
+  }
+
+  private[graft] def clusterFoldDelta(map: DataFrame, newPairs: DataFrame,
+      aCol: String = "ida", bCol: String = "idb",
+      maxIter: Int = 25): ClusterFoldDelta = {
     val pairs = newPairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
       .persist()
     val nodes = pairs.select(col("_a").as("_n"))
@@ -1056,15 +1126,15 @@ object Dedup {
           .select(col("node").as("_root"), col("cluster_id").as("_l")),
           false)
     val hint = (df: DataFrame) => if (small) broadcast(df) else df
+    // the exported relabel covers OLD labels only: a new node's
+    // self-root is never any base row's cluster_id (labels are
+    // component minima and never recur), so keeping those entries
+    // would only bloat the persisted patch layer — new nodes carry
+    // their final labels in `newNodes` instead
+    val oldRoots = roots.filter(col("_mapped"))
+      .select(col("_r").as("_root")).distinct()
     val relabel = cc.filter(col("_root") =!= col("_l"))
-    // corpus map: touched clusters relabel through the (broadcast,
-    // when small) map, untouched rows pass through — one map-side
-    // pass, no corpus shuffle
-    val updatedOld = map
-      .join(hint(relabel), map("cluster_id") === relabel("_root"), "left")
-      .select(map("doc_id"),
-        coalesce(col("_l"), map("cluster_id").cast("long"))
-          .as("cluster_id"))
+      .join(oldRoots, Seq("_root"), "left_semi")
     // brand-new nodes: their contracted label when they formed or
     // joined a component, themselves otherwise (within-batch pairs
     // that collapsed entirely cannot leave a new node unlabeled — a
@@ -1074,9 +1144,9 @@ object Dedup {
       .join(hint(cc), col("_r") === col("_root"), "left")
       .select(col("_n").as("doc_id"),
         coalesce(col("_l"), col("_r").cast("long")).as("cluster_id"))
-    val out = updatedOld.unionByName(newNodes)
     pairs.unpersist() // contracted + roots are materialized; safe now
-    out
+    ClusterFoldDelta(relabel.select(col("_root"), col("_l")), newNodes,
+      broadcastable = small)
   }
 
   /** Session conf: contracted-edge count up to which

@@ -199,12 +199,51 @@ class DurableArtifactsSpec extends SparkTestBase {
     assert(bucketSpec(t).exists(b =>
       b.numBuckets == 8 && b.bucketColumnNames == Seq("fp")))
 
-    // a fresh session serves the FOLDED set straight from the table
+    // SNAPSHOT consumers must NOT silently read the folded table's
+    // extra rows: without the fold-aware opt-in, resolve falls back
+    // to the build path (provenance guard — the folds counter marks
+    // the table as corpus+batch, not the pure snapshot of d)
     val s2 = spark.newSession()
     s2.conf.set(ExtensionQueries.corpusFpArtifact.tableConf, t)
-    assert(rows(ExtensionQueries.docsCorpusFp(s2, d)) === base ++ deltaRows)
-    assert(ExtensionQueries.corpusFpArtifact.builds.get() === before)
+    assert(rows(ExtensionQueries.docsCorpusFp(s2, d)) === base,
+      "a snapshot consumer served a folded table's extra rows")
+    assert(ExtensionQueries.corpusFpArtifact.builds.get() === before + 1,
+      "the snapshot consumer should have fallen back to a build")
+    ExtensionQueries.evictCorpusFp(s2, d)
+
+    // a fold-AWARE fresh session opts in and serves the FOLDED set
+    // straight from the table, zero rebuilds
+    val s3 = spark.newSession()
+    s3.conf.set(ExtensionQueries.corpusFpArtifact.tableConf, t)
+    s3.conf.set(graft.DurableArtifact.ServeFoldedConf, "true")
+    assert(rows(ExtensionQueries.docsCorpusFp(s3, d)) === base ++ deltaRows)
+    assert(ExtensionQueries.corpusFpArtifact.builds.get() === before + 1)
     spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("appendDelta adopts the existing table's own bucket spec and " +
+      "refuses a non-artifact (unbucketed) table") {
+    import org.apache.spark.sql.functions._
+    val t = "g_fp_bucketspec_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // snapshot written with a NON-default bucket count: the fold must
+    // append under 4 buckets, not a hardcoded 8
+    ExtensionQueries.corpusFpArtifact.write(spark, d, t, buckets = 4)
+    ExtensionQueries.evictCorpusFp(spark, d)
+    val delta = spark.range(3).select(md5(col("id").cast("string")).as("fp"))
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta)
+    assert(bucketSpec(t).exists(b =>
+      b.numBuckets == 4 && b.bucketColumnNames == Seq("fp")))
+
+    val u = "g_fp_unbucketed_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $u")
+    spark.range(1).select(md5(col("id").cast("string")).as("fp"))
+      .write.format("parquet").saveAsTable(u)
+    intercept[IllegalStateException] {
+      ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, u, delta)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $u")
   }
 
   test("appendDelta folds a batch's bands into the durable LSH banded " +

@@ -184,4 +184,35 @@ class IncrementalClusterSpec extends SparkTestBase {
     assert(f.size > mapRows.size)
     assert(f.exists(_._1 >= 5000000000000L))
   }
+
+  test("deep-base gate: a pathologically deep pair plan is severed to " +
+      "a checkpoint leaf and still labels correctly; the artifact " +
+      "build's pair generator stays UNDER the gate") {
+    // the artifact build path (clusterMapArtifact) hands
+    // ngramJaccardPairs straight in — it must stay below the gate so
+    // the returned map keeps its analytic lineage (x29's exchange
+    // reuse was bisected to break on a checkpoint leaf there)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val shallow = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    assert(Dedup.planNodeCount(shallow) <= Dedup.DeepBaseNodeLimit,
+      "the cluster-map build's pair plan crossed the deep-base gate — " +
+        "x29's exchange reuse through the cached map is at risk; " +
+        "re-bisect before raising the limit")
+
+    // a deep base: the same tiny pair set behind a tower of no-op
+    // projections — analyzed node count far past the gate. Before the
+    // gate, 8 pre-checkpoint doubling rounds square a plan like this
+    // into explainString OOM territory; with it, the loop starts from
+    // a leaf and the labels still come out exact.
+    var deep = pairsDf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    (1 to 400).foreach { _ =>
+      deep = deep.select(col("ida"), (col("idb") + 1 - 1).as("idb"))
+    }
+    assert(Dedup.planNodeCount(deep) > Dedup.DeepBaseNodeLimit)
+    val labels = mapOf(Dedup.connectedComponents(deep)
+      .select(col("node").as("doc_id"), col("cluster_id")))
+    assert(labels === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)))
+  }
 }
