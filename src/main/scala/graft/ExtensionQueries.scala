@@ -3694,6 +3694,148 @@ object ExtensionQueries {
       |ORDER BY day, doc_id""".stripMargin
   }
 
+  // x41: x40's two-day serve→fold→serve proof on the SKETCH path —
+  // both days' verdicts restated from the exact-Jaccard union pair
+  // listings (LSH precision is exact — every candidate verified — and
+  // banding recall at the fixture's J ≥ 0.89 pairs is ≈ 1, the same
+  // adjudication x35 ships with), with day 2's corpus = documents ∪
+  // day-1 survivors. Reversed-word pages share no shingles with the
+  // forward corpus, so day-2 near-dups are detectable ONLY IF day 1's
+  // kept pages were folded into the band/set artifacts.
+  private val lshFoldServeSql = {
+    val rev = "array_to_string(list_reverse(string_split(text,' ')), ' ')"
+    val pfx =
+      """array_to_string(
+        |    (string_split(text,' '))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |    ' ')""".stripMargin
+    val pfxRev =
+      """array_to_string(
+        |    (list_reverse(string_split(text,' ')))[1:CAST((len(string_split(text,' '))*9+9)//10 AS INT)],
+        |    ' ')""".stripMargin
+    def day(corpus: String, lo: Long) =
+      s"""w_$lo AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM $corpus)),
+        |sh_$lo AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM w_$lo a JOIN w_$lo b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN w_$lo c ON c.doc_id=a.doc_id AND c.i=a.i+2),
+        |sz_$lo AS (SELECT doc_id, COUNT(*) n FROM sh_$lo GROUP BY 1),
+        |i_$lo AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh_$lo a JOIN sh_$lo b
+        |    ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= $lo
+        |  GROUP BY 1,2),
+        |nd_$lo AS (
+        |  SELECT DISTINCT idb AS doc_id
+        |  FROM i_$lo JOIN sz_$lo sa ON sa.doc_id=ida
+        |             JOIN sz_$lo sb ON sb.doc_id=idb
+        |  WHERE ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) >= 0.8)""".stripMargin
+    s"""WITH b1 AS (
+      |  SELECT doc_id + 5000000000000 AS doc_id, $rev AS text
+      |  FROM documents WHERE doc_id % 36 = 2 OR doc_id % 36 = 11
+      |  UNION ALL
+      |  SELECT doc_id + 5000000000000, $pfx
+      |  FROM documents WHERE doc_id % 27 = 4),
+      |c1 AS (SELECT doc_id, text FROM documents
+      |       UNION ALL SELECT doc_id, text FROM b1),
+      |${day("c1", 5000000000000L)},
+      |v1 AS (
+      |  SELECT b.doc_id, b.text,
+      |    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+      |         ELSE 'kept' END AS verdict
+      |  FROM b1 b LEFT JOIN nd_5000000000000 nd ON nd.doc_id = b.doc_id),
+      |s1 AS (SELECT doc_id, text FROM v1 WHERE verdict = 'kept'),
+      |b2 AS (
+      |  SELECT doc_id + 7000000000000 AS doc_id, $rev AS text
+      |  FROM documents WHERE doc_id % 36 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 7000000000000, $pfxRev
+      |  FROM documents WHERE doc_id % 36 = 11
+      |  UNION ALL
+      |  SELECT doc_id + 7000000000000, $rev
+      |  FROM documents WHERE doc_id % 27 = 7),
+      |c2 AS (SELECT doc_id, text FROM documents
+      |       UNION ALL SELECT doc_id, text FROM s1
+      |       UNION ALL SELECT doc_id, text FROM b2),
+      |${day("c2", 7000000000000L)},
+      |v2 AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+      |         ELSE 'kept' END AS verdict
+      |  FROM b2 b LEFT JOIN nd_7000000000000 nd ON nd.doc_id = b.doc_id)
+      |SELECT 1 AS day, doc_id, verdict FROM v1
+      |UNION ALL
+      |SELECT 2 AS day, doc_id, verdict FROM v2
+      |ORDER BY day, doc_id""".stripMargin
+  }
+
+  // x42: the same two-day proof on the VECTOR modality — both days'
+  // verdicts from the exact quantized-decimal cosine listings (x36's
+  // adjudication), day 2's corpus = vectors ∪ day-1 survivors.
+  // Negated vectors sit at cosine −1 against every forward vector, so
+  // a day-2 re-embed of a day-1 kept negated vector is a near dup
+  // ONLY IF the emb-bucket fold worked.
+  private val embFoldServeSql = {
+    def day(corpus: String, lo: Long) =
+      s"""e_$lo AS (SELECT vec_id, i, CAST(x AS DECIMAL(9,6)) v FROM
+        |  (SELECT vec_id, unnest(emb) x, generate_subscripts(emb,1) i
+        |   FROM $corpus)),
+        |d_$lo AS (SELECT a.vec_id ida, b.vec_id idb, SUM(a.v*b.v) dot
+        |  FROM e_$lo a JOIN e_$lo b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  WHERE b.vec_id >= $lo GROUP BY 1,2),
+        |n_$lo AS (SELECT vec_id, SUM(v*v) n2 FROM e_$lo GROUP BY 1),
+        |nd_$lo AS (
+        |  SELECT DISTINCT idb AS vec_id
+        |  FROM d_$lo JOIN n_$lo na ON na.vec_id=ida
+        |             JOIN n_$lo nb ON nb.vec_id=idb
+        |  WHERE ROUND(CAST(dot AS DOUBLE) /
+        |    (SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6)
+        |    >= 0.99)""".stripMargin
+    s"""WITH raw AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id < 200),
+      |b1 AS (
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |         list_transform(emb, x -> x + 0.001) AS emb
+      |  FROM raw WHERE vec_id % 3 = 1
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_transform(emb, x -> -x)
+      |  FROM raw WHERE vec_id % 3 = 2),
+      |c1 AS (SELECT vec_id, emb FROM raw
+      |       UNION ALL SELECT vec_id, emb FROM b1),
+      |${day("c1", 1000000L)},
+      |v1 AS (
+      |  SELECT b.vec_id, b.emb,
+      |    CASE WHEN nd.vec_id IS NOT NULL THEN 'near_dup'
+      |         ELSE 'kept' END AS verdict
+      |  FROM b1 b LEFT JOIN nd_1000000 nd ON nd.vec_id = b.vec_id),
+      |s1 AS (SELECT vec_id, emb FROM v1 WHERE verdict = 'kept'),
+      |b2 AS (
+      |  SELECT vec_id + 2000000 AS vec_id,
+      |         list_transform(emb, x -> -x + 0.001) AS emb
+      |  FROM raw WHERE vec_id % 3 = 2
+      |  UNION ALL
+      |  SELECT vec_id + 2000000, list_transform(emb, x -> -x)
+      |  FROM raw WHERE vec_id % 3 = 0),
+      |c2 AS (SELECT vec_id, emb FROM raw
+      |       UNION ALL SELECT vec_id, emb FROM s1
+      |       UNION ALL SELECT vec_id, emb FROM b2),
+      |${day("c2", 2000000L)},
+      |v2 AS (
+      |  SELECT b.vec_id,
+      |    CASE WHEN nd.vec_id IS NOT NULL THEN 'near_dup'
+      |         ELSE 'kept' END AS verdict
+      |  FROM b2 b LEFT JOIN nd_2000000 nd ON nd.vec_id = b.vec_id)
+      |SELECT 1 AS day, vec_id, verdict FROM v1
+      |UNION ALL
+      |SELECT 2 AS day, vec_id, verdict FROM v2
+      |ORDER BY day, vec_id""".stripMargin
+  }
+
   // x27b's directed containment over x32's union corpus, restricted
   // to pairs touching the increment — the x37/x37b oracle.
   private val incrementalContainmentSql =
@@ -4168,7 +4310,11 @@ object ExtensionQueries {
 
     // x40: two curation days, day 2 against the folded artifacts
     "x40_serve_fold_serve" -> serveFoldServeSql,
-    
+
+    // x41/x42: the same two-day fold proof on the LSH band/set and
+    // embedding-bucket artifacts (the two families x40 left uncovered)
+    "x41_lsh_fold_serve" -> lshFoldServeSql,
+    "x42_emb_fold_serve" -> embFoldServeSql,
 
     "x4b_simhash_portable" -> {
       val bitSums = (0 until 60)
@@ -5173,6 +5319,8 @@ object ExtensionQueries {
     "x38_incremental_fuzzy"       -> (x38IncrementalFuzzy _),
     "x39_incremental_clusters"    -> (x39IncrementalClusters _),
     "x40_serve_fold_serve"        -> (x40ServeFoldServe _),
+    "x41_lsh_fold_serve"          -> (x41LshFoldServe _),
+    "x42_emb_fold_serve"          -> (x42EmbFoldServe _),
     "x3_dedup_minhash_lsh"   -> (x3MinhashLsh _),
     "x4b_simhash_portable"   -> (x4bSimhashPortable _),
     "x7_incremental_dedup"   -> (x7IncrementalDedup _),

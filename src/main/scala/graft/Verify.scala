@@ -50,7 +50,8 @@ object Verify {
       ExtensionQueries.usePostingIndex(spark, sfDir, "g_posting_index_snapshot")
       ExtensionQueries.evictPostingIndex(spark, sfDir)
     }
-    snapshot(Set("x35b_lsh_from_artifact"), "lsh-artifacts") {
+    snapshot(Set("x35b_lsh_from_artifact", "x41_lsh_fold_serve"),
+        "lsh-artifacts") {
       ExtensionQueries.useLshArtifacts(spark, sfDir, "g_lsh_snapshot")
       ExtensionQueries.evictLshArtifacts(spark, sfDir)
     }
@@ -58,7 +59,8 @@ object Verify {
       ExtensionQueries.useCorpusFp(spark, sfDir, "g_corpus_fp_snapshot")
       ExtensionQueries.evictCorpusFp(spark, sfDir)
     }
-    snapshot(Set("x36_incremental_embed_neardup"), "emb-buckets") {
+    snapshot(Set("x36_incremental_embed_neardup", "x42_emb_fold_serve"),
+        "emb-buckets") {
       ExtensionQueries.useEmbBuckets(spark, sfDir, "g_emb_buckets_snapshot")
       ExtensionQueries.evictEmbBuckets(spark, sfDir)
     }

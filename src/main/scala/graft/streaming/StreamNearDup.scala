@@ -68,7 +68,21 @@ object StreamNearDup {
     * the documented external-reader caveat (strictly less often than
     * twice per longest reader) is unchanged, and a threshold ≥ 2
     * keeps passes at most every other trigger. 0 = off (out-of-band
-    * maintenance only). */
+    * maintenance only).
+    *
+    * CHOOSING THE THRESHOLD: deltas accrue one per trigger, so
+    * consecutive passes are ≥ `autoCompactEvery` triggers apart, and
+    * deferred cleanup means a file a reader planned against is deleted
+    * no sooner than the SECOND pass after that plan — an external
+    * reader is therefore safe iff it finishes within
+    * `autoCompactEvery × trigger-interval` of planning its scan. Any
+    * reader that overlaps only ONE pass is safe at ANY threshold
+    * (spec-pinned below), which is why the aggressive floor (1-2) is
+    * merely a probe-latency/compaction-cost trade, not a correctness
+    * cliff. Default guidance: 8 — probe cost grows linearly in live
+    * deltas and a pass amortizes in ~1.4 triggers (PERF.md round 11),
+    * so single-digit thresholds capture nearly all of the win while
+    * giving external readers 8 trigger intervals to finish. */
   def pairsStream(docs: Dataset[NdDoc], baseDir: String,
       checkpointDir: String, n: Int = 3,
       thresholdPpm: Long = 500000L,

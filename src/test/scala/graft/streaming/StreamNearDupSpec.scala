@@ -171,6 +171,31 @@ class StreamNearDupSpec extends SparkTestBase {
         "doc_id", "text", 3).count())
   }
 
+  test("a reader planned before an aggressive compaction pass reads " +
+      "correct rows after it — cleanup defers one pass at ANY threshold") {
+    val dir = Files.createTempDirectory("graft_snd_slow").toString
+    assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L))
+    assert(StreamNearDup.pairBatch(b2.toDS(), 1L, dir, 3, 500000L))
+    // the SLOW reader: plans its scan against the pre-pass listing
+    // (two uncompacted deltas), executes only after maintenance ran
+    val reader = StreamNearDup.indexView(spark, dir, 3)
+    // the most aggressive cadence the deferred-cleanup contract lets a
+    // reader overlap: one full pass covering every file it planned
+    // (autoCompactEvery=1 fires exactly this pass on the next trigger)
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(1L))
+    // the reader's files must still exist, and merging its delta rows
+    // must give the exact canonical postings — correctness does not
+    // depend on the threshold, only reader-lifetime-vs-TWO-passes does
+    val got = reader.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.flatMap(_._2).toSet) }
+    val rebuilt = Dedup.postingIndex(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    assert(got === rebuilt,
+      "pre-pass reader must see the exact pre-pass postings")
+  }
+
   test("torn compaction is ignored; a covered delta surviving a crash " +
       "before cleanup never double-counts") {
     val dir = Files.createTempDirectory("graft_snd_crash").toString
