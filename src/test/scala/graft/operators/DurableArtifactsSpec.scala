@@ -271,6 +271,76 @@ class DurableArtifactsSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("x41's day-2 serve through DURABLY folded LSH tables (appendDelta " +
+      "+ fold-aware resolve) ≡ the in-memory fold serve") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val tb = "g_lsh_banded_e2e_spec"; val ts = "g_lsh_sets_e2e_spec"
+    Seq(tb, ts).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    def revBatch(s: org.apache.spark.sql.SparkSession, offset: Long) =
+      Tables.wide(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + offset).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    // day-1 survivors: reversed-word pages — share no shingles with
+    // the forward corpus, so nothing in the SNAPSHOT tables can pair
+    // with day 2; every cross-day pair below exists only via the fold
+    val s1 = revBatch(spark, 1000000000000L)
+    // day-2: resubmissions of the day-1 survivors (identical text)
+    val b2 = revBatch(spark, 2000000000000L)
+
+    // the in-memory fold serve (x41's lazy-plan shape)
+    val docs = Tables.wide(Tables.documents(spark, d))
+      .select(col("doc_id"), col("text"))
+    val ss = Dedup.lshSigSet(docs, "doc_id", "text", n = 3, numHashes = 128)
+    val (banded1, sets1) = Dedup.appendToLshArtifacts(
+      Dedup.lshBanded(ss, 128, 32), ss.select(col("_id"), col("_set")),
+      s1, "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+    val inMem = rows(Dedup.incrementalLshFromArtifacts(banded1, sets1, b2,
+        "doc_id", "text", n = 3, numHashes = 128, bands = 32,
+        threshold = 0.8)
+      .select(col("ida"), col("idb")))
+
+    // the durable fold: snapshot tables + appendDelta of the day's
+    // band/set deltas (both under their own bucket specs)
+    ExtensionQueries.lshBandedArtifact.write(spark, d, tb)
+    ExtensionQueries.lshSetsArtifact.write(spark, d, ts)
+    ExtensionQueries.evictLshArtifacts(spark, d)
+    val ds = Dedup.lshSigSet(s1, "doc_id", "text", n = 3, numHashes = 128)
+    ExtensionQueries.lshBandedArtifact.appendDelta(spark, d, tb,
+      Dedup.lshBanded(ds, 128, 32))
+    ExtensionQueries.lshSetsArtifact.appendDelta(spark, d, ts,
+      ds.select(col("_id"), col("_set")))
+
+    // the daily job: a fold-AWARE fresh session serves day 2 straight
+    // from the folded catalog tables, zero rebuilds
+    val before = (ExtensionQueries.lshBandedArtifact.builds.get(),
+      ExtensionQueries.lshSetsArtifact.builds.get())
+    val s3 = spark.newSession()
+    s3.conf.set(ExtensionQueries.lshBandedArtifact.tableConf, tb)
+    s3.conf.set(ExtensionQueries.lshSetsArtifact.tableConf, ts)
+    s3.conf.set(graft.DurableArtifact.ServeFoldedConf, "true")
+    val (cb, cs) = ExtensionQueries.docsLshArtifacts(s3, d)
+    val durable = rows(Dedup.incrementalLshFromArtifacts(cb, cs,
+        revBatch(s3, 2000000000000L), "doc_id", "text", n = 3,
+        numHashes = 128, bands = 32, threshold = 0.8)
+      .select(col("ida"), col("idb")))
+    assert((ExtensionQueries.lshBandedArtifact.builds.get(),
+      ExtensionQueries.lshSetsArtifact.builds.get()) === before,
+      "the fold-aware durable serve must never rebuild")
+    assert(durable === inMem,
+      "durably-folded tables must serve the exact in-memory-fold pairs")
+    // fold-dependence: a day-1-survivor × day-2 pair cannot come from
+    // the snapshot (no shared shingles with the forward corpus)
+    assert(durable.exists { r =>
+      val ida = r.head.asInstanceOf[Long]; val idb = r(1).asInstanceOf[Long]
+      ida >= 1000000000000L && ida < 2000000000000L && idb >= 2000000000000L
+    }, "expected at least one cross-day pair provable only via the fold")
+    Seq(tb, ts).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("use() rewrites a table stamped for another dir instead of " +
       "silently falling back to the memo for every consumer") {
     val d2 = "/root/testdata/sf0.01"
