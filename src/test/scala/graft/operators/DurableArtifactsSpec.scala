@@ -341,6 +341,65 @@ class DurableArtifactsSpec extends SparkTestBase {
     Seq(tb, ts).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("x42's day-2 candidates through the DURABLY folded emb-bucket " +
+      "table ≡ the in-memory fold — the vector twin, completing the " +
+      "durable-fold serve matrix (fp/LSH/emb)") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val te = "g_emb_buckets_e2e_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $te")
+
+    def batch(s: org.apache.spark.sql.SparkSession, offset: Long,
+        eps: Double) =
+      Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .filter(col("vec_id") % 3 === 2)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => -x + lit(eps)).cast("array<float>").as("embedding"))
+    // day-1 survivors: NEGATED vectors — cosine −1 against every
+    // forward corpus vector, so a day-2 re-embed of one (−x+0.001) can
+    // only be caught through the fold
+    val s1 = batch(spark, 1000000L, 0.0)
+    val b2 = batch(spark, 2000000L, 0.001)
+
+    // in-memory fold serve
+    val corpus0 = Similarity.probedBuckets(
+      Tables.embeddings(spark, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12)
+    val inMem = rows(Similarity.incrementalLshCandidates(
+      Similarity.appendToEmbBuckets(corpus0, s1, "vec_id", "embedding",
+        dim = 64, nPlanes = 12),
+      b2, "vec_id", "embedding", dim = 64, nPlanes = 12))
+
+    // durable fold: snapshot table + appendDelta of the batch's own
+    // probed buckets (hyperplanes corpus-independent)
+    ExtensionQueries.embBucketsArtifact.write(spark, d, te)
+    ExtensionQueries.evictEmbBuckets(spark, d)
+    ExtensionQueries.embBucketsArtifact.appendDelta(spark, d, te,
+      Similarity.probedBuckets(s1, "vec_id", "embedding",
+        dim = 64, nPlanes = 12))
+
+    val before = ExtensionQueries.embBucketsArtifact.builds.get()
+    val s3 = spark.newSession()
+    s3.conf.set(ExtensionQueries.embBucketsArtifact.tableConf, te)
+    s3.conf.set(graft.DurableArtifact.ServeFoldedConf, "true")
+    val durable = rows(Similarity.incrementalLshCandidates(
+      ExtensionQueries.docsEmbBuckets(s3, d),
+      batch(s3, 2000000L, 0.001), "vec_id", "embedding",
+      dim = 64, nPlanes = 12))
+    assert(ExtensionQueries.embBucketsArtifact.builds.get() === before,
+      "the fold-aware durable serve must never rebuild")
+    assert(durable === inMem,
+      "durably-folded bucket table must serve the exact candidates")
+    assert(durable.exists { r =>
+      val ida = r.head.asInstanceOf[Long]; val idb = r(1).asInstanceOf[Long]
+      ida >= 1000000L && ida < 2000000L && idb >= 2000000L
+    }, "expected a day-1-survivor × day-2 candidate only the fold enables")
+    spark.sql(s"DROP TABLE IF EXISTS $te")
+  }
+
   test("use() rewrites a table stamped for another dir instead of " +
       "silently falling back to the memo for every consumer") {
     val d2 = "/root/testdata/sf0.01"
