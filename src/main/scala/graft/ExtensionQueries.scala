@@ -978,16 +978,25 @@ object ExtensionQueries {
       else Map.empty[Long, Long]
     val composed = stored.map { case (root, l) =>
       root -> r.getOrElse(l, l) } ++ r
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("old_cluster_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("new_cluster_id",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val rows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(composed.toSeq.map { case (a, b) =>
-        org.apache.spark.sql.Row(a, b) }: _*)
-    s.createDataFrame(rows, schema).write.mode("overwrite")
-      .format("parquet").saveAsTable(pt)
+    if (composed.isEmpty) {
+      // the common pure-append day (new nodes join existing clusters
+      // without merging any — ClusterFoldProbe saw exactly this at
+      // 125×m): no relabels means no patch, so don't leave an EMPTY
+      // patch table that every later [[readClusterMap]] would
+      // broadcast-join against for nothing
+      if (s.catalog.tableExists(pt)) s.sql(s"DROP TABLE $pt")
+    } else {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("old_cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("new_cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(composed.toSeq.map { case (a, b) =>
+          org.apache.spark.sql.Row(a, b) }: _*)
+      s.createDataFrame(rows, schema).write.mode("overwrite")
+        .format("parquet").saveAsTable(pt)
+    }
     // new-node rows append under the base table's own bucket spec and
     // bump the folds counter (appendDelta's machinery — valid for
     // these rows exactly because they never mutate)
