@@ -1,37 +1,49 @@
 package graft
 
 import graft.operators.Dedup
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Measures what [[ExtensionQueries.foldClusterMapDurable]] buys a
   * nightly deployment: the durable persist cost of a day's cluster-map
-  * fold (tiny patch-table overwrite + batch-sized new-node append) vs
-  * the corpus-sized snapshot overwrite ([[ExtensionQueries
-  * .writeClusterMap]]) it replaces — plus the patched-read tax and the
-  * periodic compaction cost, at replica scale where the corpus:batch
-  * ratio makes the difference visible.
+  * fold (staged patch write + batch-sized new-node append + one
+  * properties flip) vs the corpus-sized snapshot overwrite
+  * ([[ExtensionQueries.writeClusterMap]]) it replaces — plus the
+  * patched-read tax and the periodic compaction cost, at replica scale
+  * where the corpus:batch ratio makes the difference visible.
   *
   *   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
   *   sbt "runMain graft.ClusterFoldProbe /tmp/sf12.5xm"
   *
-  * Stages (each timed separately so the persist cost is isolated from
-  * the pair discovery and CC build every strategy shares):
-  *  1. ccbuild  — the corpus cluster map (label propagation), built
-  *                once per snapshot under EITHER strategy;
-  *  2. snapwrite— the bucketed corpus-sized table write (what a
-  *                fold-less nightly job re-pays per day);
-  *  3. pairs    — the day's new incremental pairs (x39's fixture,
-  *                shared by both strategies);
-  *  4. fold     — foldClusterMapDurable: clusterFoldDelta + patch
-  *                overwrite + new-node bucketed append (the O(batch)
-  *                persist);
-  *  5. read     — readClusterMap on the patched table (full count —
-  *                the broadcast-relabel tax every consumer pays);
-  *  6. compact  — compactClusterMap (the periodic canonicalization,
-  *                corpus-sized by design).
-  * Prints one JSON line. */
+  * TWO fold days, and — unlike the round-13 fixture, whose increment
+  * produced patch_rows=0 (pure appends) — both days RELABEL: besides
+  * x39's re-crawl prefixes, each day adds word-mixture BRIDGE CHAINS
+  * between existing cluster roots (step k of a chain takes the first
+  * (S−k)/S of root a's words + the first k/S of root b's words, so
+  * consecutive chain docs stay near-dup while the ends are exact
+  * copies of a and b) — day 1 bridges root pairs (1,2),(3,4),…, day 2
+  * bridges (2,3),(4,5),…, so day 2's relabels UNDERCUT day 1's and
+  * the stored patch composes. Stages timed separately so the persist
+  * cost is isolated from the pair discovery and CC build every
+  * strategy shares:
+  *  1. ccbuild   — the corpus cluster map (label propagation), built
+  *                 once per snapshot under EITHER strategy;
+  *  2. snapwrite — the bucketed corpus-sized table write (what a
+  *                 fold-less nightly job re-pays per day);
+  *  3. pairs1/2  — each day's new incremental pairs;
+  *  4. fold1/2   — foldClusterMapDurable (fold 2 composes the patch);
+  *  5. read1/2   — readClusterMap full count (the broadcast-relabel
+  *                 tax every consumer pays, with a NON-EMPTY patch);
+  *  6. compact   — compactClusterMap with real relabels to fold in.
+  * Prints one JSON line (emitted even if a stage throws, with the
+  * stages completed so far). */
 object ClusterFoldProbe {
+  private val BridgeSteps = 30
+  private val MaxBridges = 400
+  private val Day1BridgeOffset = 5500000000000L
+  private val Day2BridgeOffset = 6500000000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,61 +57,126 @@ object ClusterFoldProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed[T](f: => T): (T, Double) = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String](
+      "probe" -> "\"cluster_fold\"", "sf" -> s""""$sfDir"""")
+    def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
+      out(name) = f"${(System.nanoTime() - t0) / 1e9}%.2f"
+      r
     }
 
     val table = "g_fold_probe_map"
-    // 1. corpus cluster map build (memoized persisted frame)
-    val (map, tBuild) = timed {
-      val m = ExtensionQueries.clusterMapArtifact.memoized(spark, sfDir)
-      val _ = m.count()
-      m
+    // a previous run's base AND patch tables would poison this one
+    // (a stale patch would compose into the first fold)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"SHOW TABLES LIKE '${table}_patch_e*'").collect()
+      .map(_.getString(1))
+      .foreach(p => spark.sql(s"DROP TABLE IF EXISTS $p"))
+
+    try {
+      // 1. corpus cluster map build (memoized persisted frame)
+      val map = timed("ccbuild_s") {
+        val m = ExtensionQueries.clusterMapArtifact.memoized(spark, sfDir)
+        val _ = m.count()
+        m
+      }
+      out("map_rows") = map.count().toString
+      // 2. the corpus-sized snapshot write — the per-day cost WITHOUT
+      // the durable fold (build already paid above, so this times the
+      // bucketed table write alone)
+      timed("snapwrite_s") {
+        ExtensionQueries.writeClusterMap(spark, sfDir, table)
+      }
+
+      val docs = Tables.wide(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), col("text"))
+      val kWords =
+        expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
+      // cluster roots, ranked — the bridge anchors (roots are member
+      // minima, so doc_id == cluster_id rows exist per cluster)
+      val roots = map.filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as("rid"))
+        .orderBy("rid").limit(2 * MaxBridges + 2)
+        .withColumn("rk", row_number().over(Window.orderBy("rid")))
+        .join(docs.withColumnRenamed("doc_id", "rid"), Seq("rid"))
+        .localCheckpoint()
+
+      def bridges(startRank: Int, offset: Long): DataFrame = {
+        val a = roots.filter(col("rk") >= startRank &&
+            (col("rk") - startRank) % 2 === 0)
+          .select(((col("rk") - startRank) / 2).cast("long").as("pi"),
+            split(col("text"), " ").as("wa"))
+        val b = roots.filter(col("rk") >= startRank &&
+            (col("rk") - startRank) % 2 === 1)
+          .select(((col("rk") - startRank) / 2).cast("long").as("pi"),
+            split(col("text"), " ").as("wb"))
+        a.join(b, Seq("pi"))
+          .select(col("pi"), col("wa"), col("wb"),
+            explode(sequence(lit(0), lit(BridgeSteps))).as("k"))
+          .select(
+            (lit(offset) + col("pi") * (BridgeSteps + 1) + col("k"))
+              .as("doc_id"),
+            array_join(concat(
+              slice(col("wa"), lit(1), expr(
+                s"cast(((${BridgeSteps} - k) * size(wa)) div ${BridgeSteps} as int)")),
+              slice(col("wb"), lit(1), expr(
+                s"cast((k * size(wb)) div ${BridgeSteps} as int)"))),
+              " ").as("text"))
+      }
+
+      // day 1: x39's re-crawl prefixes (pure appends) + bridges over
+      // root pairs (1,2),(3,4),… (relabels)
+      val day1 = docs.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 5000000000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1), kWords), " ")
+            .as("text"))
+        .unionByName(bridges(1, Day1BridgeOffset))
+      // day 2: bridges over root pairs (2,3),(4,5),… — merges ACROSS
+      // day 1's merged clusters, so fold 2 must compose the patch
+      val day2 = bridges(2, Day2BridgeOffset)
+
+      def patchRows(): Long = {
+        val pt = ExtensionQueries.clusterPatchTable(table,
+          DurableArtifact.foldsOf(spark, table))
+        if (spark.catalog.tableExists(pt)) spark.table(pt).count() else 0L
+      }
+
+      Seq(("1", day1), ("2", day2)).foreach { case (dayTag, inc) =>
+        // 700000 ppm (not the x39 oracle's 800000): the probe's chain
+        // steps sit near J ≈ 0.82-0.86 — the looser gate keeps every
+        // consecutive chain link, which is what makes the bridges
+        // actually merge clusters. The probe measures cost, not an
+        // oracle row.
+        val p = timed(s"pairs${dayTag}_s") {
+          val pf = Dedup.incrementalJaccardPairsPpm(docs, inc,
+            "doc_id", "text", 3, 700000L, Dedup.DfCap.NoCap).persist()
+          out(s"n_pairs$dayTag") = pf.count().toString
+          pf
+        }
+        // the PERSISTED frame goes straight into the fold — the fold
+        // reads it once more (roots lookup + contraction), so cache
+        // reuse here is load-bearing, not cosmetic
+        timed(s"fold${dayTag}_s") {
+          ExtensionQueries.foldClusterMapDurable(spark, sfDir, table, p)
+        }
+        p.unpersist()
+        out(s"patch_rows$dayTag") = patchRows().toString
+        val n = timed(s"read${dayTag}_s") {
+          ExtensionQueries.readClusterMap(spark, table).count()
+        }
+        out(s"folded_rows$dayTag") = n.toString
+      }
+
+      // periodic compaction back to a canonical snapshot — with a
+      // composed non-empty patch to fold in
+      timed("compact_s") {
+        ExtensionQueries.compactClusterMap(spark, table)
+      }
+    } finally {
+      println(out.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
+      spark.stop()
     }
-    val mapRows = map.count()
-    // 2. the corpus-sized snapshot write — the per-day cost WITHOUT
-    // the durable fold (build already paid above, so this times the
-    // bucketed table write alone)
-    val (_, tSnapWrite) = timed {
-      ExtensionQueries.writeClusterMap(spark, sfDir, table)
-    }
-    // 3. the day's new pairs (x39's increment fixture)
-    val docs = Tables.wide(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("text"))
-    val kWords = expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
-    val increment = docs.filter(col("doc_id") % 9 === 4)
-      .select((col("doc_id") + 5000000000000L).as("doc_id"),
-        array_join(slice(split(col("text"), " "), lit(1), kWords), " ")
-          .as("text"))
-    val (nPairs, tPairs) = timed {
-      val p = Dedup.incrementalJaccardPairsPpm(docs, increment,
-        "doc_id", "text", 3, 800000L, Dedup.DfCap.NoCap).persist()
-      p.count()
-    }
-    val pairs = Dedup.incrementalJaccardPairsPpm(docs, increment,
-      "doc_id", "text", 3, 800000L, Dedup.DfCap.NoCap)
-    // 4. the durable O(batch) fold persist
-    val (_, tFold) = timed {
-      ExtensionQueries.foldClusterMapDurable(spark, sfDir, table, pairs)
-    }
-    val patchRows = spark.table(table +
-      ExtensionQueries.ClusterMapPatchSuffix).count()
-    // 5. the patched read every consumer pays post-fold
-    val (foldedRows, tRead) = timed {
-      ExtensionQueries.readClusterMap(spark, table).count()
-    }
-    // 6. periodic compaction back to a canonical snapshot
-    val (_, tCompact) = timed {
-      ExtensionQueries.compactClusterMap(spark, table)
-    }
-    println(s"""{"probe":"cluster_fold","sf":"$sfDir"""" +
-      s""","map_rows":$mapRows,"n_pairs":$nPairs""" +
-      s""","patch_rows":$patchRows,"folded_rows":$foldedRows""" +
-      f""","ccbuild_s":$tBuild%.2f,"snapwrite_s":$tSnapWrite%.2f""" +
-      f""","pairs_s":$tPairs%.2f,"fold_s":$tFold%.2f""" +
-      f""","read_s":$tRead%.2f,"compact_s":$tCompact%.2f}""")
-    spark.stop()
   }
 }

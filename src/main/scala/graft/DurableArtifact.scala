@@ -36,7 +36,13 @@ private[graft] final class DurableArtifact(
       * reader so conf-resolved consumers see the folded rows, not the
       * stale base. */
     readTable: (SparkSession, String) => DataFrame =
-      (s, t) => s.table(t)) {
+      (s, t) => s.table(t),
+    /** Applied to the built frame at durable-WRITE time only (the memo
+      * keeps the plain build): merge-style artifacts that persist
+      * bookkeeping columns alongside the rows (the cluster map's fold
+      * epoch) plug the stamping in here, and their `readTable` strips
+      * it back off. */
+    writeTransform: DataFrame => DataFrame = identity) {
   import DurableArtifact._
 
   private val memo = scala.collection.concurrent.TrieMap
@@ -111,7 +117,7 @@ private[graft] final class DurableArtifact(
   def write(s: SparkSession, d: String, table: String,
       buckets: Int = 8): Unit = {
     dropOrphanWarehouseDir(s, table)
-    memoized(s, d).write.mode("overwrite")
+    writeTransform(memoized(s, d)).write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
@@ -144,7 +150,17 @@ private[graft] final class DurableArtifact(
     * mismatched spec would break the bucketed-join layout the
     * artifact exists for. */
   def appendDelta(s: SparkSession, d: String, table: String,
-      delta: DataFrame): Unit = {
+      delta: DataFrame,
+      /** Extra table properties set in the SAME statement as the folds
+        * bump — the counter bump is the fold's visibility flip for
+        * epoch-aware readers (the cluster map), so anything that must
+        * become visible atomically WITH it (the patch-live marker)
+        * rides this one ALTER TABLE. */
+      extraProps: Map[String, String] = Map.empty,
+      /** Test seam: runs after the delta's files are committed but
+        * BEFORE the folds-counter flip — the torn-fold interleave the
+        * commit-safety specs probe. */
+      afterFilesWritten: () => Unit = () => ()): Unit = {
     require(s.catalog.tableExists(table),
       s"appendDelta: no table $table — write the snapshot first")
     val buckets = DurableArtifact.numBucketsOf(s, table, bucketCols)
@@ -152,9 +168,12 @@ private[graft] final class DurableArtifact(
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
+    afterFilesWritten()
     val n = DurableArtifact.foldsOf(s, table) + 1
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('${DurableArtifact.FoldsProp}' = '$n')")
+    val props = (extraProps + (DurableArtifact.FoldsProp -> n.toString))
+      .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+      .mkString(", ")
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($props)")
     evict(s, d)
   }
 
@@ -193,12 +212,17 @@ private[graft] object DurableArtifact {
     spec.numBuckets
   }
 
+  /** All table properties in ONE catalog fetch — epoch-aware readers
+    * need the folds counter and the patch-live marker from the SAME
+    * snapshot of the metadata (they are flipped together in one
+    * statement; reading them separately could straddle a flip). */
+  private[graft] def propsOf(s: SparkSession, table: String): Map[String, String] =
+    s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
   /** Folds recorded on `table` (0 when never folded). */
   private[graft] def foldsOf(s: SparkSession, table: String): Int =
-    s.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .collectFirst { case r if r.getString(0) == FoldsProp =>
-        r.getString(1).toInt }
-      .getOrElse(0)
+    propsOf(s, table).get(FoldsProp).map(_.toInt).getOrElse(0)
 
   /** Corpus dirs compare NORMALIZED: equivalent spellings (trailing
     * slash, file: prefix, ./ segments) must hit the durable table, not
@@ -206,9 +230,9 @@ private[graft] object DurableArtifact {
   private[graft] def normDir(d: String): String =
     new java.io.File(d.stripPrefix("file:")).getCanonicalPath
 
-  /** Single-quote doubling for the one string we interpolate into the
-    * TBLPROPERTIES statement. */
-  private def sqlEscape(v: String): String = v.replace("'", "''")
+  /** Single-quote doubling for strings interpolated into
+    * TBLPROPERTIES statements. */
+  private[graft] def sqlEscape(v: String): String = v.replace("'", "''")
 
   /** True iff `table` carries `d` (normalized) as its recorded corpus
     * dir. */

@@ -891,7 +891,11 @@ object ExtensionQueries {
     // the durable read applies the patch layer, so conf-resolved
     // consumers of a FOLDED map (ServeFoldedConf opt-in) see the
     // folded labels, never the stale base rows
-    readTable = (s, t) => readClusterMap(s, t))
+    readTable = (s, t) => readClusterMap(s, t),
+    // the snapshot write stamps every row fold-epoch 0 — the column
+    // the commit-safe fold's visibility filter keys on (readers see
+    // only rows whose epoch the folds counter has committed)
+    writeTransform = df => df.withColumn(FoldEpochCol, lit(0)))
 
   /** Session conf key naming the durable cluster-map table (see
     * [[useClusterMap]]); a dir mismatch falls back to the build path
@@ -912,28 +916,71 @@ object ExtensionQueries {
       buckets: Int = 8): Unit =
     clusterMapArtifact.write(s, d, table, buckets)
 
-  /** Suffix of the cluster map's PATCH table: the tiny old-root →
-    * new-root relabel layer [[foldClusterMapDurable]] maintains beside
-    * the corpus-sized base table. */
-  private[graft] val ClusterMapPatchSuffix = "_patch"
+  /** Per-row fold-epoch column on the durable cluster-map table: the
+    * snapshot write stamps 0, fold N's new-node append stamps N, and
+    * [[readClusterMap]] filters `_fe <= committed epoch` — which is
+    * what makes the fold's two physical writes invisible until the
+    * single properties flip (file listings may race; the row filter
+    * cannot). */
+  private[graft] val FoldEpochCol = "_fe"
+
+  /** The cluster map's patch table for fold epoch `e` — the tiny
+    * old-root → new-root relabel layer [[foldClusterMapDurable]]
+    * maintains beside the corpus-sized base table. Epoch-suffixed so
+    * a fold can stage the NEXT epoch's patch invisibly and sweep old
+    * epochs one pass deferred (readers resolve the patch by the
+    * committed epoch, never by "the latest table"). */
+  private[graft] def clusterPatchTable(table: String, epoch: Int): String =
+    s"${table}_patch_e$epoch"
+
+  /** Table property flipped ATOMICALLY with the folds counter: "true"
+    * iff the committed epoch has a (non-empty) patch table. Lets a
+    * reader distinguish "no relabels ever" (absent patch is fine)
+    * from "my epoch's patch was swept under me" (absent patch is a
+    * stale plan held across ≥ 2 folds — fail loudly, never silently
+    * serve unrelabeled base rows). */
+  private[graft] val ClusterPatchLiveProp = "graft.clusterPatchLive"
 
   /** Read-back path for [[writeClusterMap]]'s table — no memo, no
     * rebuild: any session sharing the catalog (a fresh SparkSession,
     * a different day's job) consumes the written map directly.
-    * PATCH-AWARE: when `<table>_patch` exists, the relabel layer is
-    * applied through one broadcast join (the exact plan x39's
-    * in-memory fold runs), so readers of a durably-folded map see the
-    * folded labels while the corpus-sized base stays byte-identical
-    * on disk — and keeps its doc_id bucket layout (the patch joins on
-    * cluster_id, broadcast side only). */
+    *
+    * COMMIT-SAFE against a concurrent [[foldClusterMapDurable]]: the
+    * reader takes the folds counter E and the patch-live marker from
+    * ONE catalog fetch (they flip together in one statement), keeps
+    * only base rows with fold epoch ≤ E, and applies exactly the
+    * epoch-E patch table — so it sees the pre-fold map until the flip
+    * and the complete post-fold map after it, never a mix, no matter
+    * where between the fold's writes it planned. The relabel applies
+    * through one broadcast join (the exact plan x39's in-memory fold
+    * runs) and the base keeps its doc_id bucket layout (the patch
+    * joins on cluster_id, broadcast side only). A reader that holds
+    * its plan across TWO further folds can lose its patch table to
+    * the deferred sweep — that read throws (stale-plan error) instead
+    * of returning unrelabeled rows. */
   def readClusterMap(s: SparkSession, table: String): DataFrame = {
-    val base = s.table(table)
-    val pt = table + ClusterMapPatchSuffix
-    if (s.catalog.tableExists(pt))
+    val props = DurableArtifact.propsOf(s, table)
+    val e = props.get(DurableArtifact.FoldsProp).map(_.toInt).getOrElse(0)
+    val patchLive = props.get(ClusterPatchLiveProp).exists(_.toBoolean)
+    val raw = s.table(table)
+    val base =
+      if (raw.columns.contains(FoldEpochCol))
+        raw.filter(col(FoldEpochCol) <= e)
+          .select(col("doc_id"), col("cluster_id"))
+      else raw.select(col("doc_id"), col("cluster_id"))
+    if (!patchLive) base
+    else {
+      val pt = clusterPatchTable(table, e)
+      if (!s.catalog.tableExists(pt))
+        throw new IllegalStateException(
+          s"readClusterMap($table): fold epoch $e declares a live patch " +
+            s"but $pt is gone — this plan was held across two or more " +
+            "folds (the deferred sweep keeps exactly one prior epoch); " +
+            "re-plan against the current epoch")
       Dedup.applyClusterRelabel(base,
         s.table(pt).select(col("old_cluster_id").as("_root"),
           col("new_cluster_id").as("_l")))
-    else base
+    }
   }
 
   /** Durable O(batch) persistence of a cluster-map fold — the
@@ -959,9 +1006,63 @@ object ExtensionQueries {
     * folds the patch layer back into a canonical bucketed snapshot.
     * The base table's folds counter bumps, so snapshot-scoped
     * consumers fall back to building rather than silently reading
-    * folded labels ([[DurableArtifact.ServeFoldedConf]]). */
+    * folded labels ([[DurableArtifact.ServeFoldedConf]]).
+    *
+    * COMMIT SAFETY (single writer, any number of concurrent readers):
+    * the fold's two physical writes are both INVISIBLE when they land
+    * — the next epoch's patch goes to an epoch-suffixed table readers
+    * don't resolve yet, and the new-node rows carry fold epoch e+1
+    * which readers filter out — and ONE `ALTER TABLE SET
+    * TBLPROPERTIES` statement (folds counter + patch-live marker
+    * together) is the single visibility flip. A reader planning
+    * anywhere between the writes sees exactly the pre-fold map; after
+    * the flip, exactly the post-fold map (DurableClusterFoldSpec
+    * probes both interleave points). Superseded patch epochs sweep
+    * ONE FOLD DEFERRED, so a reader is safe as long as it finishes
+    * within one fold interval of planning — the same contract as the
+    * stream layers' deferred compaction cleanup; a plan held across
+    * two folds fails loudly in [[readClusterMap]] rather than serving
+    * unrelabeled rows. Concurrent WRITERS are not supported (nightly
+    * single-writer job); a fold that crashes mid-way either left only
+    * invisible writes (retry just works — the staged patch is
+    * overwritten) or a torn new-node append above the committed
+    * epoch, which the next fold detects and refuses until
+    * [[compactClusterMap]] discards it (the epoch-filtered read never
+    * saw those rows).
+    *
+    * `autoCompactAtPatchRows` — the patch-compaction cadence: when
+    * > 0 and the composed patch reaches that many rows, the fold runs
+    * [[compactClusterMap]] inline (the nightly job's own maintenance
+    * window — the overwrite is NOT concurrent-reader-safe, which is
+    * exactly why the cadence lives here and not in a background
+    * thread). CHOOSING THE THRESHOLD: the patch must stay broadcast-
+    * small — the hard backstop is the driver union-find gate
+    * (`require(broadcastable)` below, default 4M entries ≈ 64 MB) —
+    * and every consumer pays one broadcast of the patch per read, so
+    * compact well before that: 100k rows (~1.6 MB broadcast) keeps
+    * the read tax negligible while making compaction rarer than one
+    * in dozens of typical folds (relabels per day = clusters MERGED
+    * that day, usually ≪ new docs). 0 = off (out-of-band maintenance
+    * only, the default — a deployment that compacts on its own
+    * schedule). */
   def foldClusterMapDurable(s: SparkSession, d: String, table: String,
-      newPairs: DataFrame): Unit = {
+      newPairs: DataFrame, autoCompactAtPatchRows: Int = 0): Unit = {
+    val e = DurableArtifact.foldsOf(s, table)
+    require(s.table(table).columns.contains(FoldEpochCol),
+      s"foldClusterMapDurable: $table has no $FoldEpochCol column — a " +
+        "pre-epoch snapshot cannot be folded commit-safely; rewrite it " +
+        "with writeClusterMap first")
+    // torn-append guard: rows stamped ABOVE the committed epoch mean a
+    // previous fold crashed between its file append and its flip.
+    // Appending again would duplicate those rows the moment the next
+    // flip lands, so recovery is explicit: compactClusterMap rewrites
+    // the base from the epoch-FILTERED read (discarding the torn rows)
+    // and folding resumes cleanly. Min/max row-group stats prune the
+    // probe to the newest files.
+    require(s.table(table).filter(col(FoldEpochCol) > e).head(1).isEmpty,
+      s"foldClusterMapDurable: $table carries rows above committed " +
+        s"epoch $e — a crashed fold left a torn append; run " +
+        "compactClusterMap(table) to discard it, then retry the fold")
     val delta = Dedup.clusterFoldDelta(readClusterMap(s, table), newPairs)
     require(delta.broadcastable,
       "foldClusterMapDurable: the relabel delta exceeded the driver " +
@@ -970,22 +1071,21 @@ object ExtensionQueries {
         "the snapshot instead")
     val r = delta.relabel.collect()
       .map(row => row.getLong(0) -> row.getLong(1)).toMap
-    val pt = table + ClusterMapPatchSuffix
     val stored =
-      if (s.catalog.tableExists(pt))
-        s.table(pt).collect()
+      if (s.catalog.tableExists(clusterPatchTable(table, e)))
+        s.table(clusterPatchTable(table, e)).collect()
           .map(row => row.getLong(0) -> row.getLong(1)).toMap
       else Map.empty[Long, Long]
     val composed = stored.map { case (root, l) =>
       root -> r.getOrElse(l, l) } ++ r
-    if (composed.isEmpty) {
-      // the common pure-append day (new nodes join existing clusters
-      // without merging any — ClusterFoldProbe saw exactly this at
-      // 125×m): no relabels means no patch, so don't leave an EMPTY
-      // patch table that every later [[readClusterMap]] would
-      // broadcast-join against for nothing
-      if (s.catalog.tableExists(pt)) s.sql(s"DROP TABLE $pt")
-    } else {
+    // 1. Stage the NEXT epoch's patch — invisible: readers resolve the
+    //    patch by the committed epoch. A crashed earlier attempt's
+    //    stale e+1 table is simply overwritten. The common pure-append
+    //    day (no relabels ever — ClusterFoldProbe saw exactly this at
+    //    125×m) writes no patch at all.
+    if (composed.nonEmpty) {
+      val pt = clusterPatchTable(table, e + 1)
+      DurableArtifact.dropOrphanWarehouseDir(s, pt)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("old_cluster_id",
           org.apache.spark.sql.types.LongType, nullable = false),
@@ -997,37 +1097,112 @@ object ExtensionQueries {
       s.createDataFrame(rows, schema).write.mode("overwrite")
         .format("parquet").saveAsTable(pt)
     }
-    // new-node rows append under the base table's own bucket spec and
-    // bump the folds counter (appendDelta's machinery — valid for
-    // these rows exactly because they never mutate)
-    clusterMapArtifact.appendDelta(s, d, table, delta.newNodes)
+    ClusterFoldHooks.afterPatchWrite()
+    // 2. New-node files land stamped epoch e+1 — invisible: readers
+    //    filter _fe <= e. 3. ONE properties statement (inside
+    //    appendDelta) flips the folds counter AND the patch-live
+    //    marker together — the single visibility point.
+    clusterMapArtifact.appendDelta(s, d, table,
+      delta.newNodes.withColumn(FoldEpochCol, lit(e + 1))
+        .select(col("doc_id"), col("cluster_id"), col(FoldEpochCol)),
+      extraProps = Map(ClusterPatchLiveProp -> composed.nonEmpty.toString),
+      afterFilesWritten = () => ClusterFoldHooks.beforeFlip())
+    // 4. Deferred sweep: epochs ≤ e-1 drop; epoch e survives ONE more
+    //    fold so a reader that planned just before the flip keeps its
+    //    patch table (the StreamIndex deferred-cleanup discipline —
+    //    safe for any reader that finishes within one fold interval).
+    sweepClusterPatches(s, table, below = e)
+    // 5. Auto-compaction cadence — see the parameter doc above.
+    if (autoCompactAtPatchRows > 0 && composed.size >= autoCompactAtPatchRows)
+      compactClusterMap(s, table)
+  }
+
+  /** Test seams for [[foldClusterMapDurable]]'s commit-safety spec:
+    * the two interleave points where a concurrent reader must still
+    * see the complete PRE-fold map — after the staged patch write,
+    * and after the new-node files land but before the properties
+    * flip. No-ops in production. */
+  private[graft] object ClusterFoldHooks {
+    @volatile var afterPatchWrite: () => Unit = () => ()
+    @volatile var beforeFlip: () => Unit = () => ()
+    def reset(): Unit = {
+      afterPatchWrite = () => ()
+      beforeFlip = () => ()
+    }
+  }
+
+  /** Drop committed-and-superseded patch epochs STRICTLY below
+    * `below` (crash leftovers included — the sweep re-runs every
+    * fold, so a fold that died between flip and sweep is caught by
+    * the next one). */
+  private def sweepClusterPatches(s: SparkSession, table: String,
+      below: Int): Unit = {
+    val prefix = s"${table}_patch_e"
+    s.sql(s"SHOW TABLES LIKE '$prefix*'").collect()
+      .map(_.getString(1))
+      .flatMap(t => scala.util.Try(t.stripPrefix(prefix).toInt).toOption
+        .map(t -> _))
+      .filter(_._2 < below)
+      .foreach { case (t, _) => s.sql(s"DROP TABLE IF EXISTS $t") }
   }
 
   /** Fold the patch layer back into a canonical bucketed snapshot —
     * the periodic maintenance pass (the patch stays broadcast-tiny
-    * between compactions; this bounds how many folds accumulate).
+    * between compactions; this bounds how many folds accumulate) AND
+    * the recovery step after a crashed fold (the epoch-filtered read
+    * never saw a torn append's rows, so the rewrite discards them).
     * The patched read is materialized OFF the table first
     * (localCheckpoint — Spark refuses to overwrite a table a live
-    * plan still scans), rewritten under the same bucket spec, and the
-    * patch table drops. Provenance properties (source dir, folds
-    * counter) are re-applied: compaction changes layout, never
-    * content, so a folded table stays marked folded. */
+    * plan still scans), rewritten under the same bucket spec with
+    * every row re-stamped fold-epoch 0, and ALL patch epochs drop.
+    * Provenance properties (source dir, folds counter) are
+    * re-applied: compaction changes layout, never content, so a
+    * folded table stays marked folded — [[rebaseClusterMap]] is the
+    * deliberate path back to snapshot-serving status. UNLIKE the
+    * fold, the overwrite is not concurrent-reader-safe: run it in
+    * the single-writer job's own window (which is where
+    * `autoCompactAtPatchRows` runs it). */
   def compactClusterMap(s: SparkSession, table: String): Unit = {
-    val pt = table + ClusterMapPatchSuffix
-    if (!s.catalog.tableExists(pt)) return
-    val buckets = graft.DurableArtifact.numBucketsOf(s, table, Seq("doc_id"))
-    val props = s.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(row => row.getString(0) -> row.getString(1))
+    val props = DurableArtifact.propsOf(s, table)
       .filter { case (k, _) => k.startsWith("graft.") }
-    val folded = readClusterMap(s, table).localCheckpoint()
+    val raw = s.table(table)
+    val dirty =
+      props.get(ClusterPatchLiveProp).exists(_.toBoolean) ||
+        (raw.columns.contains(FoldEpochCol) &&
+          raw.filter(col(FoldEpochCol) =!= 0).head(1).nonEmpty)
+    if (!dirty) return
+    val buckets = graft.DurableArtifact.numBucketsOf(s, table, Seq("doc_id"))
+    val folded = readClusterMap(s, table)
+      .withColumn(FoldEpochCol, lit(0)).localCheckpoint()
     folded.write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(table)
-    props.foreach { case (k, v) =>
-      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$k' = " +
-        s"'${v.replace("'", "''")}')")
-    }
-    s.sql(s"DROP TABLE $pt")
+    val restated = (props + (ClusterPatchLiveProp -> "false"))
+      .map { case (k, v) =>
+        s"'$k' = '${DurableArtifact.sqlEscape(v)}'" }
+      .mkString(", ")
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($restated)")
+    sweepClusterPatches(s, table, below = Int.MaxValue)
+  }
+
+  /** Return a compacted cluster-map table to SNAPSHOT-serving status
+    * as the canonical artifact of corpus dir `d` — the deliberate
+    * snapshot-rotation step (the folds counter is otherwise one-way
+    * by design: compaction changes layout, never provenance). The
+    * caller asserts that `d` IS the union corpus the folded map now
+    * covers — typically the corpus dir the daily job has been
+    * appending batches into; after this, conf-resolved snapshot
+    * consumers ([[DurableArtifact.resolve]] WITHOUT the
+    * ServeFoldedConf opt-in) serve the table directly again, zero
+    * rebuilds (spec-pinned). Compacts first, so the rebased table is
+    * canonical: no patch, every row epoch 0, folds 0. */
+  def rebaseClusterMap(s: SparkSession, d: String, table: String): Unit = {
+    compactClusterMap(s, table)
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'${DurableArtifact.SourceDirProp}' = " +
+      s"'${DurableArtifact.sqlEscape(DurableArtifact.normDir(d))}', " +
+      s"'${DurableArtifact.FoldsProp}' = '0', " +
+      s"'$ClusterPatchLiveProp' = 'false')")
   }
 
   /** Eviction hook for the session memo. */

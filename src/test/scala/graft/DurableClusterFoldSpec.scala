@@ -4,27 +4,34 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Durable O(batch) persistence of the cluster-map fold
-  * ([[ExtensionQueries.foldClusterMapDurable]]) — the round-12 gap:
-  * x39 computed the folded map in memory, but the only durable write
-  * was the corpus-sized overwrite. The patch layer must (a) read back
-  * ≡ the in-memory fold ≡ the union rebuild, across MULTIPLE folds
-  * (patch composition), (b) write only batch-sized data, (c) compact
-  * to a canonical snapshot without changing content, and (d) serve
-  * real consumers (x17 canonical pick, x29 leakage split) from a
-  * fresh fold-aware session with zero rebuilds. */
+  * ([[ExtensionQueries.foldClusterMapDurable]]). The patch layer must
+  * (a) read back ≡ the in-memory fold ≡ the union rebuild, across
+  * MULTIPLE folds (patch composition), (b) write only batch-sized
+  * data, (c) compact to a canonical snapshot without changing
+  * content, (d) serve real consumers (x17 canonical pick, x29 leakage
+  * split) from a fresh fold-aware session with zero rebuilds, and —
+  * since round 14 — (e) be COMMIT-SAFE: a reader concurrent with a
+  * fold sees either the pre-fold or the post-fold map, never a mix
+  * (the StreamNearDupSpec replay/torn-write shape applied to the
+  * nightly fold: both writes invisible, one properties flip, deferred
+  * patch sweep, torn appends detected and recovered by compaction). */
 class DurableClusterFoldSpec extends SparkTestBase {
   import graft.operators.Dedup
 
   private val d = "/root/testdata/sf0.001"
   private val table = "g_cluster_fold_spec"
-  private val pt = table + ExtensionQueries.ClusterMapPatchSuffix
   private val serveTable = "g_cluster_fold_serve_spec"
-  private val servePt = serveTable + ExtensionQueries.ClusterMapPatchSuffix
+  private val cadenceTable = "g_cluster_fold_cadence_spec"
 
   private def dropAll(): Unit = {
-    Seq(table, pt, serveTable, servePt)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(table, serveTable, cadenceTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"SHOW TABLES LIKE '${t}_patch_e*'").collect()
+        .map(_.getString(1))
+        .foreach(p => spark.sql(s"DROP TABLE IF EXISTS $p"))
+    }
     ExtensionQueries.evictClusterMap(spark, d)
+    ExtensionQueries.ClusterFoldHooks.reset()
   }
   override def beforeAll(): Unit = { super.beforeAll(); dropAll() }
   override def afterAll(): Unit = {
@@ -43,6 +50,12 @@ class DurableClusterFoldSpec extends SparkTestBase {
   private def ccMap(ps: Seq[(Long, Long)]): DataFrame =
     Dedup.connectedComponents(pairsDf(ps))
       .select(col("node").as("doc_id"), col("cluster_id"))
+  private def writeBase(t: String, ps: Seq[(Long, Long)]): Unit =
+    ccMap(ps).withColumn(ExtensionQueries.FoldEpochCol, lit(0))
+      .write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(t)
+  private def patch(t: String, e: Int): String =
+    ExtensionQueries.clusterPatchTable(t, e)
 
   private val basePairs =
     Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L))
@@ -53,13 +66,15 @@ class DurableClusterFoldSpec extends SparkTestBase {
   // undercuts root 1 — the composition case: day 1 stored 10→1, day 2
   // must compose it to 10→0 alongside the fresh 1→0
   private val day2 = Seq((21L, 300L), (0L, 1L))
+  // day 3: within-cluster pair — no relabel, no new node; the patch
+  // carries forward unchanged under a new epoch
+  private val day3 = Seq((30L, 31L))
 
-  test("durable fold reads back ≡ union rebuild across two folds; " +
-      "everything written is batch-sized; the patch stays single-level") {
-    val baseMap = ccMap(basePairs)
-    baseMap.write.bucketBy(8, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(table)
-    val baseRows = rows(spark.table(table))
+  test("durable fold reads back ≡ union rebuild across folds; " +
+      "everything written is batch-sized; the patch stays " +
+      "single-level; superseded epochs sweep one fold deferred") {
+    writeBase(table, basePairs)
+    val baseRows = rows(ExtensionQueries.readClusterMap(spark, table))
 
     ExtensionQueries.foldClusterMapDurable(spark, d, table, pairsDf(day1))
     assert(rows(ExtensionQueries.readClusterMap(spark, table))
@@ -68,7 +83,7 @@ class DurableClusterFoldSpec extends SparkTestBase {
     // (100, 200, 201); the patch holds only the touched-cluster
     // relabel (10→1)
     assert(spark.table(table).count() === baseRows.size + 3)
-    assert(rows(spark.table(pt)) === Set((10L, 1L)))
+    assert(rows(spark.table(patch(table, 1))) === Set((10L, 1L)))
     assert(DurableArtifact.foldsOf(spark, table) === 1)
 
     ExtensionQueries.foldClusterMapDurable(spark, d, table, pairsDf(day2))
@@ -77,21 +92,84 @@ class DurableClusterFoldSpec extends SparkTestBase {
     // composed, single-level: day 1's 10→1 became 10→0 next to the
     // fresh 1→0 — no stored value is itself a patch key, so readers
     // always apply exactly one join
-    val patch = rows(spark.table(pt))
-    assert(patch === Set((10L, 0L), (1L, 0L)))
-    assert(patch.map(_._2).intersect(patch.map(_._1)).isEmpty)
+    val p2 = rows(spark.table(patch(table, 2)))
+    assert(p2 === Set((10L, 0L), (1L, 0L)))
+    assert(p2.map(_._2).intersect(p2.map(_._1)).isEmpty)
     assert(DurableArtifact.foldsOf(spark, table) === 2)
+    // deferred sweep: epoch-1 patch survives the fold to epoch 2 (a
+    // reader that planned at epoch 1 just before the flip keeps it)
+    assert(spark.catalog.tableExists(patch(table, 1)))
+
+    ExtensionQueries.foldClusterMapDurable(spark, d, table, pairsDf(day3))
+    // pure no-op day: map unchanged, epoch still bumps, the patch
+    // carries forward under the new epoch, and the fold to epoch 3
+    // sweeps epoch 1 while keeping epoch 2
+    assert(rows(ExtensionQueries.readClusterMap(spark, table))
+      === rows(ccMap(basePairs ++ day1 ++ day2)))
+    assert(DurableArtifact.foldsOf(spark, table) === 3)
+    assert(rows(spark.table(patch(table, 3))) === p2)
+    assert(!spark.catalog.tableExists(patch(table, 1)))
+    assert(spark.catalog.tableExists(patch(table, 2)))
+  }
+
+  test("commit safety: a reader planning at EITHER interleave point " +
+      "of the fold sees exactly the pre-fold map; after the fold, " +
+      "exactly the post-fold map") {
+    val pre = rows(ExtensionQueries.readClusterMap(spark, table))
+    // day 4 both relabels (1000 bridges clusters {20,21,300} and
+    // {30,31} — retiring root 30) and appends (1000, plus fresh pair
+    // (400,401)), so BOTH staged writes are non-trivial
+    val day4 = Seq((21L, 1000L), (31L, 1000L), (400L, 401L))
+    var probed = 0
+    val probe = () => {
+      // a fresh plan at this instant must see the PRE-fold map: the
+      // staged epoch-(e+1) patch is unresolved, appended rows carry
+      // _fe = e+1 and fall to the reader's epoch filter
+      assert(rows(ExtensionQueries.readClusterMap(spark, table)) === pre)
+      probed += 1
+    }
+    ExtensionQueries.ClusterFoldHooks.afterPatchWrite = probe
+    ExtensionQueries.ClusterFoldHooks.beforeFlip = probe
+    try
+      ExtensionQueries.foldClusterMapDurable(spark, d, table, pairsDf(day4))
+    finally ExtensionQueries.ClusterFoldHooks.reset()
+    assert(probed === 2)
+    assert(rows(ExtensionQueries.readClusterMap(spark, table))
+      === rows(ccMap(basePairs ++ day1 ++ day2 ++ day4)))
+  }
+
+  test("a plan held across two or more folds fails loudly instead of " +
+      "silently serving unrelabeled rows") {
+    // the sweep keeps exactly one prior epoch; simulate the overheld
+    // reader by dropping the live patch out from under the property
+    val e = DurableArtifact.foldsOf(spark, table)
+    val props = DurableArtifact.propsOf(spark, table)
+    if (props.get(ExtensionQueries.ClusterPatchLiveProp)
+        .exists(_.toBoolean)) {
+      spark.sql(s"ALTER TABLE ${patch(table, e)} RENAME TO ${table}_hidden")
+      try {
+        val ex = intercept[IllegalStateException] {
+          ExtensionQueries.readClusterMap(spark, table)
+        }
+        assert(ex.getMessage.contains("re-plan"))
+      } finally spark.sql(
+        s"ALTER TABLE ${table}_hidden RENAME TO ${patch(table, e)}")
+    } else fail("fixture drift: expected a live patch at this point")
   }
 
   test("compaction folds the patch into a canonical snapshot: content " +
-      "identical, patch table gone, bucket layout and provenance kept") {
+      "identical, all patch epochs gone, every row epoch 0, bucket " +
+      "layout and provenance kept") {
     val before = rows(ExtensionQueries.readClusterMap(spark, table))
     val foldsBefore = DurableArtifact.foldsOf(spark, table)
     ExtensionQueries.compactClusterMap(spark, table)
-    assert(!spark.catalog.tableExists(pt))
+    assert(spark.sql(s"SHOW TABLES LIKE '${table}_patch_e*'").count() === 0)
     // the BASE now carries the folded labels on its own
-    assert(rows(spark.table(table)) === before)
+    assert(rows(spark.table(table)
+      .select(col("doc_id"), col("cluster_id"))) === before)
     assert(rows(ExtensionQueries.readClusterMap(spark, table)) === before)
+    assert(spark.table(table)
+      .agg(max(col(ExtensionQueries.FoldEpochCol))).head().getInt(0) === 0)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     assert(meta.bucketSpec.exists(b =>
@@ -103,9 +181,63 @@ class DurableClusterFoldSpec extends SparkTestBase {
     ExtensionQueries.compactClusterMap(spark, table)
   }
 
+  test("a torn new-node append (crash between files and flip) is " +
+      "detected, refused, and recovered by compaction") {
+    val e = DurableArtifact.foldsOf(spark, table)
+    val committed = rows(ExtensionQueries.readClusterMap(spark, table))
+    // simulate the crash: rows stamped ABOVE the committed epoch with
+    // no flip — exactly what a fold dying after its file append leaves
+    import spark.implicits._
+    Seq((9000L, 9000L)).toDF("doc_id", "cluster_id")
+      .withColumn(ExtensionQueries.FoldEpochCol, lit(e + 1))
+      .write.mode("append").bucketBy(8, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    // readers never see the torn rows
+    assert(rows(ExtensionQueries.readClusterMap(spark, table)) === committed)
+    // the next fold refuses to append on top of them
+    val ex = intercept[IllegalArgumentException] {
+      ExtensionQueries.foldClusterMapDurable(spark, d, table,
+        pairsDf(Seq((500L, 501L))))
+    }
+    assert(ex.getMessage.contains("torn append"))
+    // recovery: compaction rewrites from the epoch-filtered read —
+    // the torn rows are gone, folding resumes
+    ExtensionQueries.compactClusterMap(spark, table)
+    assert(rows(spark.table(table)
+      .select(col("doc_id"), col("cluster_id"))) === committed)
+    ExtensionQueries.foldClusterMapDurable(spark, d, table,
+      pairsDf(Seq((500L, 501L))))
+    assert(rows(ExtensionQueries.readClusterMap(spark, table))
+      === committed ++ Set((500L, 500L), (501L, 500L)))
+  }
+
+  test("auto-compaction cadence: the threshold fires mid-sequence, " +
+      "patched reads stay correct throughout, folding continues") {
+    writeBase(cadenceTable, basePairs)
+    var ps = basePairs
+    // three folds, each retiring one root (merging the next cluster
+    // pair into cluster 1's component); threshold 2 fires on the
+    // second fold, when the composed patch reaches 2 rows
+    val days = Seq(Seq((2L, 10L)), Seq((11L, 20L)), Seq((21L, 30L)))
+    days.zipWithIndex.foreach { case (day, i) =>
+      ExtensionQueries.foldClusterMapDurable(spark, d, cadenceTable,
+        pairsDf(day), autoCompactAtPatchRows = 2)
+      ps = ps ++ day
+      assert(rows(ExtensionQueries.readClusterMap(spark, cadenceTable))
+        === rows(ccMap(ps)), s"after fold ${i + 1}")
+    }
+    // fold 1 left a 1-row patch (under threshold); fold 2 composed it
+    // to 2 rows and compacted (patch gone, folds counter kept); fold
+    // 3 started from a clean base and left a fresh 1-row patch
+    assert(DurableArtifact.foldsOf(spark, cadenceTable) === 3)
+    assert(!spark.catalog.tableExists(patch(cadenceTable, 2)))
+    assert(rows(spark.table(patch(cadenceTable, 3))).size === 1)
+  }
+
   test("x17/x29 serve green off a patched map in a fresh fold-aware " +
       "session, zero rebuilds — half the pair set written as the " +
-      "snapshot, the other half folded durably") {
+      "snapshot, the other half folded durably; rebase then returns " +
+      "the table to snapshot consumers") {
     // fold ≡ rebuild means snapshot(half A) + durable-fold(half B)
     // must equal the full map of d — so consumers served from the
     // patched table must reproduce their (driver-hash-checked) rows
@@ -116,6 +248,7 @@ class DurableClusterFoldSpec extends SparkTestBase {
     val halfB = all.filter(pmod(col("ida") + col("idb"), lit(2)) === 1)
     Dedup.connectedComponents(halfA)
       .select(col("node").as("doc_id"), col("cluster_id"))
+      .withColumn(ExtensionQueries.FoldEpochCol, lit(0))
       .write.bucketBy(8, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(serveTable)
     spark.sql(s"ALTER TABLE $serveTable SET TBLPROPERTIES " +
@@ -153,5 +286,18 @@ class DurableClusterFoldSpec extends SparkTestBase {
     assert(ExtensionQueries.clusterMapBuilds.get() === builds + 1,
       "a snapshot consumer must not silently read a folded table")
     ExtensionQueries.evictClusterMap(s3, d)
+
+    // REBASE: the deliberate snapshot-rotation step — after it, a
+    // plain snapshot consumer serves the table with zero rebuilds
+    ExtensionQueries.rebaseClusterMap(spark, d, serveTable)
+    assert(DurableArtifact.foldsOf(spark, serveTable) === 0)
+    assert(rows(spark.table(serveTable)
+      .select(col("doc_id"), col("cluster_id"))) === memoMap)
+    val s4 = spark.newSession()
+    s4.conf.set(ExtensionQueries.ClusterMapTableConf, serveTable)
+    val builds2 = ExtensionQueries.clusterMapBuilds.get()
+    assert(rows(ExtensionQueries.nearDupClusterMap(s4, d)) === memoMap)
+    assert(ExtensionQueries.clusterMapBuilds.get() === builds2,
+      "a rebased table must serve snapshot consumers directly")
   }
 }
