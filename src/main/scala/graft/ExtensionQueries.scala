@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import graft.streaming.{EventSessions, EventWindows, StreamBudget, StreamCurate, StreamEnrich}
+import graft.streaming.{EventSessions, EventWindows, NdDoc, StreamBudget, StreamClusters, StreamCurate, StreamEnrich, StreamNearDup}
 
 /** LLM-training-data pipeline extension queries (BASELINE.json
   * north-star: dedup, similarity search, multimodal columns, text
@@ -138,19 +138,19 @@ object ExtensionQueries {
     * oracle's id-threshold "new" test silently misclassifies
     * corpus-internal pairs on any replica. 5·10¹² clears a
     * 10,000-copy replica while keeping every packed id under the
-    * pair-generator's 2⁴³ domain bound. */
+    * pair-generator's 2⁴⁴ domain bound. */
   private val IncrementOffset = 5000000000000L
 
   /** Second increment id domain for x34's duplicate-submission rows
     * (the same re-crawl fetched twice in one batch) — above
     * [[IncrementOffset]] so the first fetch wins the within-batch
-    * fingerprint rank, still under the pair generator's 2⁴³ bound. */
+    * fingerprint rank, still under the pair generator's 2⁴⁴ bound. */
   private val ResubmitOffset = 6000000000000L
 
   /** Third increment id domain — x40's DAY-2 batch, arriving after
     * day 1's survivors were folded into the serving artifacts; above
     * both day-1 domains (pair orientation: day-2 ids are always the
-    * larger side), still under the pair generator's 2⁴³ bound at
+    * larger side), still under the pair generator's 2⁴⁴ bound at
     * every replica scale. */
   private val Day2Offset = 7000000000000L
 
@@ -299,7 +299,7 @@ object ExtensionQueries {
     * scale-degenerate: at a 5× replica every changed re-crawl finds
     * its source (Jaccard ≈ 0.9 ≥ 0.5) and kept goes empty — the same
     * fixed-fixture trap as the df-cap lesson. Ids stay under the pair
-    * generator's 2⁴³ packing bound at every replica scale, and exact
+    * generator's 2⁴⁴ packing bound at every replica scale, and exact
     * dups never reach the generator anyway. */
   def x34IncrementalCuration(s: SparkSession, d: String): DataFrame =
     incrementalCuration(s, d,
@@ -3563,6 +3563,37 @@ object ExtensionQueries {
         "doc_id", "text", 0.3)
       .orderBy("doc_id")
 
+  /** ST10 — streaming cluster-map maintenance, driver-visible: the
+    * corpus streams through [[graft.streaming.StreamClusters]] in
+    * three deterministic triggers (doc_id mod 3 — the REAL ST8 commit
+    * layout and the REAL per-trigger folds, in a scratch dir), and
+    * the output is the final composed [[StreamClusters.clusterView]].
+    * Under NoCap the union of per-trigger pair emissions equals the
+    * batch pair listing (ST8's exactly-once identity), so the
+    * composed per-trigger folds must equal the from-scratch cluster
+    * map of the whole corpus — the oracle recomputes exactly that
+    * with x11's recursive CTE over the integer-ppm ≥ 0.8 pair gate
+    * (every streamed pair passes the ppm gate, so the oracle states
+    * the same integer rule — no ROUND(·,6) tie to adjudicate). The
+    * view materializes (localCheckpoint) before the scratch dir is
+    * removed. */
+  def st10StreamClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_st10").toString
+    try {
+      (0 until 3).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .as(org.apache.spark.sql.Encoders.product[NdDoc])
+        val _ = StreamNearDup.pairBatch(batch, b.toLong, dir, n = 3,
+          thresholdPpm = 800000L, dfCap = Dedup.DfCap.NoCap)
+        StreamClusters.foldCommitted(s, dir)
+      }
+      StreamClusters.clusterView(s, dir).localCheckpoint()
+        .orderBy("doc_id")
+    } finally graft.streaming.StreamIndex.deleteTree(dir)
+  }
+
   /** ST5 — stream-static dimension enrichment (batch twin): events
     * left-joined to the customer dimension (broadcast — no state
     * store, no watermark; the static side re-plans per micro-batch),
@@ -5485,6 +5516,40 @@ object ExtensionQueries {
         | event_type, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // st10: the streamed per-trigger cluster folds must compose to the
+    // from-scratch map of the whole corpus (ST8's exactly-once pair
+    // identity + ST10's fold ≡ rebuild) — x11's recursive-CTE
+    // components over the integer-ppm ≥ 0.8 gate every streamed pair
+    // was admitted under
+    "st10_stream_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i
+        |    FROM documents)
+        |), sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2
+        |), sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2),
+        |pairs AS (
+        |  SELECT ida, idb
+        |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+        |             JOIN sizes sb ON sb.doc_id=idb
+        |  WHERE c*1000000 >= 800000*(sa.n+sb.n-c)),
+        |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+        |          UNION SELECT idb, ida FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst)
+        |SELECT node AS doc_id, MIN(label) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5568,6 +5633,7 @@ object ExtensionQueries {
     "j6b_skew_salted"        -> (j6bSkewSalted _),
     "st1_event_window"       -> (st1EventWindow _),
     "st7_stream_budget"      -> (st7BudgetTwin _),
+    "st10_stream_clusters"   -> (st10StreamClusters _),
     "st2_sessionize"         -> (st2Sessionize _),
     "st4_stream_curate"      -> (st4StreamCurate _),
     "st5_stream_enrich"      -> (st5StreamEnrich _),

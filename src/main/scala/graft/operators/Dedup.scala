@@ -178,11 +178,18 @@ object Dedup {
     * list is a primitive long array: sorting it orders by id (ids are
     * unique within a list), the generator loop emits each i<j pair
     * once, and both fields unpack with two codegen'd bit ops. Caps:
-    * setSize < 2^20 shingles per doc, id < 2^43. */
-  private val SizeBits = 20
+    * setSize < 2^19 shingles per doc, id < 2^44. (Widened from 20/43
+    * in round 14 — the r13 ledger documented the 2⁴³ id space
+    * exhausted at three arrival domains; every fixture's largest
+    * shingle set sits orders of magnitude under 2¹⁹ ≈ 524k, so the
+    * headroom moved to the id side, where it is consumed one 10¹²
+    * slot per arrival kind. The runtime assert in [[packedEntry]]
+    * still fails loudly on any document that would overflow the
+    * size field.) */
+  private[graft] val SizeBits = 19
 
   /** Exclusive upper bound of the id domain [[packedEntry]] can pack
-    * (2^(63−SizeBits) = 2⁴³ ≈ 8.80·10¹²). Arrival-domain offsets plus
+    * (2^(63−SizeBits) = 2⁴⁴ ≈ 1.76·10¹³). Arrival-domain offsets plus
     * the largest replica corpus id must stay strictly below this —
     * IdDomainSpec enforces it for every declared domain. */
   private[graft] val PackedIdBound: Long = 1L << (63 - SizeBits)
@@ -190,7 +197,7 @@ object Dedup {
   /** Packed posting entry `id << SizeBits | setSize`, with the packing
     * domain ENFORCED at runtime (shiftleft/add wrap silently, which
     * would corrupt pair identities, so out-of-range inputs must fail
-    * loudly): 0 ≤ id < 2^43, setSize < 2^20. The assert is fused into
+    * loudly): 0 ≤ id < 2^44, setSize < 2^19. The assert is fused into
     * the value via coalesce so column pruning can't drop it. */
   private def packedEntry: Column = {
     val ok = col("_n") < lit(1L << SizeBits) &&
@@ -553,7 +560,7 @@ object Dedup {
 
   /** The durable per-shingle posting INDEX for incremental near-dup:
     * one row per shingle hash carrying the corpus' packed posting list
-    * (`id << 20 | setSize`, sorted — the `_lsto` side of
+    * (`id << SizeBits | setSize`, sorted — the `_lsto` side of
     * [[incrementalJaccardPairsPpm]], materialized). This is the
     * artifact a 100 TB deployment builds ONCE per corpus snapshot and
     * serves every increment from: the daily job shingles only the

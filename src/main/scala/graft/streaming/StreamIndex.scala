@@ -15,7 +15,7 @@ import java.nio.file.{Files, Paths}
   * [[StreamNearDup]] re-shingles the batch's docs verbatim, while
   * [[StreamCurate]] must first replay the exact-dedup decision so the
   * rebuilt delta holds only the batch's exact-survivors. */
-private[streaming] object StreamIndex {
+private[graft] object StreamIndex {
 
   /** The posting-index view: the newest committed compact snapshot (if
     * any) plus every committed delta beyond it — multiple rows per

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * statistic, so the equality is still exact per case. Ids respect the
   * engine's batch-domain invariant (every batch id above every corpus
   * id, split across the +5·10¹² and +6·10¹² arrival offsets, all under
-  * the pair generator's 2⁴³ packing bound). */
+  * the pair generator's 2⁴⁴ packing bound). */
 class IncrementalFuzzSpec extends SparkTestBase {
   import spark.implicits._
 

@@ -214,8 +214,8 @@ class StreamAdmissionSpec extends SparkTestBase {
     // have re-entered the index
     val healed = spark.read.parquet(s"$dir/index/b=1")
       .select(explode(col("_lst")).as("p"))
-      .select(org.apache.spark.sql.functions.shiftright(col("p"), 20)
-        .as("doc_id"))
+      .select(org.apache.spark.sql.functions
+        .shiftright(col("p"), Dedup.SizeBits).as("doc_id"))
       .distinct().as[Long].collect().toSet
     assert(healed === Set(12L, 13L), s"healed delta ids: $healed")
   }
