@@ -124,14 +124,15 @@ object StreamAdmission {
                 lit("train")).otherwise(lit("eval"))).as("split"))
         // write order = crash-safety order: everything derived lands
         // before the corpus _SUCCESS that commits the batch
-        verdicts.write.mode("overwrite")
+        StreamIndex.deltaSized(verdicts).write.mode("overwrite")
           .parquet(s"$baseDir/verdicts/b=$batchId")
-        flagged.select("fp").distinct().write.mode("overwrite")
-          .parquet(s"$baseDir/fps/b=$batchId")
-        Dedup.postingIndex(survivors, "doc_id", "text", n)
+        StreamIndex.deltaSized(flagged.select("fp").distinct())
+          .write.mode("overwrite").parquet(s"$baseDir/fps/b=$batchId")
+        StreamIndex.deltaSized(
+            Dedup.postingIndex(survivors, "doc_id", "text", n))
           .write.mode("overwrite").parquet(s"$baseDir/index/b=$batchId")
-        flagged.select("doc_id", "text").write.mode("overwrite")
-          .parquet(s"$baseDir/corpus/b=$batchId")
+        StreamIndex.deltaSized(flagged.select("doc_id", "text"))
+          .write.mode("overwrite").parquet(s"$baseDir/corpus/b=$batchId")
       } finally {
         val _ = flagged.unpersist()
       }
@@ -209,9 +210,9 @@ object StreamAdmission {
     batches
       .filterNot(v => Files.exists(Paths.get(s"$baseDir/fps/b=$v/_SUCCESS")))
       .foreach { v =>
-        s.read.parquet(s"$baseDir/corpus/b=$v")
-          .select(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
-          .distinct()
+        StreamIndex.deltaSized(s.read.parquet(s"$baseDir/corpus/b=$v")
+            .select(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+            .distinct())
           .write.mode("overwrite").parquet(s"$baseDir/fps/b=$v")
       }
 
@@ -247,7 +248,8 @@ object StreamAdmission {
           .join(earlierFps.withColumn("_hit", lit(1)), Seq("fp"), "left")
           .filter(col("_hit").isNull && col("_rn") === 1)
           .select(col("doc_id"), col("text"))
-        Dedup.postingIndex(survivors, "doc_id", "text", n)
+        StreamIndex.deltaSized(
+            Dedup.postingIndex(survivors, "doc_id", "text", n))
           .write.mode("overwrite").parquet(s"$baseDir/index/b=$v")
       }
 }

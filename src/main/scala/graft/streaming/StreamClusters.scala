@@ -110,6 +110,7 @@ object StreamClusters {
             .unionByName(delta.newNodes
               .select(lit(v).as("_b"), col("doc_id").as("_k"),
                 col("cluster_id").as("_v"), lit(false).as("_rel")))
+            .transform(StreamIndex.deltaSized)
             .write.mode("overwrite").parquet(s"$baseDir/$Layer/b=$v")
         }
       }

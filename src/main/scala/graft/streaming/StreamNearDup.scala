@@ -129,14 +129,16 @@ object StreamNearDup {
       val pairs = Dedup.incrementalJaccardPairsFromIndexDeltas(
         indexView(s, baseDir, n), batch.toDF(), "doc_id", "text",
         n, thresholdPpm, dfCap)
-      pairs.write.mode("overwrite").parquet(s"$baseDir/pairs/b=$batchId")
+      StreamIndex.deltaSized(pairs)
+        .write.mode("overwrite").parquet(s"$baseDir/pairs/b=$batchId")
       // the batch's own index delta lands BEFORE the corpus commit:
       // a crash in between leaves an uncommitted delta that indexView
       // ignores (corpus _SUCCESS is the commit marker) and the replay
       // overwrites — same torn-write story as the pairs dir
-      Dedup.postingIndex(batch.toDF(), "doc_id", "text", n)
+      StreamIndex.deltaSized(Dedup.postingIndex(batch.toDF(), "doc_id",
+          "text", n))
         .write.mode("overwrite").parquet(s"$baseDir/index/b=$batchId")
-      batch.toDF().write.mode("overwrite")
+      StreamIndex.deltaSized(batch.toDF()).write.mode("overwrite")
         .parquet(s"$baseDir/corpus/b=$batchId")
       true
     }
@@ -198,8 +200,8 @@ object StreamNearDup {
     batches
       .filterNot(v => Files.exists(Paths.get(s"$baseDir/index/b=$v/_SUCCESS")))
       .foreach { v =>
-        Dedup.postingIndex(s.read.parquet(s"$baseDir/corpus/b=$v"),
-            "doc_id", "text", n)
+        StreamIndex.deltaSized(Dedup.postingIndex(
+            s.read.parquet(s"$baseDir/corpus/b=$v"), "doc_id", "text", n))
           .write.mode("overwrite").parquet(s"$baseDir/index/b=$v")
       }
 
