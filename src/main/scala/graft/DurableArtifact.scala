@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Plumbing shared by every durable PER-SNAPSHOT artifact the engine
   * serves queries from (near-dup cluster map, posting index, LSH
@@ -31,18 +32,15 @@ private[graft] final class DurableArtifact(
     bucketCols: Seq[String],
     build: (SparkSession, String) => DataFrame,
     /** How the durable branch reads the table — the default is the
-      * plain catalog scan; merge-style artifacts whose durable fold is
-      * a PATCH LAYER (the cluster map) plug in the patch-applying
-      * reader so conf-resolved consumers see the folded rows, not the
-      * stale base. */
+      * EPOCH-CONSISTENT scan ([[DurableArtifact.epochRead]]: rows
+      * filtered to the committed folds counter, bookkeeping column
+      * dropped), which is what makes a concurrent [[appendDelta]]
+      * invisible until its flip; merge-style artifacts whose durable
+      * fold is a PATCH LAYER (the cluster map) plug in the
+      * patch-applying reader so conf-resolved consumers see the
+      * folded rows, not the stale base. */
     readTable: (SparkSession, String) => DataFrame =
-      (s, t) => s.table(t),
-    /** Applied to the built frame at durable-WRITE time only (the memo
-      * keeps the plain build): merge-style artifacts that persist
-      * bookkeeping columns alongside the rows (the cluster map's fold
-      * epoch) plug the stamping in here, and their `readTable` strips
-      * it back off. */
-    writeTransform: DataFrame => DataFrame = identity) {
+      (s, t) => DurableArtifact.epochRead(s, t)) {
   import DurableArtifact._
 
   private val memo = scala.collection.concurrent.TrieMap
@@ -117,7 +115,12 @@ private[graft] final class DurableArtifact(
   def write(s: SparkSession, d: String, table: String,
       buckets: Int = 8): Unit = {
     dropOrphanWarehouseDir(s, table)
-    writeTransform(memoized(s, d)).write.mode("overwrite")
+    // every row carries fold epoch 0: the bookkeeping column the
+    // commit-safe appendDelta's visibility filter keys on (readers
+    // keep rows with epoch ≤ the committed folds counter)
+    memoized(s, d)
+      .withColumn(FoldEpochCol, lit(0))
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
@@ -153,8 +156,8 @@ private[graft] final class DurableArtifact(
       delta: DataFrame,
       /** Extra table properties set in the SAME statement as the folds
         * bump — the counter bump is the fold's visibility flip for
-        * epoch-aware readers (the cluster map), so anything that must
-        * become visible atomically WITH it (the patch-live marker)
+        * epoch-aware readers, so anything that must become visible
+        * atomically WITH it (the cluster map's patch-live marker)
         * rides this one ALTER TABLE. */
       extraProps: Map[String, String] = Map.empty,
       /** Test seam: runs after the delta's files are committed but
@@ -164,17 +167,64 @@ private[graft] final class DurableArtifact(
     require(s.catalog.tableExists(table),
       s"appendDelta: no table $table — write the snapshot first")
     val buckets = DurableArtifact.numBucketsOf(s, table, bucketCols)
-    delta.write.mode("append")
+    val e = DurableArtifact.foldsOf(s, table)
+    // COMMIT SAFETY (single writer, any concurrent readers): the
+    // delta's rows land stamped epoch e+1 — invisible to every reader
+    // going through the epoch-consistent read until the folds-counter
+    // flip below, no matter when the scan listed its files. A fold
+    // that crashed between its file append and its flip left rows
+    // ABOVE the committed epoch; appending again would duplicate them
+    // the moment the next flip lands, so recovery is explicit:
+    // [[compactTable]] rewrites the base from the epoch-filtered read
+    // (discarding the torn rows), then folding resumes.
+    require(!s.table(table).columns.contains(FoldEpochCol) ||
+        s.table(table).filter(col(FoldEpochCol) > e).head(1).isEmpty,
+      s"appendDelta: $table carries rows above committed epoch $e — a " +
+        "crashed fold left a torn append; run compactTable(table) to " +
+        "discard it, then retry the fold")
+    val stamped =
+      if (s.table(table).columns.contains(FoldEpochCol))
+        delta.withColumn(FoldEpochCol, lit(e + 1))
+          .select(s.table(table).columns.map(col).toIndexedSeq: _*)
+      else delta // pre-epoch table: plain append (legacy layout)
+    stamped.write.mode("append")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
     afterFilesWritten()
-    val n = DurableArtifact.foldsOf(s, table) + 1
-    val props = (extraProps + (DurableArtifact.FoldsProp -> n.toString))
+    val props = (extraProps + (DurableArtifact.FoldsProp -> (e + 1).toString))
       .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
       .mkString(", ")
     s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($props)")
     evict(s, d)
+  }
+
+  /** Canonicalize the table's layout: rows re-stamped fold-epoch 0
+    * under the same bucket spec, graft provenance re-applied — the
+    * recovery step after a crashed fold (the epoch-filtered read
+    * never saw a torn append's rows, so the rewrite discards them)
+    * and the periodic stats-friendly rewrite. Content-identical to
+    * the epoch-consistent read; NOT concurrent-reader-safe (an
+    * in-place overwrite — run in the single-writer window). */
+  def compactTable(s: SparkSession, table: String): Unit = {
+    val raw = s.table(table)
+    if (!raw.columns.contains(FoldEpochCol)) return
+    val e = DurableArtifact.foldsOf(s, table)
+    if (raw.filter(col(FoldEpochCol) =!= 0).head(1).isEmpty) return
+    val props = DurableArtifact.propsOf(s, table)
+      .filter { case (k, _) => k.startsWith("graft.") }
+    val buckets = DurableArtifact.numBucketsOf(s, table, bucketCols)
+    val canon = raw.filter(col(FoldEpochCol) <= e)
+      .withColumn(FoldEpochCol, lit(0)).localCheckpoint()
+    canon.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+    if (props.nonEmpty) {
+      val restated = props.map { case (k, v) =>
+        s"'$k' = '${DurableArtifact.sqlEscape(v)}'" }.mkString(", ")
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($restated)")
+    }
   }
 
   /** Eviction hook for the session memo: unpersists and forgets one
@@ -186,6 +236,23 @@ private[graft] final class DurableArtifact(
 
 private[graft] object DurableArtifact {
   private[graft] val SourceDirProp = "graft.sourceDir"
+  /** Per-row fold-epoch column on every durable artifact table: the
+    * snapshot write stamps 0, fold N's append stamps N, and the
+    * epoch-consistent read filters `_fe <= committed folds counter` —
+    * which is what makes a fold's file append invisible until its
+    * single properties flip (file listings may race; the row filter
+    * cannot). */
+  private[graft] val FoldEpochCol = "_fe"
+
+  /** The epoch-consistent default read: rows of committed epochs
+    * only, bookkeeping column dropped. Pre-epoch tables (no `_fe`
+    * column) read as-is. */
+  private[graft] def epochRead(s: SparkSession, t: String): DataFrame = {
+    val raw = s.table(t)
+    if (raw.columns.contains(FoldEpochCol))
+      raw.filter(col(FoldEpochCol) <= foldsOf(s, t)).drop(FoldEpochCol)
+    else raw
+  }
   /** Count of batch deltas folded into the table since its snapshot
     * write ([[DurableArtifact.appendDelta]]). */
   private[graft] val FoldsProp = "graft.folds"

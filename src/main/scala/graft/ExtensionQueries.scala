@@ -891,11 +891,7 @@ object ExtensionQueries {
     // the durable read applies the patch layer, so conf-resolved
     // consumers of a FOLDED map (ServeFoldedConf opt-in) see the
     // folded labels, never the stale base rows
-    readTable = (s, t) => readClusterMap(s, t),
-    // the snapshot write stamps every row fold-epoch 0 — the column
-    // the commit-safe fold's visibility filter keys on (readers see
-    // only rows whose epoch the folds counter has committed)
-    writeTransform = df => df.withColumn(FoldEpochCol, lit(0)))
+    readTable = (s, t) => readClusterMap(s, t))
 
   /** Session conf key naming the durable cluster-map table (see
     * [[useClusterMap]]); a dir mismatch falls back to the build path
@@ -916,13 +912,14 @@ object ExtensionQueries {
       buckets: Int = 8): Unit =
     clusterMapArtifact.write(s, d, table, buckets)
 
-  /** Per-row fold-epoch column on the durable cluster-map table: the
-    * snapshot write stamps 0, fold N's new-node append stamps N, and
-    * [[readClusterMap]] filters `_fe <= committed epoch` — which is
-    * what makes the fold's two physical writes invisible until the
-    * single properties flip (file listings may race; the row filter
-    * cannot). */
-  private[graft] val FoldEpochCol = "_fe"
+  /** Per-row fold-epoch column — [[DurableArtifact.FoldEpochCol]],
+    * shared by every durable artifact table since the epoch protocol
+    * generalized (round 14): snapshot writes stamp 0, fold N's append
+    * stamps N, readers filter `_fe <= committed epoch` — which is
+    * what makes a fold's physical writes invisible until the single
+    * properties flip (file listings may race; the row filter
+    * cannot). The cluster map adds the patch layer on top. */
+  private[graft] val FoldEpochCol: String = DurableArtifact.FoldEpochCol
 
   /** The cluster map's patch table for fold epoch `e` — the tiny
     * old-root → new-root relabel layer [[foldClusterMapDurable]]
@@ -1098,13 +1095,12 @@ object ExtensionQueries {
         .format("parquet").saveAsTable(pt)
     }
     ClusterFoldHooks.afterPatchWrite()
-    // 2. New-node files land stamped epoch e+1 — invisible: readers
-    //    filter _fe <= e. 3. ONE properties statement (inside
-    //    appendDelta) flips the folds counter AND the patch-live
-    //    marker together — the single visibility point.
-    clusterMapArtifact.appendDelta(s, d, table,
-      delta.newNodes.withColumn(FoldEpochCol, lit(e + 1))
-        .select(col("doc_id"), col("cluster_id"), col(FoldEpochCol)),
+    // 2. New-node files land stamped epoch e+1 (appendDelta's generic
+    //    epoch protocol) — invisible: readers filter _fe <= e. 3. ONE
+    //    properties statement (inside appendDelta) flips the folds
+    //    counter AND the patch-live marker together — the single
+    //    visibility point.
+    clusterMapArtifact.appendDelta(s, d, table, delta.newNodes,
       extraProps = Map(ClusterPatchLiveProp -> composed.nonEmpty.toString),
       afterFilesWritten = () => ClusterFoldHooks.beforeFlip())
     // 4. Deferred sweep: epochs ≤ e-1 drop; epoch e survives ONE more

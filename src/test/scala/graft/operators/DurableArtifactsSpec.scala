@@ -44,6 +44,11 @@ class DurableArtifactsSpec extends SparkTestBase {
   private def rows(df: DataFrame) =
     df.collect().map(_.toSeq).toSet
 
+  /** Raw table content MINUS the fold-epoch bookkeeping column every
+    * durable write stamps since the epoch protocol generalized. */
+  private def tableRows(t: String) =
+    rows(spark.table(t).drop(graft.DurableArtifact.FoldEpochCol))
+
   private def bucketSpec(table: String) =
     spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
@@ -178,7 +183,7 @@ class DurableArtifactsSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     ExtensionQueries.corpusFpArtifact.write(spark, d, t)
     ExtensionQueries.evictCorpusFp(spark, d)
-    val base = rows(spark.table(t))
+    val base = tableRows(t)
     assert(graft.DurableArtifact.foldsOf(spark, t) === 0)
 
     // the day's survivors: perturbed texts → genuinely new fps
@@ -195,7 +200,7 @@ class DurableArtifactsSpec extends SparkTestBase {
     assert(ExtensionQueries.corpusFpArtifact.builds.get() === before,
       "the fold must never rebuild the corpus artifact")
     assert(graft.DurableArtifact.foldsOf(spark, t) === 1)
-    assert(rows(spark.table(t)) === base ++ deltaRows)
+    assert(tableRows(t) === base ++ deltaRows)
     assert(bucketSpec(t).exists(b =>
       b.numBuckets == 8 && b.bucketColumnNames == Seq("fp")))
 
@@ -254,7 +259,7 @@ class DurableArtifactsSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     ExtensionQueries.lshBandedArtifact.write(spark, d, t)
     ExtensionQueries.evictLshArtifacts(spark, d)
-    val base = rows(spark.table(t))
+    val base = tableRows(t)
 
     val batch = Tables.wide(Tables.documents(spark, d))
       .select((col("doc_id") + 1000000000000L).as("doc_id"),
@@ -265,7 +270,7 @@ class DurableArtifactsSpec extends SparkTestBase {
       128, 32)
     ExtensionQueries.lshBandedArtifact.appendDelta(spark, d, t, delta)
     assert(graft.DurableArtifact.foldsOf(spark, t) === 1)
-    assert(rows(spark.table(t)) === base ++ rows(delta))
+    assert(tableRows(t) === base ++ rows(delta))
     assert(bucketSpec(t).exists(b =>
       b.numBuckets == 8 && b.bucketColumnNames == Seq("_bh")))
     spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -413,5 +418,63 @@ class DurableArtifactsSpec extends SparkTestBase {
       "after the rewrite, d2 consumers must serve from the table")
     ExtensionQueries.evictCorpusFp(spark, d2)
     spark.conf.unset(ExtensionQueries.corpusFpArtifact.tableConf)
+  }
+
+  test("appendDelta is commit-safe for ANY artifact: a fold-aware " +
+      "reader planning between the delta's file append and the flip " +
+      "sees exactly the pre-fold rows") {
+    import org.apache.spark.sql.functions._
+    val t = "g_fp_commitsafe_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ExtensionQueries.corpusFpArtifact.write(spark, d, t)
+    ExtensionQueries.evictCorpusFp(spark, d)
+    val pre = tableRows(t)
+    val delta = spark.range(5)
+      .select(md5(concat(lit("cs"), col("id").cast("string"))).as("fp"))
+    var probed = false
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta,
+      afterFilesWritten = () => {
+        // the epoch-consistent read a fold-aware consumer plans RIGHT
+        // NOW: the appended files are on disk stamped epoch 1, the
+        // counter still says 0 — the reader must see the pure snapshot
+        assert(rows(graft.DurableArtifact.epochRead(spark, t)) === pre)
+        probed = true
+      })
+    assert(probed)
+    assert(rows(graft.DurableArtifact.epochRead(spark, t))
+      === pre ++ rows(delta))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a torn appendDelta (crash between files and flip) is detected, " +
+      "refused, and recovered by compactTable — for any artifact") {
+    import org.apache.spark.sql.functions._
+    val t = "g_fp_torn_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ExtensionQueries.corpusFpArtifact.write(spark, d, t)
+    ExtensionQueries.evictCorpusFp(spark, d)
+    val committed = tableRows(t)
+    // simulate the crash: epoch-1 rows on disk, counter never flipped
+    spark.range(3)
+      .select(md5(concat(lit("torn"), col("id").cast("string"))).as("fp"),
+        lit(1).as(graft.DurableArtifact.FoldEpochCol))
+      .write.mode("append").bucketBy(8, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(t)
+    assert(rows(graft.DurableArtifact.epochRead(spark, t)) === committed,
+      "readers must never see the torn rows")
+    val delta = spark.range(2)
+      .select(md5(concat(lit("ok"), col("id").cast("string"))).as("fp"))
+    val ex = intercept[IllegalArgumentException] {
+      ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta)
+    }
+    assert(ex.getMessage.contains("torn append"))
+    ExtensionQueries.corpusFpArtifact.compactTable(spark, t)
+    assert(tableRows(t) === committed, "compaction discards torn rows")
+    assert(bucketSpec(t).exists(b =>
+      b.numBuckets == 8 && b.bucketColumnNames == Seq("fp")))
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta)
+    assert(rows(graft.DurableArtifact.epochRead(spark, t))
+      === committed ++ rows(delta))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
