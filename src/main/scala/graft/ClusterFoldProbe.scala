@@ -41,8 +41,13 @@ import org.apache.spark.sql.functions._
 object ClusterFoldProbe {
   private val BridgeSteps = 30
   private val MaxBridges = 400
-  private val Day1BridgeOffset = 5500000000000L
-  private val Day2BridgeOffset = 6500000000000L
+  // bridge doc ids come from the REGISTERED probe domains (IdDomainSpec
+  // guards them against the packed-id bound and cross-domain collision
+  // at full replica scale — see ExtensionQueries.ArrivalOffsets)
+  private val Day1BridgeOffset =
+    ExtensionQueries.ArrivalOffsets("probe_bridge_day1")
+  private val Day2BridgeOffset =
+    ExtensionQueries.ArrivalOffsets("probe_bridge_day2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -164,7 +164,15 @@ object ExtensionQueries {
   private[graft] val ArrivalOffsets: Map[String, Long] = Map(
     "increment" -> IncrementOffset,
     "resubmit" -> ResubmitOffset,
-    "day2" -> Day2Offset)
+    "day2" -> Day2Offset,
+    // the replica-scale probes' bridge-chain doc domains (ClusterFoldProbe
+    // and StreamClustersProbe's relabel-bearing day batches) — registered
+    // here so IdDomainSpec guards them like every query domain: an earlier
+    // revision parked them at 5.5/6.5·10¹², INSIDE the increment/resubmit
+    // spans, where a >5,000-copy replica would have collided the bridges
+    // with the probes' own re-crawl ids
+    "probe_bridge_day1" -> 8000000000000L,
+    "probe_bridge_day2" -> 9000000000000L)
 
   /** X32 — INCREMENTAL near-dup: the daily-ingest recurrence. The
     * corpus is `documents`; the increment batch is a deterministic

@@ -114,12 +114,35 @@ private[graft] object StreamIndex {
     * large enough to want more write parallelism. */
   val DeltaMaxFilesConf = "spark.graft.streamDeltaMaxFiles"
 
-  /** Bound a batch-sized delta frame's output file count before a
-    * per-batch dir write. */
+  /** Session conf: estimated bytes each delta-write task should own
+    * once a frame outgrows the small-file bound (default 64 MB). The
+    * file bound exists to stop per-trigger small-file churn; applied
+    * blindly it would also narrow a CORPUS-sized write (a bootstrap
+    * trigger, a seeded snapshot copy) to `DeltaMaxFilesConf` tasks for
+    * the whole final stage — coalesce narrows compute, not just file
+    * count — so the bound widens with the frame's plan-time size
+    * estimate, exactly like `Dedup.listStageWidth`. */
+  val DeltaTargetBytesConf = "spark.graft.streamDeltaTargetBytes"
+
+  /** Bound a delta frame's output file count before a per-batch dir
+    * write: batch-sized deltas coalesce to the configured small-file
+    * bound (default 8 — plans byte-identical to the fixed bound at
+    * bench SF); a frame whose analyzed size estimate exceeds
+    * bound × target widens to ~target bytes per task so a
+    * replica-scale bootstrap write keeps its parallelism. */
   def deltaSized(df: DataFrame): DataFrame = {
     val n = df.sparkSession.conf.get(DeltaMaxFilesConf, "8").toInt
     require(n > 0, s"$DeltaMaxFilesConf must be positive, got $n")
-    df.coalesce(n)
+    val rawT = df.sparkSession.conf
+      .get(DeltaTargetBytesConf, (64L << 20).toString)
+    val target = scala.util.Try(rawT.toLong).toOption.filter(_ > 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$DeltaTargetBytesConf must be a positive long, got '$rawT'"))
+    // analyzed-plan stats (file-listing sizes propagated), NOT the AQE
+    // frame — see CLAUDE.md's executedPlan stage-reuse sharp edge
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    val want = (bytes / target).min(4096).max(n).toInt
+    df.coalesce(want)
   }
 
   /** The `(_sh, _lst)` schema with no rows — the pre-first-commit view. */

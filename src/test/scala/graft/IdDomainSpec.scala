@@ -48,8 +48,9 @@ class IdDomainSpec extends AnyFunSuite {
   }
 
   test("headroom ledger: the 2^44 bound leaves room for MORE 10^12 " +
-      "arrival slots — a fourth kind can claim 8e12 without widening") {
-    // Round-14 state: the next slot after the highest claimed offset
+      "arrival slots — the next kind can claim 10e12 without widening") {
+    // Round-15 state (8e12/9e12 now claimed by the probe bridge
+    // domains): the next slot after the highest claimed offset
     // fits with room to spare, and so do several after it. If this
     // starts failing, the space is exhausted AGAIN — the next widening
     // step is documented in Dedup.SizeBits' comment (the size field

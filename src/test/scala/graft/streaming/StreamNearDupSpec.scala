@@ -202,7 +202,7 @@ class StreamNearDupSpec extends SparkTestBase {
     assert(StreamNearDup.pairBatch(b1.toDS(), 0L, dir, 3, 500000L))
     // torn compaction: snapshot dir exists, no _SUCCESS — reader must
     // keep serving from the deltas it claims to cover
-    Seq((0L, Seq(999L << 20 | 1L))).toDF("_sh", "_lst")
+    Seq((0L, Seq(999L << Dedup.SizeBits | 1L))).toDF("_sh", "_lst")
       .write.parquet(s"$dir/index/c=0")
     val _ = java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/index/c=0/_SUCCESS"))
@@ -250,5 +250,19 @@ class StreamNearDupSpec extends SparkTestBase {
       "cross-batch pairs against the healed batch must appear")
     assert(java.nio.file.Files.exists(idx0.resolve("_SUCCESS")),
       "the delta must be rebuilt durably")
+  }
+
+  test("deltaSized bounds a batch-sized frame to the small-file cap " +
+      "but never narrows a frame whose size estimate outgrows it") {
+    val wide = spark.range(0, 1000, 1, 32).toDF("doc_id")
+    // batch-sized (tiny estimate): the configured bound applies
+    assert(StreamIndex.deltaSized(wide).rdd.getNumPartitions === 8)
+    // corpus-sized (force via the per-task byte target): the width
+    // follows bytes/target instead of collapsing the final stage to 8
+    spark.conf.set(StreamIndex.DeltaTargetBytesConf, "1")
+    try {
+      assert(StreamIndex.deltaSized(wide).rdd.getNumPartitions === 32,
+        "a frame above bound×target must keep its parallelism")
+    } finally spark.conf.unset(StreamIndex.DeltaTargetBytesConf)
   }
 }
