@@ -163,39 +163,75 @@ private[graft] final class DurableArtifact(
       /** Test seam: runs after the delta's files are committed but
         * BEFORE the folds-counter flip — the torn-fold interleave the
         * commit-safety specs probe. */
-      afterFilesWritten: () => Unit = () => ()): Unit = {
+      afterFilesWritten: () => Unit = () => (),
+      /** A fold-window lease token the CALLER already acquired (the
+        * cluster fold holds one across its driver-side patch staging,
+        * which a second writer would corrupt before ever reaching this
+        * call) — when absent, this call acquires and releases its
+        * own. Either way the lease clears in the SAME statement as the
+        * visibility flip. */
+      heldLease: Option[String] = None): Unit = {
     require(s.catalog.tableExists(table),
       s"appendDelta: no table $table — write the snapshot first")
     val buckets = DurableArtifact.numBucketsOf(s, table, bucketCols)
-    val e = DurableArtifact.foldsOf(s, table)
-    // COMMIT SAFETY (single writer, any concurrent readers): the
-    // delta's rows land stamped epoch e+1 — invisible to every reader
-    // going through the epoch-consistent read until the folds-counter
-    // flip below, no matter when the scan listed its files. A fold
-    // that crashed between its file append and its flip left rows
-    // ABOVE the committed epoch; appending again would duplicate them
-    // the moment the next flip lands, so recovery is explicit:
-    // [[compactTable]] rewrites the base from the epoch-filtered read
-    // (discarding the torn rows), then folding resumes.
-    require(!s.table(table).columns.contains(FoldEpochCol) ||
-        s.table(table).filter(col(FoldEpochCol) > e).head(1).isEmpty,
-      s"appendDelta: $table carries rows above committed epoch $e — a " +
-        "crashed fold left a torn append; run compactTable(table) to " +
-        "discard it, then retry the fold")
-    val stamped =
-      if (s.table(table).columns.contains(FoldEpochCol))
-        delta.withColumn(FoldEpochCol, lit(e + 1))
-          .select(s.table(table).columns.map(col).toIndexedSeq: _*)
-      else delta // pre-epoch table: plain append (legacy layout)
-    stamped.write.mode("append")
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .format("parquet").saveAsTable(table)
-    afterFilesWritten()
-    val props = (extraProps + (DurableArtifact.FoldsProp -> (e + 1).toString))
-      .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
-      .mkString(", ")
-    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($props)")
+    // pre-epoch (round-13-era) tables folded through a PLAIN append
+    // here — the exact torn-read hazard the epoch protocol closed,
+    // silently reintroduced for old catalogs. Refuse loudly instead.
+    require(s.table(table).columns.contains(FoldEpochCol),
+      s"appendDelta: $table has no $FoldEpochCol column — a pre-epoch " +
+        "(legacy-layout) table cannot fold commit-safely: a reader " +
+        "racing the plain append could see a torn delta. Migrate once " +
+        "with migrateToEpochLayout(table), then retry the fold")
+    // SINGLE-WRITER enforcement: the commit-safe protocol assumes one
+    // fold in flight; a second concurrent folder would interleave
+    // epoch reads and counter bumps into silent corruption. The lease
+    // property turns that violated assumption into a loud error.
+    val lease = heldLease.getOrElse(
+      DurableArtifact.acquireFoldLease(s, table))
+    heldLease.foreach { tok =>
+      require(DurableArtifact.propsOf(s, table)
+          .get(DurableArtifact.FoldLeaseProp).contains(tok),
+        s"appendDelta: caller claims the fold lease on $table but the " +
+          "table records a different holder — two writers interleaved")
+    }
+    try {
+      val e = DurableArtifact.foldsOf(s, table)
+      // COMMIT SAFETY (single writer, any concurrent readers): the
+      // delta's rows land stamped epoch e+1 — invisible to every reader
+      // going through the epoch-consistent read until the folds-counter
+      // flip below, no matter when the scan listed its files. A fold
+      // that crashed between its file append and its flip left rows
+      // ABOVE the committed epoch; appending again would duplicate them
+      // the moment the next flip lands, so recovery is explicit:
+      // [[compactTable]] rewrites the base from the epoch-filtered read
+      // (discarding the torn rows), then folding resumes.
+      require(s.table(table).filter(col(FoldEpochCol) > e).head(1).isEmpty,
+        s"appendDelta: $table carries rows above committed epoch $e — a " +
+          "crashed fold left a torn append; run compactTable(table) to " +
+          "discard it, then retry the fold")
+      val stamped = delta.withColumn(FoldEpochCol, lit(e + 1))
+        .select(s.table(table).columns.map(col).toIndexedSeq: _*)
+      stamped.write.mode("append")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet").saveAsTable(table)
+      afterFilesWritten()
+      // ONE statement: folds counter + caller extras + lease release —
+      // the fold's single visibility flip frees the writer window with it
+      val props = (extraProps +
+          (DurableArtifact.FoldsProp -> (e + 1).toString) +
+          (DurableArtifact.FoldLeaseProp -> ""))
+        .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+        .mkString(", ")
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($props)")
+    } catch {
+      case t: Throwable =>
+        // a FAILED (thrown) fold frees the window — the next fold's own
+        // guards give the precise recovery message; a crashed JVM leaves
+        // the lease set, and compactTable clears it with the torn rows
+        DurableArtifact.releaseFoldLease(s, table, lease)
+        throw t
+    }
     evict(s, d)
   }
 
@@ -207,6 +243,13 @@ private[graft] final class DurableArtifact(
     * the epoch-consistent read; NOT concurrent-reader-safe (an
     * in-place overwrite — run in the single-writer window). */
   def compactTable(s: SparkSession, table: String): Unit = {
+    // a fold lease surviving into the maintenance window is a CRASHED
+    // fold's (this runs in the single-writer window by contract) —
+    // clear it so folding can resume once the torn rows are discarded
+    if (DurableArtifact.propsOf(s, table)
+        .get(DurableArtifact.FoldLeaseProp).exists(_.nonEmpty))
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('${DurableArtifact.FoldLeaseProp}' = '')")
     val raw = s.table(table)
     if (!raw.columns.contains(FoldEpochCol)) return
     val e = DurableArtifact.foldsOf(s, table)
@@ -225,6 +268,56 @@ private[graft] final class DurableArtifact(
         s"'$k' = '${DurableArtifact.sqlEscape(v)}'" }.mkString(", ")
       s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($restated)")
     }
+  }
+
+  /** One-shot migration of a PRE-EPOCH (round-13-era) artifact table
+    * to the commit-safe layout: every row re-stamped fold-epoch 0
+    * under the table's own bucket spec, graft provenance re-applied.
+    * Required before [[appendDelta]] will fold into such a table (its
+    * legacy plain append reintroduced exactly the torn-read hazard the
+    * epoch protocol closed). Idempotent — a no-op on an epoch-layout
+    * table; NOT concurrent-reader-safe (an in-place overwrite — run in
+    * the single-writer window, like [[compactTable]]). */
+  def migrateToEpochLayout(s: SparkSession, table: String): Unit = {
+    val raw = s.table(table)
+    if (raw.columns.contains(FoldEpochCol)) return
+    // a pre-epoch table cannot carry a MEANINGFUL lease (no epoch fold
+    // ever ran on it) — drop any stray one rather than restate it
+    val props = DurableArtifact.propsOf(s, table)
+      .filter { case (k, _) =>
+        k.startsWith("graft.") && k != DurableArtifact.FoldLeaseProp }
+    val buckets = DurableArtifact.numBucketsOf(s, table, bucketCols)
+    val stamped = raw.withColumn(FoldEpochCol, lit(0)).localCheckpoint()
+    stamped.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+    if (props.nonEmpty) {
+      val restated = props.map { case (k, v) =>
+        s"'$k' = '${DurableArtifact.sqlEscape(v)}'" }.mkString(", ")
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($restated)")
+    }
+  }
+
+  /** Return a FOLDED artifact table to snapshot-serving status as the
+    * canonical artifact of corpus dir `d` — the deliberate
+    * snapshot-rotation step for the append-only families (the cluster
+    * map's patch-aware twin is `ExtensionQueries.rebaseClusterMap`).
+    * The caller asserts that `d` IS the union corpus the folded rows
+    * now cover — typically the dir the daily job has been appending
+    * batches into. Compacts first so the rebased table is canonical
+    * (every row epoch 0, no torn leftovers), then restamps provenance:
+    * sourceDir = `d`, folds = 0. After this, conf-resolved SNAPSHOT
+    * consumers ([[resolve]] WITHOUT [[DurableArtifact.ServeFoldedConf]])
+    * serve the table directly again, zero rebuilds — without it, a
+    * deployment cycling corpus snapshots full-rewrites the table
+    * nightly just to reset the one-way folds counter. */
+  def rebase(s: SparkSession, d: String, table: String): Unit = {
+    compactTable(s, table)
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'${DurableArtifact.SourceDirProp}' = " +
+      s"'${DurableArtifact.sqlEscape(DurableArtifact.normDir(d))}', " +
+      s"'${DurableArtifact.FoldsProp}' = '0')")
   }
 
   /** Eviction hook for the session memo: unpersists and forgets one
@@ -256,6 +349,53 @@ private[graft] object DurableArtifact {
   /** Count of batch deltas folded into the table since its snapshot
     * write ([[DurableArtifact.appendDelta]]). */
   private[graft] val FoldsProp = "graft.folds"
+
+  /** The fold-window writer lease: non-empty while a fold is in
+    * flight (set + read-back-verified at fold start, cleared in the
+    * SAME statement as the visibility flip). The commit-safe protocol
+    * is single-writer by contract; the lease turns a violated
+    * assumption — a second concurrent folder, whose interleaved epoch
+    * reads and counter bumps would corrupt the table silently — into a
+    * loud error at the second writer's entry. Detection, not mutual
+    * exclusion: two writers racing the initial SET within one
+    * metastore round-trip can still both pass, but any fold that
+    * OVERLAPS an in-flight one (the realistic double-scheduled-job
+    * case) is refused. A lease left by a crashed JVM is cleared by
+    * [[DurableArtifact.compactTable]] / compactClusterMap — the same
+    * single-writer-window recovery pass that discards torn rows. */
+  private[graft] val FoldLeaseProp = "graft.foldLease"
+
+  /** Claim the fold-window lease on `table`: refuses if held, then
+    * sets a fresh token and read-back-verifies it survived (closing
+    * most of the check-then-set window). Returns the token the caller
+    * must hand to [[DurableArtifact.appendDelta]] (or release on
+    * failure). */
+  private[graft] def acquireFoldLease(s: SparkSession,
+      table: String): String = {
+    val held = propsOf(s, table).get(FoldLeaseProp).filter(_.nonEmpty)
+    require(held.isEmpty,
+      s"fold lease on $table is held ('${held.getOrElse("")}') — a " +
+        "concurrent fold is in progress, or a crashed fold left its " +
+        "lease; once no writer is live, compactTable/compactClusterMap " +
+        "clears it (and discards any torn rows) so folding can resume")
+    val token = java.util.UUID.randomUUID().toString
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$FoldLeaseProp' = '$token')")
+    val now = propsOf(s, table).get(FoldLeaseProp)
+    require(now.contains(token),
+      s"lost the fold-lease race on $table to a concurrent writer " +
+        s"(holder: ${now.getOrElse("<none>")})")
+    token
+  }
+
+  /** Release a held lease WITHOUT a flip (the failed-fold path) — a
+    * no-op unless `token` is still the recorded holder, so a stale
+    * release can never free a successor's window. */
+  private[graft] def releaseFoldLease(s: SparkSession, table: String,
+      token: String): Unit =
+    if (propsOf(s, table).get(FoldLeaseProp).contains(token))
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('$FoldLeaseProp' = '')")
   /** Session conf: set "true" to let [[DurableArtifact.resolve]] serve
     * FOLDED tables (graft.folds > 0 — snapshot corpus plus appended
     * batches). Default false: snapshot-scoped consumers must never

@@ -938,6 +938,12 @@ object ExtensionQueries {
   private[graft] def clusterPatchTable(table: String, epoch: Int): String =
     s"${table}_patch_e$epoch"
 
+  /** The round-13 layout's single unsuffixed patch table — recognized
+    * by [[readClusterMap]] (apply, never silently drop) and retired by
+    * [[compactClusterMap]]'s migration rewrite. */
+  private[graft] def legacyClusterPatchTable(table: String): String =
+    s"${table}_patch"
+
   /** Table property flipped ATOMICALLY with the folds counter: "true"
     * iff the committed epoch has a (non-empty) patch table. Lets a
     * reader distinguish "no relabels ever" (absent patch is fine)
@@ -973,7 +979,24 @@ object ExtensionQueries {
         raw.filter(col(FoldEpochCol) <= e)
           .select(col("doc_id"), col("cluster_id"))
       else raw.select(col("doc_id"), col("cluster_id"))
-    if (!patchLive) base
+    if (e > 0 && !props.contains(ClusterPatchLiveProp)) {
+      // LEGACY (pre-epoch) fold layout: the folds counter was bumped by
+      // the round-13 code, which kept ONE unsuffixed `<table>_patch`
+      // table and no patch-live marker. Serving the bare base here
+      // would silently drop the stored relabels — stale cluster labels
+      // with no error — so the legacy patch (same schema, same
+      // single-level composition contract) applies verbatim; a
+      // pure-append legacy history (no patch table ever written) has
+      // complete base rows. [[compactClusterMap]] migrates such a
+      // table to the epoch layout in one pass, which
+      // [[foldClusterMapDurable]] requires before folding further.
+      val lp = legacyClusterPatchTable(table)
+      if (s.catalog.tableExists(lp))
+        Dedup.applyClusterRelabel(base,
+          s.table(lp).select(col("old_cluster_id").as("_root"),
+            col("new_cluster_id").as("_l")))
+      else base
+    } else if (!patchLive) base
     else {
       val pt = clusterPatchTable(table, e)
       if (!s.catalog.tableExists(pt))
@@ -1055,8 +1078,9 @@ object ExtensionQueries {
     val e = DurableArtifact.foldsOf(s, table)
     require(s.table(table).columns.contains(FoldEpochCol),
       s"foldClusterMapDurable: $table has no $FoldEpochCol column — a " +
-        "pre-epoch snapshot cannot be folded commit-safely; rewrite it " +
-        "with writeClusterMap first")
+        "pre-epoch snapshot cannot be folded commit-safely; migrate it " +
+        "once with compactClusterMap(table) (folds any legacy patch in " +
+        "and stamps the epoch layout), or rewrite with writeClusterMap")
     // torn-append guard: rows stamped ABOVE the committed epoch mean a
     // previous fold crashed between its file append and its flip.
     // Appending again would duplicate those rows the moment the next
@@ -1068,6 +1092,14 @@ object ExtensionQueries {
       s"foldClusterMapDurable: $table carries rows above committed " +
         s"epoch $e — a crashed fold left a torn append; run " +
         "compactClusterMap(table) to discard it, then retry the fold")
+    // single-writer enforcement: the lease is claimed BEFORE the
+    // driver-side patch staging below — a second concurrent folder
+    // would corrupt the stored-patch composition long before reaching
+    // appendDelta's own guard. Released atomically with the flip; a
+    // thrown fold releases it in the catch; a crashed JVM leaves it
+    // for compactClusterMap to clear.
+    val lease = DurableArtifact.acquireFoldLease(s, table)
+    val composedRows = try {
     val delta = Dedup.clusterFoldDelta(readClusterMap(s, table), newPairs)
     require(delta.broadcastable,
       "foldClusterMapDurable: the relabel delta exceeded the driver " +
@@ -1110,14 +1142,21 @@ object ExtensionQueries {
     //    visibility point.
     clusterMapArtifact.appendDelta(s, d, table, delta.newNodes,
       extraProps = Map(ClusterPatchLiveProp -> composed.nonEmpty.toString),
-      afterFilesWritten = () => ClusterFoldHooks.beforeFlip())
+      afterFilesWritten = () => ClusterFoldHooks.beforeFlip(),
+      heldLease = Some(lease))
+    composed.size
+    } catch {
+      case t: Throwable =>
+        DurableArtifact.releaseFoldLease(s, table, lease)
+        throw t
+    }
     // 4. Deferred sweep: epochs ≤ e-1 drop; epoch e survives ONE more
     //    fold so a reader that planned just before the flip keeps its
     //    patch table (the StreamIndex deferred-cleanup discipline —
     //    safe for any reader that finishes within one fold interval).
     sweepClusterPatches(s, table, below = e)
     // 5. Auto-compaction cadence — see the parameter doc above.
-    if (autoCompactAtPatchRows > 0 && composed.size >= autoCompactAtPatchRows)
+    if (autoCompactAtPatchRows > 0 && composedRows >= autoCompactAtPatchRows)
       compactClusterMap(s, table)
   }
 
@@ -1167,13 +1206,27 @@ object ExtensionQueries {
     * the single-writer job's own window (which is where
     * `autoCompactAtPatchRows` runs it). */
   def compactClusterMap(s: SparkSession, table: String): Unit = {
+    // a fold lease surviving into the maintenance window is a crashed
+    // fold's (single-writer window by contract) — clear it so folding
+    // can resume; never restate it below
+    if (DurableArtifact.propsOf(s, table)
+        .get(DurableArtifact.FoldLeaseProp).exists(_.nonEmpty))
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('${DurableArtifact.FoldLeaseProp}' = '')")
     val props = DurableArtifact.propsOf(s, table)
-      .filter { case (k, _) => k.startsWith("graft.") }
+      .filter { case (k, _) =>
+        k.startsWith("graft.") && k != DurableArtifact.FoldLeaseProp }
     val raw = s.table(table)
+    // dirty also when the table is PRE-EPOCH (no _fe column at all —
+    // never folded, or legacy-folded with the unsuffixed patch): this
+    // pass doubles as the one-shot migration to the commit-safe layout
+    // that foldClusterMapDurable requires
     val dirty =
-      props.get(ClusterPatchLiveProp).exists(_.toBoolean) ||
-        (raw.columns.contains(FoldEpochCol) &&
-          raw.filter(col(FoldEpochCol) =!= 0).head(1).nonEmpty)
+      !raw.columns.contains(FoldEpochCol) ||
+        props.get(ClusterPatchLiveProp).exists(_.toBoolean) ||
+        (props.get(DurableArtifact.FoldsProp).exists(_.toInt > 0) &&
+          !props.contains(ClusterPatchLiveProp)) ||
+        raw.filter(col(FoldEpochCol) =!= 0).head(1).nonEmpty
     if (!dirty) return
     val buckets = graft.DurableArtifact.numBucketsOf(s, table, Seq("doc_id"))
     val folded = readClusterMap(s, table)
@@ -1187,6 +1240,9 @@ object ExtensionQueries {
       .mkString(", ")
     s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($restated)")
     sweepClusterPatches(s, table, below = Int.MaxValue)
+    // a migrated legacy table's unsuffixed patch is folded into the
+    // rewrite above — retire it with the epoch-suffixed ones
+    s.sql(s"DROP TABLE IF EXISTS ${legacyClusterPatchTable(table)}")
   }
 
   /** Return a compacted cluster-map table to SNAPSHOT-serving status

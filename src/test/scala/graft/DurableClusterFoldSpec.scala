@@ -22,10 +22,13 @@ class DurableClusterFoldSpec extends SparkTestBase {
   private val table = "g_cluster_fold_spec"
   private val serveTable = "g_cluster_fold_serve_spec"
   private val cadenceTable = "g_cluster_fold_cadence_spec"
+  private val legacyTable = "g_cluster_fold_legacy_spec"
+  private val leaseTable = "g_cluster_fold_lease_spec"
 
   private def dropAll(): Unit = {
-    Seq(table, serveTable, cadenceTable).foreach { t =>
+    Seq(table, serveTable, cadenceTable, legacyTable, leaseTable).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_patch")
       spark.sql(s"SHOW TABLES LIKE '${t}_patch_e*'").collect()
         .map(_.getString(1))
         .foreach(p => spark.sql(s"DROP TABLE IF EXISTS $p"))
@@ -299,5 +302,80 @@ class DurableClusterFoldSpec extends SparkTestBase {
     assert(rows(ExtensionQueries.nearDupClusterMap(s4, d)) === memoMap)
     assert(ExtensionQueries.clusterMapBuilds.get() === builds2,
       "a rebased table must serve snapshot consumers directly")
+  }
+
+  test("a round-13 LEGACY layout (folds>0, unsuffixed patch, no epoch " +
+      "column) serves its stored relabels, refuses further folds, and " +
+      "compactClusterMap migrates it to the epoch layout in one pass") {
+    // base WITHOUT the epoch column + a bumped folds counter + the
+    // unsuffixed patch table: exactly what the round-13 code persisted
+    ccMap(basePairs).write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(legacyTable)
+    spark.sql(s"ALTER TABLE $legacyTable SET TBLPROPERTIES (" +
+      s"'${DurableArtifact.SourceDirProp}' = '${DurableArtifact.normDir(d)}', " +
+      s"'${DurableArtifact.FoldsProp}' = '1')")
+    import spark.implicits._
+    Seq((10L, 1L)).toDF("old_cluster_id", "new_cluster_id")
+      .write.format("parquet")
+      .saveAsTable(ExtensionQueries.legacyClusterPatchTable(legacyTable))
+    val want = rows(ccMap(basePairs))
+      .map { case (n, c) => (n, if (c == 10L) 1L else c) }
+    assert(rows(ExtensionQueries.readClusterMap(spark, legacyTable)) === want,
+      "the legacy patch must be applied, never silently dropped")
+
+    val ex = intercept[IllegalArgumentException] {
+      ExtensionQueries.foldClusterMapDurable(spark, d, legacyTable,
+        pairsDf(Seq((0L, 1L))))
+    }
+    assert(ex.getMessage.contains("compactClusterMap"),
+      "the refusal must point at the migration pass")
+
+    ExtensionQueries.compactClusterMap(spark, legacyTable)
+    assert(spark.table(legacyTable).columns
+      .contains(ExtensionQueries.FoldEpochCol))
+    assert(!spark.catalog.tableExists(
+      ExtensionQueries.legacyClusterPatchTable(legacyTable)),
+      "the migrated legacy patch must be retired")
+    assert(rows(ExtensionQueries.readClusterMap(spark, legacyTable)) === want)
+    assert(DurableArtifact.foldsOf(spark, legacyTable) === 1,
+      "migration changes layout, never provenance")
+    // …and the commit-safe fold now runs on the migrated table
+    ExtensionQueries.foldClusterMapDurable(spark, d, legacyTable,
+      pairsDf(Seq((0L, 1L))))
+    assert(rows(ExtensionQueries.readClusterMap(spark, legacyTable))
+      === want.map { case (n, c) => (n, if (c == 1L) 0L else c) } +
+        ((0L, 0L)))
+  }
+
+  test("the cluster fold claims the writer lease BEFORE patch staging: " +
+      "an overlapping second fold is refused loudly, the flip releases " +
+      "the lease, and the refused fold retries cleanly") {
+    writeBase(leaseTable, basePairs)
+    var refused: Option[String] = None
+    ExtensionQueries.ClusterFoldHooks.afterPatchWrite = () => {
+      // a double-scheduled nightly job: the second fold arrives while
+      // the first holds the window (patch staged, nothing flipped)
+      val ex = intercept[IllegalArgumentException] {
+        ExtensionQueries.foldClusterMapDurable(spark, d, leaseTable,
+          pairsDf(Seq((21L, 600L))))
+      }
+      refused = Some(ex.getMessage)
+    }
+    try
+      ExtensionQueries.foldClusterMapDurable(spark, d, leaseTable,
+        pairsDf(day1))
+    finally ExtensionQueries.ClusterFoldHooks.reset()
+    assert(refused.exists(_.contains("lease")),
+      "the overlapping fold must fail on the lease, not corrupt the patch")
+    assert(DurableArtifact.propsOf(spark, leaseTable)
+      .get(DurableArtifact.FoldLeaseProp).forall(_.isEmpty),
+      "the flip must release the lease")
+    assert(rows(ExtensionQueries.readClusterMap(spark, leaseTable))
+      === rows(ccMap(basePairs ++ day1)))
+    // the refused fold wrote nothing — its retry folds exactly once
+    ExtensionQueries.foldClusterMapDurable(spark, d, leaseTable,
+      pairsDf(Seq((21L, 600L))))
+    assert(rows(ExtensionQueries.readClusterMap(spark, leaseTable))
+      === rows(ccMap(basePairs ++ day1 ++ Seq((21L, 600L)))))
   }
 }

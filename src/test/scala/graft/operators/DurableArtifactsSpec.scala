@@ -477,4 +477,137 @@ class DurableArtifactsSpec extends SparkTestBase {
       === committed ++ rows(delta))
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("appendDelta refuses a pre-epoch (legacy-layout) table with a " +
+      "migration message; migrateToEpochLayout then restores " +
+      "commit-safe folding") {
+    import org.apache.spark.sql.functions._
+    val t = "g_fp_preepoch_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // a round-13-era table: bucketed, provenance-stamped, NO _fe column
+    spark.range(4).select(md5(col("id").cast("string")).as("fp"))
+      .write.bucketBy(8, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(t)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      s"('${graft.DurableArtifact.SourceDirProp}' = " +
+      s"'${graft.DurableArtifact.normDir(d)}')")
+    val legacy = tableRows(t)
+    val delta = spark.range(2)
+      .select(md5(concat(lit("mig"), col("id").cast("string"))).as("fp"))
+    val ex = intercept[IllegalArgumentException] {
+      ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta)
+    }
+    assert(ex.getMessage.contains("migrateToEpochLayout"),
+      "the refusal must name the one-shot migration")
+    assert(tableRows(t) === legacy, "the refused fold must write nothing")
+
+    ExtensionQueries.corpusFpArtifact.migrateToEpochLayout(spark, t)
+    // migrated: every row epoch 0, bucket spec and provenance kept
+    assert(spark.table(t).columns.contains(graft.DurableArtifact.FoldEpochCol))
+    assert(spark.table(t)
+      .agg(max(col(graft.DurableArtifact.FoldEpochCol))).head().getInt(0) === 0)
+    assert(bucketSpec(t).exists(b =>
+      b.numBuckets == 8 && b.bucketColumnNames == Seq("fp")))
+    assert(graft.DurableArtifact.stampedFor(spark, t, d))
+    // idempotent
+    ExtensionQueries.corpusFpArtifact.migrateToEpochLayout(spark, t)
+    // …and the fold now runs with full commit safety (interleaved
+    // reader probe included)
+    var probed = false
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta,
+      afterFilesWritten = () => {
+        assert(rows(graft.DurableArtifact.epochRead(spark, t)) === legacy)
+        probed = true
+      })
+    assert(probed)
+    assert(rows(graft.DurableArtifact.epochRead(spark, t))
+      === legacy ++ rows(delta))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("rebase returns a folded artifact table to snapshot-serving " +
+      "status: canonical rows, folds 0, restamped dir, zero rebuilds " +
+      "for plain snapshot consumers") {
+    import org.apache.spark.sql.functions._
+    val t = "g_fp_rebase_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ExtensionQueries.corpusFpArtifact.write(spark, d, t)
+    ExtensionQueries.evictCorpusFp(spark, d)
+    val base = tableRows(t)
+    val delta = spark.range(3)
+      .select(md5(concat(lit("rb"), col("id").cast("string"))).as("fp"))
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta)
+    assert(graft.DurableArtifact.foldsOf(spark, t) === 1)
+
+    // the union corpus dir the nightly job has been appending into —
+    // rebase declares the folded table its canonical snapshot artifact
+    val unionDir = java.nio.file.Files
+      .createTempDirectory("graft_rebase_union").toString
+    ExtensionQueries.corpusFpArtifact.rebase(spark, unionDir, t)
+    assert(graft.DurableArtifact.foldsOf(spark, t) === 0)
+    assert(graft.DurableArtifact.stampedFor(spark, t, unionDir))
+    assert(tableRows(t) === base ++ rows(delta))
+    assert(spark.table(t)
+      .agg(max(col(graft.DurableArtifact.FoldEpochCol))).head().getInt(0) === 0)
+    assert(bucketSpec(t).exists(b =>
+      b.numBuckets == 8 && b.bucketColumnNames == Seq("fp")))
+
+    // a PLAIN snapshot consumer (no ServeFoldedConf) of the union dir
+    // now serves the table directly — the DurableClusterFoldSpec shape,
+    // generically
+    val s2 = spark.newSession()
+    s2.conf.set(ExtensionQueries.corpusFpArtifact.tableConf, t)
+    val builds = ExtensionQueries.corpusFpArtifact.builds.get()
+    assert(rows(ExtensionQueries.docsCorpusFp(s2, unionDir))
+      === base ++ rows(delta))
+    assert(ExtensionQueries.corpusFpArtifact.builds.get() === builds,
+      "a rebased table must serve snapshot consumers with zero rebuilds")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("the fold lease refuses an overlapping second fold, releases " +
+      "with the flip, and a crashed lease is cleared by compactTable") {
+    import org.apache.spark.sql.functions._
+    val t = "g_fp_lease_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ExtensionQueries.corpusFpArtifact.write(spark, d, t)
+    ExtensionQueries.evictCorpusFp(spark, d)
+    val d1 = spark.range(2)
+      .select(md5(concat(lit("l1"), col("id").cast("string"))).as("fp"))
+    val d2 = spark.range(2)
+      .select(md5(concat(lit("l2"), col("id").cast("string"))).as("fp"))
+    // a second fold arriving INSIDE the first's writer window (between
+    // its file append and its flip) must be refused loudly
+    var refused: Option[String] = None
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, d1,
+      afterFilesWritten = () => {
+        val ex = intercept[IllegalArgumentException] {
+          ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, d2)
+        }
+        refused = Some(ex.getMessage)
+      })
+    assert(refused.exists(_.contains("lease")),
+      "the overlapping fold must fail on the lease, not corrupt state")
+    // the flip released the lease: the next fold just runs
+    assert(graft.DurableArtifact.propsOf(spark, t)
+      .get(graft.DurableArtifact.FoldLeaseProp).forall(_.isEmpty))
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, d2)
+    assert(graft.DurableArtifact.foldsOf(spark, t) === 2)
+
+    // crashed-writer recovery: a lease with no live fold wedges the
+    // next writer until the single-writer maintenance pass clears it
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      s"('${graft.DurableArtifact.FoldLeaseProp}' = 'zombie-jvm')")
+    val ex = intercept[IllegalArgumentException] {
+      ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, d1)
+    }
+    assert(ex.getMessage.contains("lease"))
+    ExtensionQueries.corpusFpArtifact.compactTable(spark, t)
+    assert(graft.DurableArtifact.propsOf(spark, t)
+      .get(graft.DurableArtifact.FoldLeaseProp).forall(_.isEmpty))
+    ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, d1)
+    assert(graft.DurableArtifact.foldsOf(spark, t) === 3,
+      "compactTable keeps the folds counter and the fold resumes from it")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
