@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import graft.streaming.{EventSessions, EventWindows, NdDoc, StreamBudget, StreamClusters, StreamCurate, StreamEnrich, StreamNearDup}
+import graft.streaming.{EventSessions, EventWindows, NdDoc, StreamBootstrap, StreamBudget, StreamClusters, StreamCurate, StreamEnrich, StreamNearDup}
 
 /** LLM-training-data pipeline extension queries (BASELINE.json
   * north-star: dedup, similarity search, multimodal columns, text
@@ -3654,6 +3654,57 @@ object ExtensionQueries {
     } finally graft.streaming.StreamIndex.deleteTree(dir)
   }
 
+  /** ST11 — STREAM BOOTSTRAP from durable snapshot artifacts,
+    * driver-visible: two thirds of the corpus plays the EXISTING
+    * curated corpus whose snapshot artifacts (posting index, cluster
+    * map) a nightly job already built; [[graft.streaming
+    * .StreamBootstrap]] materializes those artifacts AS the stream's
+    * `index/c=`/`cmap/c=` snapshot layers — pure map-only copies,
+    * O(artifact bytes), no corpus re-pairing (the cost a seedless
+    * adoption pays: the whole corpus pair listing again in trigger 0,
+    * StreamClustersProbe's bootstrap row) — and the remaining third
+    * streams through as the day's live trigger, pairing against the
+    * seeded index and folding into the seeded map. The composed view
+    * must therefore equal the from-scratch cluster map of the WHOLE
+    * corpus: the oracle is st10's recursive-CTE rebuild verbatim
+    * (seeded ≡ streamed-from-scratch is additionally pinned
+    * trigger-by-trigger in StreamBootstrapSpec). Artifacts are built
+    * here with the stream's own parameters (3-gram, 800000 ppm,
+    * NoCap) — the seeding contract. */
+  def st11BootstrapStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.wide(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val snapshot = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+    val live = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_st11").toString
+    try {
+      val index = Dedup.postingIndex(snapshot, "doc_id", "text", n = 3)
+      val cmap = Dedup.connectedComponents(Dedup.ngramJaccardPairsPpm(
+          snapshot, "doc_id", "text", 3, 800000L, Dedup.DfCap.NoCap))
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      StreamBootstrap.seedNearDup(s, dir, snapshot, index, Some(cmap))
+      val _ = StreamNearDup.pairBatch(
+        live.as(org.apache.spark.sql.Encoders.product[NdDoc]), 0L, dir,
+        n = 3, thresholdPpm = 800000L, dfCap = Dedup.DfCap.NoCap)
+      StreamClusters.foldCommitted(s, dir)
+      StreamClusters.clusterView(s, dir).localCheckpoint()
+        .orderBy("doc_id")
+    } finally graft.streaming.StreamIndex.deleteTree(dir)
+  }
+
+  /** Bootstrap a stream dir's layers from the DURABLE SNAPSHOT TABLES
+    * — [[graft.streaming.StreamBootstrap.seedNearDup]] fed with the
+    * commit-safe table reads: the posting index through the
+    * epoch-consistent filter, the cluster map through the patch-aware
+    * [[readClusterMap]] — so a table read mid-fold seeds exactly its
+    * committed view, never a torn one. */
+  def seedStreamFromTables(s: SparkSession, baseDir: String,
+      corpus: DataFrame, indexTable: String,
+      cmapTable: Option[String] = None): Unit =
+    StreamBootstrap.seedNearDup(s, baseDir, corpus,
+      DurableArtifact.epochRead(s, indexTable),
+      cmapTable.map(t => readClusterMap(s, t)))
+
   /** ST5 — stream-static dimension enrichment (batch twin): events
     * left-joined to the customer dimension (broadcast — no state
     * store, no watermark; the static side re-plans per micro-batch),
@@ -5582,35 +5633,48 @@ object ExtensionQueries {
     // identity + ST10's fold ≡ rebuild) — x11's recursive-CTE
     // components over the integer-ppm ≥ 0.8 gate every streamed pair
     // was admitted under
-    "st10_stream_clusters" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT doc_id, w, i FROM (
-        |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
-        |           generate_subscripts(string_split(text,' '),1) AS i
-        |    FROM documents)
-        |), sh AS (
-        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
-        |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
-        |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2
-        |), sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
-        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1,2),
-        |pairs AS (
-        |  SELECT ida, idb
-        |  FROM inter JOIN sizes sa ON sa.doc_id=ida
-        |             JOIN sizes sb ON sb.doc_id=idb
-        |  WHERE c*1000000 >= 800000*(sa.n+sb.n-c)),
-        |edges AS (SELECT ida AS src, idb AS dst FROM pairs
-        |          UNION SELECT idb, ida FROM pairs),
-        |reach(node, label) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst)
-        |SELECT node AS doc_id, MIN(label) AS cluster_id
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "st10_stream_clusters" -> streamClustersOracle,
+
+    // st11: the SEEDED stream's composed view covers the whole corpus
+    // too — the snapshot layers carry the pre-stream two thirds, the
+    // live trigger folds the rest — so the very same from-scratch
+    // rebuild is the oracle (seeded ≡ streamed-from-scratch ≡ rebuild)
+    "st11_bootstrap_stream" -> streamClustersOracle,
   )
+
+  /** The from-scratch cluster-map rebuild (x11's recursive-CTE
+    * components over the integer-ppm ≥ 0.8 pair gate) — the shared
+    * oracle for every streaming cluster-maintenance row: st10's
+    * per-trigger folds and st11's seeded-then-folded view must both
+    * compose to exactly this map. */
+  private def streamClustersOracle: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |           generate_subscripts(string_split(text,' '),1) AS i
+      |    FROM documents)
+      |), sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      |  FROM words a JOIN words b ON b.doc_id=a.doc_id AND b.i=a.i+1
+      |               JOIN words c ON c.doc_id=a.doc_id AND c.i=a.i+2
+      |), sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+      |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2),
+      |pairs AS (
+      |  SELECT ida, idb
+      |  FROM inter JOIN sizes sa ON sa.doc_id=ida
+      |             JOIN sizes sb ON sb.doc_id=idb
+      |  WHERE c*1000000 >= 800000*(sa.n+sb.n-c)),
+      |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+      |          UNION SELECT idb, ida FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst)
+      |SELECT node AS doc_id, MIN(label) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_dedup_exact"         -> (x1DedupExact _),
@@ -5694,6 +5758,7 @@ object ExtensionQueries {
     "st1_event_window"       -> (st1EventWindow _),
     "st7_stream_budget"      -> (st7BudgetTwin _),
     "st10_stream_clusters"   -> (st10StreamClusters _),
+    "st11_bootstrap_stream"  -> (st11BootstrapStream _),
     "st2_sessionize"         -> (st2Sessionize _),
     "st4_stream_curate"      -> (st4StreamCurate _),
     "st5_stream_enrich"      -> (st5StreamEnrich _),

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bootstrap the streaming layers from DURABLE SNAPSHOT ARTIFACTS —
+  * the adoption path for a deployment with an EXISTING curated corpus.
+  *
+  * Without seeding, entering ST8/ST9/ST10 means replaying the whole
+  * corpus through trigger 0, whose batch-internal pairing IS the full
+  * corpus pair listing (Σ df² of shingle work) — at 100 TB that is the
+  * entire snapshot job paid a second time, for content the nightly
+  * artifacts (posting index, fingerprint set, cluster map) already
+  * hold. Seeding materializes those artifacts AS the stream's
+  * snapshot layers instead:
+  *
+  *  - `index/c=<seed>`  ← the canonical posting index (exactly what
+  *    [[StreamIndex.compactIndex]] would have produced: the pinned
+  *    `mergePostingDeltas ≡ postingIndex` identity makes the streamed
+  *    and seeded layers content-identical);
+  *  - `cmap/c=<seed>`   ← the cluster map (fold ≡ rebuild makes the
+  *    per-trigger folds compose on top of it exactly as they would on
+  *    a streamed-from-scratch snapshot);
+  *  - `fps/c=<seed>`    ← the fingerprint set (ST9's exact-dup probe);
+  *  - `corpus/b=<seed>` ← the corpus docs — written LAST, because the
+  *    corpus `_SUCCESS` is the seed's commit marker (ST8's own
+  *    discipline: everything derived lands before the commit that
+  *    makes it visible; a torn seed is invisible and a re-run
+  *    overwrites it).
+  *
+  * The seed batch id is [[StreamBootstrap.SeedBatch]] (−1): strictly
+  * below every checkpoint batch id the stream will generate, so the
+  * stream's own batch 0 can never collide with it, while the
+  * `c=<seed>` snapshots cover it the way any compaction snapshot
+  * covers its batches — live deltas are `batch > snapshot`, heals
+  * never fire for the seed, and the first real maintenance pass
+  * retires the seed layers under the normal deferred-cleanup rules.
+  *
+  * Every write is a map-only copy of the provided frame (no shuffle,
+  * no shingling): bootstrap costs O(artifact bytes), not O(corpus
+  * pairing). The caller must hand frames derived with the SAME
+  * parameters the stream will run (n-gram width, threshold, cap) —
+  * the layers compose with later triggers under those semantics.
+  *
+  * Seeding is a ONE-TIME setup step run before the stream starts,
+  * never concurrently with it: a dir with committed batches or
+  * snapshots refuses the seed (re-running after a torn seed is fine —
+  * the torn layers carry no commit marker and are overwritten). */
+object StreamBootstrap {
+
+  /** The reserved seed batch id — below any checkpoint batch id. */
+  val SeedBatch: Long = -1L
+
+  /** Seed ST8/ST10 (near-dup + cluster maintenance) layers: posting
+    * index, optional cluster map, corpus. See the object doc for the
+    * layout and crash rules. */
+  def seedNearDup(s: SparkSession, baseDir: String, corpus: DataFrame,
+      index: DataFrame, cmap: Option[DataFrame] = None): Unit = {
+    requireUnseeded(baseDir, "index" +: cmap.map(_ => "cmap").toSeq)
+    index.select("_sh", "_lst").write.mode("overwrite")
+      .parquet(s"$baseDir/index/c=$SeedBatch")
+    cmap.foreach(_.select("doc_id", "cluster_id").write.mode("overwrite")
+      .parquet(s"$baseDir/cmap/c=$SeedBatch"))
+    commitCorpus(baseDir, corpus)
+  }
+
+  /** Seed ST9 (streaming curation) layers: the exact-survivor posting
+    * index, the fingerprint set of every admitted document, and the
+    * curated corpus. */
+  def seedAdmission(s: SparkSession, baseDir: String, corpus: DataFrame,
+      index: DataFrame, fps: DataFrame): Unit = {
+    requireUnseeded(baseDir, Seq("index", "fps"))
+    index.select("_sh", "_lst").write.mode("overwrite")
+      .parquet(s"$baseDir/index/c=$SeedBatch")
+    fps.select("fp").write.mode("overwrite")
+      .parquet(s"$baseDir/fps/c=$SeedBatch")
+    commitCorpus(baseDir, corpus)
+  }
+
+  /** The corpus write IS the seed's commit: it lands last, and its
+    * `_SUCCESS` is what makes the whole seed visible to every reader
+    * (committedBatches-driven views never look past it). NOT routed
+    * through [[StreamIndex.deltaSized]]'s small-file bound — the seed
+    * is corpus-sized by definition and keeps the frame's own
+    * parallelism. */
+  private def commitCorpus(baseDir: String, corpus: DataFrame): Unit =
+    corpus.select("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$baseDir/corpus/b=$SeedBatch")
+
+  private def requireUnseeded(baseDir: String, layers: Seq[String]): Unit = {
+    require(StreamIndex.committedBatches(s"$baseDir/corpus").isEmpty,
+      s"seed: $baseDir already has committed stream batches — " +
+        "bootstrap is a one-time setup before the stream starts, " +
+        "never a live-dir operation")
+    layers.foreach { l =>
+      // a snapshot ABOVE the seed id means real compactions ran here;
+      // a c=<seed> snapshot with no committed corpus is a TORN seed
+      // (crash before the corpus commit) and the re-run overwrites it
+      require(StreamIndex.layerSnapshot(baseDir, l).forall(_ <= SeedBatch),
+        s"seed: $baseDir already has a committed $l snapshot — " +
+          "this dir was compacted before; point the seed at a fresh dir")
+    }
+  }
+}

@@ -1,0 +1,247 @@
+package graft.streaming
+
+import graft.{DurableArtifact, ExtensionQueries, SparkTestBase}
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Pins the stream-bootstrap contract (the adoption path for a
+  * deployment with an existing curated corpus): seeding the
+  * index/cmap/fps snapshot layers from durable snapshot artifacts and
+  * then streaming is INDISTINGUISHABLE from having streamed the whole
+  * corpus from scratch — same cluster view, same canonical postings,
+  * same corpus view, same post-seed pair emissions, same admission
+  * verdicts — while costing an artifact copy instead of the full
+  * corpus re-pairing. Plus the layout rules: the seed commits through
+  * the corpus `_SUCCESS` (a torn seed is invisible and re-runs), live
+  * or compacted dirs refuse re-seeding, the table-reading convenience
+  * goes through the commit-safe reads (epoch filter, patch-aware
+  * cluster read), and the first maintenance pass retires the seed
+  * layers under the normal deferred-cleanup rules. */
+class StreamBootstrapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val tail2 = "shared tail one two three four five six seven eight"
+  // the existing curated corpus (what the nightly snapshot job covers):
+  // two near-dup families
+  private val corpusDocs = Seq(
+    NdDoc(1L, base + " lambda mu"),
+    NdDoc(2L, base + " lambda nu"),
+    NdDoc(3L, tail2 + " nine"),
+    NdDoc(4L, tail2 + " ten"),
+    NdDoc(11L, base + " lambda"))
+  // the day's live batch: the chain doc 23 merges BOTH corpus families
+  // — the fold against the seeded map must RELABEL seeded rows, not
+  // just append
+  private val liveDocs = Seq(
+    NdDoc(21L, base + " lambda xi"),
+    NdDoc(22L, tail2 + " eleven"),
+    NdDoc(23L, base + " lambda mu " + tail2 + " nine"))
+  private val ppm = 300000L
+
+  private def mapRows(dir: String): Set[(Long, Long)] =
+    StreamClusters.clusterView(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def ccRows(docs: Seq[NdDoc]): Set[(Long, Long)] =
+    Dedup.connectedComponents(Dedup.ngramJaccardPairsPpm(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3, ppm,
+        Dedup.DfCap.NoCap))
+      .select(col("node"), col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** The durable snapshot artifacts a nightly job would hold, built
+    * with the stream's own parameters (the seeding contract). */
+  private def seedFrames: (DataFrame, DataFrame, DataFrame) = {
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val index = Dedup.postingIndex(corpus, "doc_id", "text", 3)
+    val cmap = Dedup.connectedComponents(Dedup.ngramJaccardPairsPpm(
+        corpus, "doc_id", "text", 3, ppm, Dedup.DfCap.NoCap))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    (corpus, index, cmap)
+  }
+
+  test("seeded stream ≡ streamed-from-scratch: cluster view, canonical " +
+      "postings, corpus view, and post-seed pair emissions all match") {
+    val scratch = Files.createTempDirectory("graft_sb_scratch").toString
+    val seeded = Files.createTempDirectory("graft_sb_seeded").toString
+    // from scratch: the whole corpus replays as trigger 0 — its
+    // batch-internal pairing IS the full corpus pair listing, the cost
+    // the seed exists to avoid — then the live batch as trigger 1
+    assert(StreamNearDup.pairBatch(corpusDocs.toDS(), 0L, scratch, 3, ppm))
+    StreamClusters.foldCommitted(spark, scratch)
+    assert(StreamNearDup.pairBatch(liveDocs.toDS(), 1L, scratch, 3, ppm))
+    StreamClusters.foldCommitted(spark, scratch)
+    // seeded: three artifact copies, then ONLY the live trigger
+    val (corpus, index, cmap) = seedFrames
+    StreamBootstrap.seedNearDup(spark, seeded, corpus, index, Some(cmap))
+    assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, seeded, 3, ppm))
+    StreamClusters.foldCommitted(spark, seeded)
+
+    val want = ccRows(corpusDocs ++ liveDocs)
+    assert(mapRows(seeded) === want)
+    assert(mapRows(scratch) === want)
+    // the live fold RELABELED seeded rows: doc 3's label is the union
+    // component's min (doc 1), not its seeded family label (3)
+    assert(want.contains((3L, 1L)))
+
+    // the index views merge to identical canonical postings
+    def postings(dir: String) = Dedup.mergePostingDeltas(
+        StreamNearDup.indexView(spark, dir, 3))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    assert(postings(seeded) === postings(scratch))
+    // the corpus views agree doc for doc
+    def docsOf(dir: String) = StreamNearDup.corpusView(spark, dir)
+      .collect().map(d => (d.doc_id, d.text)).toSet
+    assert(docsOf(seeded) === docsOf(scratch))
+    // post-seed emissions = exactly the scratch run's live-trigger
+    // pairs — the corpus-internal pairs live in the seeded MAP, never
+    // re-emitted (that re-pairing is the cost being skipped)
+    val seededPairs = StreamNearDup.allPairs(spark, seeded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratchLive = spark.read.parquet(s"$scratch/pairs/b=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(seededPairs === scratchLive)
+  }
+
+  test("maintenance passes cover, then retire, the seed layers — " +
+      "deferred exactly one pass, content-transparent throughout") {
+    val dir = Files.createTempDirectory("graft_sb_maint").toString
+    val (corpus, index, cmap) = seedFrames
+    StreamBootstrap.seedNearDup(spark, dir, corpus, index, Some(cmap))
+    assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, dir, 3, ppm))
+    StreamClusters.foldCommitted(spark, dir)
+    val want = ccRows(corpusDocs ++ liveDocs)
+    assert(mapRows(dir) === want)
+
+    // cluster layer: the first pass builds c=0 and KEEPS the seed
+    // snapshot (a reader planned against it keeps its files)…
+    assert(StreamClusters.compactClusters(spark, dir) === Some(0L))
+    assert(Files.exists(Paths.get(s"$dir/cmap/c=-1")))
+    assert(mapRows(dir) === want)
+    // …and the next (no-op) pass retires it
+    assert(StreamClusters.compactClusters(spark, dir) === None)
+    assert(!Files.exists(Paths.get(s"$dir/cmap/c=-1")))
+    assert(mapRows(dir) === want)
+
+    // index layer: same rules
+    def postings() = Dedup.mergePostingDeltas(
+        StreamNearDup.indexView(spark, dir, 3))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    val before = postings()
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(0L))
+    assert(Files.exists(Paths.get(s"$dir/index/c=-1")))
+    assert(postings() === before)
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === None)
+    assert(!Files.exists(Paths.get(s"$dir/index/c=-1")))
+    assert(postings() === before)
+  }
+
+  test("a torn seed (no corpus commit) is invisible and re-runs " +
+      "cleanly; a completed seed, a live dir, and a compacted dir all " +
+      "refuse re-seeding") {
+    val dir = Files.createTempDirectory("graft_sb_torn").toString
+    val (corpus, index, cmap) = seedFrames
+    // torn seed: the index snapshot landed, the corpus commit did not
+    index.write.parquet(s"$dir/index/c=${StreamBootstrap.SeedBatch}")
+    assert(StreamNearDup.corpusView(spark, dir).isEmpty,
+      "a torn seed must be invisible through the committed views")
+    // the re-run overwrites the torn layers and completes
+    StreamBootstrap.seedNearDup(spark, dir, corpus, index, Some(cmap))
+    assert(mapRows(dir) === ccRows(corpusDocs))
+    // a completed seed refuses a second one
+    val ex1 = intercept[IllegalArgumentException] {
+      StreamBootstrap.seedNearDup(spark, dir, corpus, index, Some(cmap))
+    }
+    assert(ex1.getMessage.contains("committed stream batches"))
+    // a dir with real stream history refuses too
+    val live = Files.createTempDirectory("graft_sb_live").toString
+    assert(StreamNearDup.pairBatch(corpusDocs.toDS(), 0L, live, 3, ppm))
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamBootstrap.seedNearDup(spark, live, corpus, index, Some(cmap))
+    }
+    assert(ex2.getMessage.contains("committed stream batches"))
+  }
+
+  test("ST9: seeding fps + survivor index from the curation artifacts " +
+      "gives the live batch exactly the from-scratch verdicts") {
+    // StreamAdmission's quality/lang-passing fixture style
+    val en = "the alpha of beta and gamma the delta of epsilon " +
+      "and zeta the eta of theta and iota the kappa of lambda and mu"
+    val other = "the zebra of quartz and jungle the violin of marble " +
+      "and sunset the copper of meadow and harbor the falcon of timber " +
+      "and prism"
+    val aDocs = Seq(
+      NdDoc(1L, en + " nu xi"),
+      NdDoc(2L, en + " nu omicron"),
+      NdDoc(11L, en + " nu xi"), // exact dup of 1, inside the corpus
+      NdDoc(13L, other))
+    val bDocs = Seq(
+      NdDoc(21L, en + " nu xi"),                 // exact dup of survivor 1
+      NdDoc(22L, en + " nu pi"),                 // near-dup of survivors
+      NdDoc(23L, "the ocean of granite and willow the trumpet of amber " +
+        "and moonrise the silver of canyon and breeze the raven of " +
+        "cedar and gold"))                     // fresh keeper
+
+    // from scratch: the corpus curates as trigger 0, the batch as 1
+    val scratch = Files.createTempDirectory("graft_sb_adm_s").toString
+    assert(StreamAdmission.curateBatch(aDocs.toDS(), 0L, scratch))
+    assert(StreamAdmission.curateBatch(bDocs.toDS(), 1L, scratch))
+    def verdicts(dir: String, ids: Set[Long]) =
+      StreamAdmission.allVerdicts(spark, dir)
+        .collect().filter(r => ids(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getString(2), Option(r.getString(3))))
+        .toSet
+    val wantB = verdicts(scratch, bDocs.map(_.doc_id).toSet)
+    assert(wantB.map(_._2) === Set("exact_dup", "near_dup", "kept"),
+      "fixture drift: the live batch should exercise all three verdicts")
+
+    // seeded: the curation artifacts — admitted-corpus docs, their
+    // fingerprint set, the EXACT-SURVIVOR posting index (ST9's rule:
+    // exact dups' postings never enter the index)
+    val filt = aDocs.toDF("doc_id", "text")
+      .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      .filter(TextAnalysis.langIdNative(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.3)
+    val keeper = filt.groupBy("fp").agg(min("doc_id").as("keeper"))
+    val surv = filt.join(keeper, Seq("fp"))
+      .filter(col("doc_id") === col("keeper")).select("doc_id", "text")
+    val seeded = Files.createTempDirectory("graft_sb_adm_b").toString
+    StreamBootstrap.seedAdmission(spark, seeded,
+      filt.select("doc_id", "text"),
+      Dedup.postingIndex(surv, "doc_id", "text", 3),
+      filt.select("fp").distinct())
+    assert(StreamAdmission.curateBatch(bDocs.toDS(), 0L, seeded))
+    assert(verdicts(seeded, bDocs.map(_.doc_id).toSet) === wantB)
+  }
+
+  test("seedStreamFromTables seeds through the COMMIT-SAFE table reads: " +
+      "the epoch filter excludes a torn index append, the patch-aware " +
+      "read serves the folded cluster labels") {
+    val ti = "g_sb_index_tbl"; val tc = "g_sb_cmap_tbl"
+    Seq(ti, tc).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (corpus, index, cmap) = seedFrames
+    val fe = DurableArtifact.FoldEpochCol
+    index.withColumn(fe, lit(0)).write.bucketBy(8, "_sh").sortBy("_sh")
+      .format("parquet").saveAsTable(ti)
+    // a torn append above the committed epoch: the seed must not copy it
+    Seq((999999L, Seq(1L))).toDF("_sh", "_lst").withColumn(fe, lit(1))
+      .write.mode("append").bucketBy(8, "_sh").sortBy("_sh")
+      .format("parquet").saveAsTable(ti)
+    cmap.withColumn(fe, lit(0)).write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(tc)
+
+    val dir = Files.createTempDirectory("graft_sb_tbl").toString
+    ExtensionQueries.seedStreamFromTables(spark, dir, corpus, ti, Some(tc))
+    assert(spark.read.parquet(s"$dir/index/c=${StreamBootstrap.SeedBatch}")
+      .filter(col("_sh") === 999999L).head(1).isEmpty,
+      "the torn posting row must not reach the seeded snapshot")
+    assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, dir, 3, ppm))
+    StreamClusters.foldCommitted(spark, dir)
+    assert(mapRows(dir) === ccRows(corpusDocs ++ liveDocs))
+    Seq(ti, tc).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -183,4 +183,28 @@ class StreamClustersSpec extends SparkTestBase {
     assert(StreamIndex.layerSnapshot(dir, "index") === Some(1L))
     assert(viewRows(dir) === expectedMap)
   }
+
+  test("under a binding DfCap.Fixed the folds compose to exactly the " +
+      "components of the AS-OF-ARRIVAL emitted pairs — the cap's " +
+      "contract (dfs only grow; early emissions stand)") {
+    val dir = Files.createTempDirectory("graft_stc_cap").toString
+    // cap 4 binds: the base-family shingles reach df 5 by trigger 3,
+    // so late base-side pairs are capped away while trigger-1/2
+    // emissions (df ≤ 3 at their arrival) stand — exactly the
+    // as-of-arrival semantics ST8 documents for Fixed
+    val cap = Dedup.DfCap.Fixed(4)
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      assert(StreamNearDup.pairBatch(b.toDS(), i.toLong, dir, 3, ppm, cap))
+      StreamClusters.foldCommitted(spark, dir)
+    }
+    val want = Dedup.connectedComponents(
+        StreamNearDup.allPairs(spark, dir).select("ida", "idb"))
+      .select(col("node"), col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viewRows(dir) === want,
+      "the fold must consume exactly the pair semantics the stream emits")
+    // the cap actually bound: the capped map differs from NoCap's
+    assert(viewRows(dir) !== expectedMap,
+      "fixture drift: Fixed(4) no longer binds — lower the cap")
+  }
 }
