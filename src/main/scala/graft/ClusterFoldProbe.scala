@@ -105,37 +105,7 @@ object ClusterFoldProbe {
         .select(col("doc_id"), col("text"))
       val kWords =
         expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
-      // cluster roots, ranked — the bridge anchors (roots are member
-      // minima, so doc_id == cluster_id rows exist per cluster)
-      val roots = map.filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id").as("rid"))
-        .orderBy("rid").limit(2 * MaxBridges + 2)
-        .withColumn("rk", row_number().over(Window.orderBy("rid")))
-        .join(docs.withColumnRenamed("doc_id", "rid"), Seq("rid"))
-        .localCheckpoint()
-
-      def bridges(startRank: Int, offset: Long): DataFrame = {
-        val a = roots.filter(col("rk") >= startRank &&
-            (col("rk") - startRank) % 2 === 0)
-          .select(((col("rk") - startRank) / 2).cast("long").as("pi"),
-            split(col("text"), " ").as("wa"))
-        val b = roots.filter(col("rk") >= startRank &&
-            (col("rk") - startRank) % 2 === 1)
-          .select(((col("rk") - startRank) / 2).cast("long").as("pi"),
-            split(col("text"), " ").as("wb"))
-        a.join(b, Seq("pi"))
-          .select(col("pi"), col("wa"), col("wb"),
-            explode(sequence(lit(0), lit(BridgeSteps))).as("k"))
-          .select(
-            (lit(offset) + col("pi") * (BridgeSteps + 1) + col("k"))
-              .as("doc_id"),
-            array_join(concat(
-              slice(col("wa"), lit(1), expr(
-                s"cast(((${BridgeSteps} - k) * size(wa)) div ${BridgeSteps} as int)")),
-              slice(col("wb"), lit(1), expr(
-                s"cast((k * size(wb)) div ${BridgeSteps} as int)"))),
-              " ").as("text"))
-      }
+      val roots = ProbeFixtures.rankedRoots(map, docs, 2 * MaxBridges + 2)
 
       // day 1: x39's re-crawl prefixes (pure appends) + bridges over
       // root pairs (1,2),(3,4),… (relabels)
@@ -143,10 +113,12 @@ object ClusterFoldProbe {
         .select((col("doc_id") + 5000000000000L).as("doc_id"),
           array_join(slice(split(col("text"), " "), lit(1), kWords), " ")
             .as("text"))
-        .unionByName(bridges(1, Day1BridgeOffset))
+        .unionByName(ProbeFixtures.bridges(roots, 1, Day1BridgeOffset,
+          BridgeSteps))
       // day 2: bridges over root pairs (2,3),(4,5),… — merges ACROSS
       // day 1's merged clusters, so fold 2 must compose the patch
-      val day2 = bridges(2, Day2BridgeOffset)
+      val day2 = ProbeFixtures.bridges(roots, 2, Day2BridgeOffset,
+        BridgeSteps)
 
       def patchRows(): Long = {
         val pt = ExtensionQueries.clusterPatchTable(table,

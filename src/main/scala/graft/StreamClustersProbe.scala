@@ -1,32 +1,45 @@
 package graft
 
 import graft.operators.Dedup
-import graft.streaming.{NdDoc, StreamClusters, StreamNearDup}
-import org.apache.spark.sql.{Encoders, SparkSession}
+import graft.streaming.{NdDoc, StreamBootstrap, StreamClusters, StreamNearDup}
+import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Measures ST10's replica-scale claim: after the one-time
+/** Measures ST10's replica-scale claims: after the one-time
   * corpus-sized bootstrap trigger, the per-trigger cluster-map
-  * maintenance cost (pair the batch + fold it) TRACKS THE BATCH, and
-  * the composed view read stays a map-only scan plus a broadcast.
+  * maintenance cost (pair the batch + fold it) TRACKS THE BATCH — now
+  * with RELABEL-BEARING day batches (bridge chains merging existing
+  * clusters, day 2 undercutting day 1 so the suffix relabels must
+  * compose) — the composed view read stays a map-only scan plus a
+  * broadcast even over non-empty composed relabels, and SEEDING a
+  * fresh stream dir from the snapshot artifacts (ST11,
+  * [[graft.streaming.StreamBootstrap]]) costs an artifact copy where
+  * the from-scratch bootstrap pays the full corpus pair listing.
   *
   *   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
   *   SPARK_GRAFT_CONF="spark.local.dir=/dev/shm/graft_probe" \
   *   sbt "runMain graft.StreamClustersProbe /tmp/sf12.5xm"
   *
   * Trigger shape (st10's parameters — 3-gram, 800000 ppm, NoCap):
-  *  b=0 bootstrap — the whole corpus in one trigger (the snapshot
-  *      load a deployment replays into the stream once — its
-  *      batch-internal pairing IS the full corpus pair listing,
-  *      the one-time cost the daily triggers never re-pay);
-  *  b=1, b=2 — daily re-crawl batches (0.5% each, 90% prefixes of
-  *      their sources at +5/+6·10¹² ids), each paired against the
-  *      accumulated index deltas and folded per trigger;
-  *  view — the composed cluster map count (what an x17/x29-style
-  *      mid-day consumer pays);
-  *  compact — cmap layer canonicalization + the deferred sweep.
+  *  b=0 bootstrap — the whole corpus in one trigger (the cost a
+  *      seedless adoption pays; its batch-internal pairing IS the
+  *      full corpus pair listing);
+  *  b=1, b=2 — daily batches: 0.5% re-crawl prefixes PLUS bridge
+  *      chains between cluster roots (700000 ppm keeps chain links
+  *      paired) — every day fold carries real relabels;
+  *  view — the composed cluster map count over NON-EMPTY suffix
+  *      relabels (what an x17/x29-style mid-day consumer pays);
+  *  compact — cmap + index canonicalization (deferred sweep);
+  *  seed — ST11: a SECOND stream dir seeded from the first's
+  *      canonical artifacts (three map-only copies), then one day
+  *      trigger + view on it — seed_s vs bootstrap_s is the adoption
+  *      saving, day/view parity shows the seeded dir streams at the
+  *      same per-trigger cost.
   * Prints one JSON line (emitted even if a stage throws). */
 object StreamClustersProbe {
+  private val BridgeSteps = 30
+  private val MaxBridges = 400
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,6 +68,12 @@ object StreamClustersProbe {
     }
 
     val dir = java.nio.file.Files.createTempDirectory("graft_stcp").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_stcp2").toString
+    // the probe's pair gate: chain steps sit near J ≈ 0.82-0.86, so
+    // the 700000 ppm gate keeps every consecutive link — which is what
+    // makes the bridges actually merge clusters (same reasoning as
+    // ClusterFoldProbe)
+    val ppm = 700000L
     try {
       val docs = Tables.wide(Tables.documents(spark, sfDir))
         .select(col("doc_id"), col("text"))
@@ -62,26 +81,48 @@ object StreamClustersProbe {
         expr("cast((size(split(text, ' ')) * 9 + 9) div 10 as int)")
       val pfx = array_join(
         slice(split(col("text"), " "), lit(1), kWords), " ")
-      def batchOf(sel: org.apache.spark.sql.Column, off: Long) =
+      def recrawl(sel: Column, off: Long) =
         docs.filter(sel)
           .select((col("doc_id") + off).as("doc_id"), pfx.as("text"))
-          .as(Encoders.product[NdDoc])
-      // the full corpus loads in the bootstrap trigger — the day
-      // batches are re-crawl PREFIXES of corpus docs, so their
-      // sources must be present for the folds to do real work
       val bootstrap = docs.as(Encoders.product[NdDoc])
-      val day1 = batchOf(col("doc_id") % 200 === 0, 5000000000000L)
-      val day2 = batchOf(col("doc_id") % 200 === 100, 6000000000000L)
       out("corpus_docs") = bootstrap.count().toString
+
+      def trigger(id: Long, b: org.apache.spark.sql.Dataset[NdDoc],
+          at: String): Unit = {
+        val _ = StreamNearDup.pairBatch(b, id, at, n = 3,
+          thresholdPpm = ppm, dfCap = Dedup.DfCap.NoCap)
+        StreamClusters.foldCommitted(spark, at)
+      }
+
+      // b=0: the from-scratch bootstrap — the full corpus pair listing
+      timed("bootstrap_s") { trigger(0L, bootstrap, dir) }
+
+      // relabel-bearing day batches: re-crawl prefixes (appends) plus
+      // bridge chains between the post-bootstrap map's roots (merges);
+      // day 2's bridges undercut day 1's, so the per-batch suffix
+      // relabels must COMPOSE in the view. Materialized before timing
+      // so fixture construction stays out of the trigger numbers.
+      val roots = ProbeFixtures.rankedRoots(
+        StreamClusters.clusterView(spark, dir), docs, 2 * MaxBridges + 2)
+      val day1 = recrawl(col("doc_id") % 200 === 0,
+          ExtensionQueries.ArrivalOffsets("increment"))
+        .unionByName(ProbeFixtures.bridges(roots, 1,
+          ExtensionQueries.ArrivalOffsets("probe_bridge_day1"), BridgeSteps))
+        .as(Encoders.product[NdDoc]).localCheckpoint()
+      val day2 = recrawl(col("doc_id") % 200 === 100,
+          ExtensionQueries.ArrivalOffsets("resubmit"))
+        .unionByName(ProbeFixtures.bridges(roots, 2,
+          ExtensionQueries.ArrivalOffsets("probe_bridge_day2"), BridgeSteps))
+        .as(Encoders.product[NdDoc]).localCheckpoint()
       out("batch_docs") = day1.count().toString
 
-      Seq(("0", bootstrap, "bootstrap"), ("1", day1, "day1"),
-          ("2", day2, "day2")).foreach { case (id, b, tag) =>
-        timed(s"${tag}_s") {
-          val _ = StreamNearDup.pairBatch(b, id.toLong, dir, n = 3,
-            thresholdPpm = 800000L, dfCap = Dedup.DfCap.NoCap)
-          StreamClusters.foldCommitted(spark, dir)
-        }
+      timed("day1_s") { trigger(1L, day1, dir) }
+      timed("day2_s") { trigger(2L, day2, dir) }
+      // the folds carried real relabels (else the composed-view number
+      // below measures nothing new)
+      (1L to 2L).foreach { v =>
+        out(s"relabels$v") = spark.read.parquet(s"$dir/cmap/b=$v")
+          .filter(col("_rel")).count().toString
       }
       val n = timed("view_s") {
         StreamClusters.clusterView(spark, dir).count()
@@ -90,14 +131,39 @@ object StreamClustersProbe {
       timed("compact_s") {
         val _ = StreamClusters.compactClusters(spark, dir)
       }
+      timed("idxcompact_s") {
+        val _ = StreamNearDup.compactIndex(spark, dir, 3)
+      }
       val n2 = timed("view_post_s") {
         StreamClusters.clusterView(spark, dir).count()
       }
       out("map_rows_post") = n2.toString
+
+      // ST11: seed a SECOND dir from the first's canonical artifacts —
+      // exactly what a deployment holds in its durable tables. seed_s
+      // is three map-only parquet copies; compare against bootstrap_s.
+      val seedIndex = spark.read.parquet(s"$dir/index/c=2")
+      val seedCmap = spark.read.parquet(s"$dir/cmap/c=2")
+      val seedCorpus = StreamNearDup.corpusView(spark, dir).toDF()
+      timed("seed_s") {
+        StreamBootstrap.seedNearDup(spark, dir2, seedCorpus, seedIndex,
+          Some(seedCmap))
+      }
+      // a day trigger on the seeded dir runs at the same batch-tracking
+      // cost as dir1's days (fresh re-crawl residue, fresh id domain)
+      val day3 = recrawl(col("doc_id") % 200 === 50,
+          ExtensionQueries.ArrivalOffsets("day2"))
+        .as(Encoders.product[NdDoc]).localCheckpoint()
+      timed("day_seeded_s") { trigger(0L, day3, dir2) }
+      val n3 = timed("view_seeded_s") {
+        StreamClusters.clusterView(spark, dir2).count()
+      }
+      out("map_rows_seeded") = n3.toString
     } finally {
       println(out.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}"))
       graft.streaming.StreamIndex.deleteTree(dir)
+      graft.streaming.StreamIndex.deleteTree(dir2)
       spark.stop()
     }
   }
