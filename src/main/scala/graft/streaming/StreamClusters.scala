@@ -97,6 +97,17 @@ object StreamClusters {
       .filter(v => snap.forall(v > _)).sorted
       .foreach { v =>
         if (!Files.exists(Paths.get(s"$baseDir/$Layer/b=$v/_SUCCESS"))) {
+          // every committed ST8 batch has a pairs dir (written before
+          // the corpus commit); the one layout that legitimately lacks
+          // it is a SEED batch (StreamBootstrap) — which must then have
+          // been seeded WITH a cluster map, or the corpus-internal
+          // clusters are unrecoverable here (the seed never emitted
+          // their pairs). Fail with the fix, not a path error.
+          require(Files.exists(Paths.get(s"$baseDir/pairs/b=$v")),
+            s"StreamClusters: committed batch $v has no pairs dir — a " +
+              "seeded dir must be bootstrapped WITH a cluster-map " +
+              "artifact (StreamBootstrap.seedNearDup's cmap) before " +
+              "the cluster layer can serve it")
           val pairs = s.read.parquet(s"$baseDir/pairs/b=$v")
           val delta = Dedup.clusterFoldDelta(viewUpTo(s, baseDir, v), pairs)
           require(delta.broadcastable,

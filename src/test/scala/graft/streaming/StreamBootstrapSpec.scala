@@ -166,6 +166,25 @@ class StreamBootstrapSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("committed stream batches"))
   }
 
+  test("a dir seeded WITHOUT a cluster map serves ST8 but refuses the " +
+      "cluster layer loudly (the seed never emitted the corpus-internal " +
+      "pairs, so the clusters are unrecoverable there)") {
+    val dir = Files.createTempDirectory("graft_sb_nocmap").toString
+    val (corpus, index, _) = seedFrames
+    StreamBootstrap.seedNearDup(spark, dir, corpus, index, cmap = None)
+    // ST8 works: the live batch pairs against the seeded index
+    assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, dir, 3, ppm))
+    val pairs = StreamNearDup.allPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists { case (a, b) => a <= 11L && b >= 21L },
+      "cross-corpus pairs must flow from the seeded index")
+    // …but the cluster layer refuses with the fix, not a path error
+    val ex = intercept[IllegalArgumentException] {
+      StreamClusters.clusterView(spark, dir)
+    }
+    assert(ex.getMessage.contains("cluster-map artifact"))
+  }
+
   test("ST9: seeding fps + survivor index from the curation artifacts " +
       "gives the live batch exactly the from-scratch verdicts") {
     // StreamAdmission's quality/lang-passing fixture style
