@@ -1075,6 +1075,16 @@ object ExtensionQueries {
     * schedule). */
   def foldClusterMapDurable(s: SparkSession, d: String, table: String,
       newPairs: DataFrame, autoCompactAtPatchRows: Int = 0): Unit = {
+    // single-writer enforcement: the lease is claimed FIRST — before
+    // the epoch read, the guards, and the driver-side patch staging. A
+    // fold that read its epoch before acquiring could have a whole
+    // sibling fold complete in between (no overlap, so the lease alone
+    // wouldn't refuse it) and would then stage its patch at the STALE
+    // epoch, overwriting the live one. Released atomically with the
+    // flip; a thrown fold (including a failed guard below) releases in
+    // the catch; a crashed JVM leaves it for compactClusterMap.
+    val lease = DurableArtifact.acquireFoldLease(s, table)
+    val (composedRows, e) = try {
     val e = DurableArtifact.foldsOf(s, table)
     require(s.table(table).columns.contains(FoldEpochCol),
       s"foldClusterMapDurable: $table has no $FoldEpochCol column — a " +
@@ -1092,14 +1102,6 @@ object ExtensionQueries {
       s"foldClusterMapDurable: $table carries rows above committed " +
         s"epoch $e — a crashed fold left a torn append; run " +
         "compactClusterMap(table) to discard it, then retry the fold")
-    // single-writer enforcement: the lease is claimed BEFORE the
-    // driver-side patch staging below — a second concurrent folder
-    // would corrupt the stored-patch composition long before reaching
-    // appendDelta's own guard. Released atomically with the flip; a
-    // thrown fold releases it in the catch; a crashed JVM leaves it
-    // for compactClusterMap to clear.
-    val lease = DurableArtifact.acquireFoldLease(s, table)
-    val composedRows = try {
     val delta = Dedup.clusterFoldDelta(readClusterMap(s, table), newPairs)
     require(delta.broadcastable,
       "foldClusterMapDurable: the relabel delta exceeded the driver " +
@@ -1144,7 +1146,7 @@ object ExtensionQueries {
       extraProps = Map(ClusterPatchLiveProp -> composed.nonEmpty.toString),
       afterFilesWritten = () => ClusterFoldHooks.beforeFlip(),
       heldLease = Some(lease))
-    composed.size
+    (composed.size, e)
     } catch {
       case t: Throwable =>
         DurableArtifact.releaseFoldLease(s, table, lease)

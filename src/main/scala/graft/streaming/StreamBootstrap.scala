@@ -55,7 +55,7 @@ object StreamBootstrap {
     * layout and crash rules. */
   def seedNearDup(s: SparkSession, baseDir: String, corpus: DataFrame,
       index: DataFrame, cmap: Option[DataFrame] = None): Unit = {
-    requireUnseeded(baseDir, "index" +: cmap.map(_ => "cmap").toSeq)
+    prepareSeed(baseDir)
     index.select("_sh", "_lst").write.mode("overwrite")
       .parquet(s"$baseDir/index/c=$SeedBatch")
     cmap.foreach(_.select("doc_id", "cluster_id").write.mode("overwrite")
@@ -68,7 +68,7 @@ object StreamBootstrap {
     * curated corpus. */
   def seedAdmission(s: SparkSession, baseDir: String, corpus: DataFrame,
       index: DataFrame, fps: DataFrame): Unit = {
-    requireUnseeded(baseDir, Seq("index", "fps"))
+    prepareSeed(baseDir)
     index.select("_sh", "_lst").write.mode("overwrite")
       .parquet(s"$baseDir/index/c=$SeedBatch")
     fps.select("fp").write.mode("overwrite")
@@ -86,18 +86,28 @@ object StreamBootstrap {
     corpus.select("doc_id", "text").write.mode("overwrite")
       .parquet(s"$baseDir/corpus/b=$SeedBatch")
 
-  private def requireUnseeded(baseDir: String, layers: Seq[String]): Unit = {
+  /** Every layer any seed variant can write — a re-seed must account
+    * for ALL of them, not just its own, or a torn prior seed's
+    * other-layer snapshot silently survives into the new stream. */
+  private val SeedableLayers = Seq("index", "cmap", "fps")
+
+  private def prepareSeed(baseDir: String): Unit = {
     require(StreamIndex.committedBatches(s"$baseDir/corpus").isEmpty,
       s"seed: $baseDir already has committed stream batches — " +
         "bootstrap is a one-time setup before the stream starts, " +
         "never a live-dir operation")
-    layers.foreach { l =>
+    SeedableLayers.foreach { l =>
       // a snapshot ABOVE the seed id means real compactions ran here;
       // a c=<seed> snapshot with no committed corpus is a TORN seed
       // (crash before the corpus commit) and the re-run overwrites it
       require(StreamIndex.layerSnapshot(baseDir, l).forall(_ <= SeedBatch),
         s"seed: $baseDir already has a committed $l snapshot — " +
           "this dir was compacted before; point the seed at a fresh dir")
+      // sweep EVERY layer's torn seed snapshot, including layers THIS
+      // seed call won't rewrite: a crashed seedNearDup-with-cmap
+      // followed by a re-seed WITHOUT cmap must not leave the stale
+      // cmap/c=<seed> to be served against the new corpus
+      StreamIndex.deleteTree(s"$baseDir/$l/c=$SeedBatch")
     }
   }
 }

@@ -377,5 +377,25 @@ class DurableClusterFoldSpec extends SparkTestBase {
       pairsDf(Seq((21L, 600L))))
     assert(rows(ExtensionQueries.readClusterMap(spark, leaseTable))
       === rows(ccMap(basePairs ++ day1 ++ Seq((21L, 600L)))))
+
+    // a fold that fails its OWN guards (torn-append detection runs
+    // INSIDE the lease window, so the epoch it guards is the one it
+    // stages at) releases the lease on the way out — the recovery
+    // message stays the torn-append one, not a wedged lease
+    import spark.implicits._
+    val e = DurableArtifact.foldsOf(spark, leaseTable)
+    Seq((9100L, 9100L)).toDF("doc_id", "cluster_id")
+      .withColumn(ExtensionQueries.FoldEpochCol,
+        org.apache.spark.sql.functions.lit(e + 1))
+      .write.mode("append").bucketBy(8, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(leaseTable)
+    val ex = intercept[IllegalArgumentException] {
+      ExtensionQueries.foldClusterMapDurable(spark, d, leaseTable,
+        pairsDf(Seq((31L, 700L))))
+    }
+    assert(ex.getMessage.contains("torn append"))
+    assert(DurableArtifact.propsOf(spark, leaseTable)
+      .get(DurableArtifact.FoldLeaseProp).forall(_.isEmpty),
+      "a guard-failed fold must release its lease")
   }
 }

@@ -166,6 +166,26 @@ class StreamBootstrapSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("committed stream batches"))
   }
 
+  test("a torn seed's OTHER-layer snapshot never survives a re-seed " +
+      "that omits that layer (stale cmap against a new corpus)") {
+    val dir = Files.createTempDirectory("graft_sb_cross").toString
+    val (corpus, index, cmap) = seedFrames
+    // torn seedNearDup-with-cmap: the cmap snapshot committed, the
+    // corpus never did
+    cmap.write.parquet(s"$dir/cmap/c=${StreamBootstrap.SeedBatch}")
+    // the operator re-runs as an ST8-ONLY seed — the stale cluster
+    // labels must be swept, not silently served against this corpus
+    StreamBootstrap.seedNearDup(spark, dir, corpus, index, cmap = None)
+    assert(!Files.exists(
+      Paths.get(s"$dir/cmap/c=${StreamBootstrap.SeedBatch}")),
+      "the stale cmap seed snapshot must be swept by the re-seed")
+    // …so the cluster layer gives the ST8-only refusal, never cmapA
+    val ex = intercept[IllegalArgumentException] {
+      StreamClusters.clusterView(spark, dir)
+    }
+    assert(ex.getMessage.contains("cluster-map artifact"))
+  }
+
   test("a dir seeded WITHOUT a cluster map serves ST8 but refuses the " +
       "cluster layer loudly (the seed never emitted the corpus-internal " +
       "pairs, so the clusters are unrecoverable there)") {
