@@ -3707,6 +3707,17 @@ object ExtensionQueries {
       DurableArtifact.epochRead(s, indexTable),
       cmapTable.map(t => readClusterMap(s, t)))
 
+  /** The ST9 twin of [[seedStreamFromTables]]: bootstrap an admission
+    * stream dir from the durable EXACT-SURVIVOR posting-index table
+    * and the corpus fingerprint table (the [[corpusFpArtifact]]
+    * family), both through the epoch-consistent read — a mid-fold fp
+    * table seeds exactly its committed set. */
+  def seedAdmissionFromTables(s: SparkSession, baseDir: String,
+      corpus: DataFrame, indexTable: String, fpTable: String): Unit =
+    StreamBootstrap.seedAdmission(s, baseDir, corpus,
+      DurableArtifact.epochRead(s, indexTable),
+      DurableArtifact.epochRead(s, fpTable))
+
   /** ST5 — stream-static dimension enrichment (batch twin): events
     * left-joined to the customer dimension (broadcast — no state
     * store, no watermark; the static side re-plans per micro-batch),

@@ -255,6 +255,32 @@ class StreamBootstrapSpec extends SparkTestBase {
       filt.select("fp").distinct())
     assert(StreamAdmission.curateBatch(bDocs.toDS(), 0L, seeded))
     assert(verdicts(seeded, bDocs.map(_.doc_id).toSet) === wantB)
+
+    // the TABLE convenience: both artifacts through the epoch filter —
+    // a torn fp append (rows above the committed epoch) must not seed
+    val ti = "g_sb_adm_idx_tbl"; val tf = "g_sb_adm_fp_tbl"
+    Seq(ti, tf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val fe = graft.DurableArtifact.FoldEpochCol
+    Dedup.postingIndex(surv, "doc_id", "text", 3).withColumn(fe, lit(0))
+      .write.bucketBy(8, "_sh").sortBy("_sh")
+      .format("parquet").saveAsTable(ti)
+    filt.select("fp").distinct().withColumn(fe, lit(0))
+      .write.bucketBy(8, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(tf)
+    // the torn row: the EXACT fingerprint of batch doc 23 — if the
+    // epoch filter leaked it into the seed, 23 would flip kept→exact
+    spark.range(1)
+      .select(TextAnalysis.fingerprintMd5(lit(bDocs(2).text)).as("fp"),
+        lit(1).as(fe))
+      .write.mode("append").bucketBy(8, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(tf)
+    val seeded2 = Files.createTempDirectory("graft_sb_adm_t").toString
+    graft.ExtensionQueries.seedAdmissionFromTables(spark, seeded2,
+      filt.select("doc_id", "text"), ti, tf)
+    assert(StreamAdmission.curateBatch(bDocs.toDS(), 0L, seeded2))
+    assert(verdicts(seeded2, bDocs.map(_.doc_id).toSet) === wantB,
+      "the torn fp row must not reach the seeded set")
+    Seq(ti, tf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("seedStreamFromTables seeds through the COMMIT-SAFE table reads: " +
