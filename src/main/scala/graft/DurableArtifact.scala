@@ -216,6 +216,17 @@ private[graft] final class DurableArtifact(
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .format("parquet").saveAsTable(table)
       afterFilesWritten()
+      // EPOCH FENCE: the lease's set-then-verify still admits two
+      // writers racing within one metastore round-trip; a racer that
+      // slipped past it and COMPLETED has bumped the folds counter by
+      // now, so re-read it just before the flip and refuse to commit a
+      // second epoch e+1 on top of it (detection narrows from "one
+      // round-trip" to "between this re-read and the flip statement").
+      require(DurableArtifact.foldsOf(s, table) == e,
+        s"appendDelta: $table's folds counter moved past $e while this " +
+          "fold was in flight — a concurrent writer slipped past the " +
+          "lease; run compactTable(table) to discard this fold's torn " +
+          "rows, then retry")
       // ONE statement: folds counter + caller extras + lease release —
       // the fold's single visibility flip frees the writer window with it
       val props = (extraProps +

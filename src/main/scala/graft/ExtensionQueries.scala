@@ -1124,6 +1124,19 @@ object ExtensionQueries {
     //    125×m) writes no patch at all.
     if (composed.nonEmpty) {
       val pt = clusterPatchTable(table, e + 1)
+      ClusterFoldHooks.beforeStagePatch()
+      // the lease's set-then-verify admits the A-set/A-verify/B-set/
+      // B-verify interleave where BOTH writers hold a verified token;
+      // both would then stage THIS epoch's patch table, and the one
+      // whose staging lands last wins silently — re-verify the token
+      // right before the staging write so the interleaved loser dies
+      // here instead of overwriting the recorded holder's staged patch
+      // (appendDelta's epoch fence backstops the flip itself).
+      require(DurableArtifact.propsOf(s, table)
+          .get(DurableArtifact.FoldLeaseProp).contains(lease),
+        s"foldClusterMapDurable: lost the fold lease on $table before " +
+          "staging the patch — a concurrent fold interleaved; this fold " +
+          "aborts without writing")
       DurableArtifact.dropOrphanWarehouseDir(s, pt)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("old_cluster_id",
@@ -1168,9 +1181,11 @@ object ExtensionQueries {
     * and after the new-node files land but before the properties
     * flip. No-ops in production. */
   private[graft] object ClusterFoldHooks {
+    @volatile var beforeStagePatch: () => Unit = () => ()
     @volatile var afterPatchWrite: () => Unit = () => ()
     @volatile var beforeFlip: () => Unit = () => ()
     def reset(): Unit = {
+      beforeStagePatch = () => ()
       afterPatchWrite = () => ()
       beforeFlip = () => ()
     }

@@ -102,12 +102,22 @@ object StreamClusters {
           // it is a SEED batch (StreamBootstrap) — which must then have
           // been seeded WITH a cluster map, or the corpus-internal
           // clusters are unrecoverable here (the seed never emitted
-          // their pairs). Fail with the fix, not a path error.
+          // their pairs). For a REAL batch the absence is ordinary
+          // corruption (a lost or manually pruned pairs/b=N) — say so,
+          // never misdirect recovery toward the seed path.
           require(Files.exists(Paths.get(s"$baseDir/pairs/b=$v")),
-            s"StreamClusters: committed batch $v has no pairs dir — a " +
-              "seeded dir must be bootstrapped WITH a cluster-map " +
-              "artifact (StreamBootstrap.seedNearDup's cmap) before " +
-              "the cluster layer can serve it")
+            if (v == StreamBootstrap.SeedBatch)
+              s"StreamClusters: committed batch $v has no pairs dir — a " +
+                "seeded dir must be bootstrapped WITH a cluster-map " +
+                "artifact (StreamBootstrap.seedNearDup's cmap) before " +
+                "the cluster layer can serve it"
+            else
+              s"StreamClusters: committed batch $v has no pairs dir — " +
+                "the pairs layer was written before this batch's corpus " +
+                "commit, so its absence means it was lost or pruned; " +
+                s"restore pairs/b=$v from backup (the batch's verdicts " +
+                "are not derivable once the pre-batch index state is " +
+                "compacted away)")
           val pairs = s.read.parquet(s"$baseDir/pairs/b=$v")
           val delta = Dedup.clusterFoldDelta(viewUpTo(s, baseDir, v), pairs)
           require(delta.broadcastable,

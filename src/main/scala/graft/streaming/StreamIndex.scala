@@ -138,9 +138,19 @@ private[graft] object StreamIndex {
     val target = scala.util.Try(rawT.toLong).toOption.filter(_ > 0)
       .getOrElse(throw new IllegalArgumentException(
         s"$DeltaTargetBytesConf must be a positive long, got '$rawT'"))
-    // analyzed-plan stats (file-listing sizes propagated), NOT the AQE
-    // frame — see CLAUDE.md's executedPlan stage-reuse sharp edge
-    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    // SUM OF LEAF stats (file-listing / local-relation sizes), never
+    // the analyzed ROOT: Spark's size-only estimator MULTIPLIES child
+    // sizes across joins, so a join-derived delta (pairBatch's pairs,
+    // curateBatch's verdicts) reports corpus² bytes at any realistic
+    // SF, `want` saturates at the cap, coalesce no-ops, and the
+    // small-file bound is silently disabled for exactly those writes.
+    // A delta's true size is bounded by what its leaves feed it, which
+    // is the signal that matters here: tiny-leaf triggers stay at the
+    // small-file bound, corpus-sized bootstrap/seed writes widen.
+    // (Analyzed plan, not the AQE frame — see CLAUDE.md's executedPlan
+    // stage-reuse sharp edge.)
+    val bytes = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
     val want = (bytes / target).min(4096).max(n).toInt
     df.coalesce(want)
   }

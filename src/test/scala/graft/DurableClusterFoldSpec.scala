@@ -398,4 +398,36 @@ class DurableClusterFoldSpec extends SparkTestBase {
       .get(DurableArtifact.FoldLeaseProp).forall(_.isEmpty),
       "a guard-failed fold must release its lease")
   }
+
+  test("a fold whose lease was usurped by the set-set-verify-verify " +
+      "interleave dies BEFORE staging its patch — the staged-patch " +
+      "overwrite window is closed by the pre-staging re-verify") {
+    val t = "g_cluster_fold_usurp_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    writeBase(t, basePairs)
+    val before = rows(ExtensionQueries.readClusterMap(spark, t))
+    // simulate the loser of the A-set/B-set/A-verify(B's token)/…
+    // interleave: by the time this fold reaches its staging write, the
+    // recorded holder is someone else — it must abort WITHOUT writing
+    // the epoch-1 patch table (which would have silently replaced the
+    // winner's staged relabels)
+    ExtensionQueries.ClusterFoldHooks.beforeStagePatch = () =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        s"('${DurableArtifact.FoldLeaseProp}' = 'the-other-writer')")
+    val ex = try intercept[IllegalArgumentException] {
+      ExtensionQueries.foldClusterMapDurable(spark, d, t, pairsDf(day2))
+    } finally ExtensionQueries.ClusterFoldHooks.reset()
+    assert(ex.getMessage.contains("lost the fold lease"),
+      s"wrong failure: ${ex.getMessage}")
+    assert(!spark.catalog.tableExists(patch(t, 1)),
+      "the usurped fold must never stage its patch")
+    assert(rows(ExtensionQueries.readClusterMap(spark, t)) === before)
+    // recovery is the usual crashed-lease path
+    ExtensionQueries.compactClusterMap(spark, t)
+    ExtensionQueries.foldClusterMapDurable(spark, d, t, pairsDf(day2))
+    assert(rows(ExtensionQueries.readClusterMap(spark, t))
+      === rows(ccMap(basePairs ++ day2)))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${patch(t, 1)}")
+  }
 }

@@ -610,4 +610,33 @@ class DurableArtifactsSpec extends SparkTestBase {
       "compactTable keeps the folds counter and the fold resumes from it")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("the epoch fence refuses to flip over a racer that completed " +
+      "while this fold was in flight — the check-then-set residue the " +
+      "lease alone cannot see") {
+    import org.apache.spark.sql.functions._
+    val t = "g_fp_fence_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ExtensionQueries.corpusFpArtifact.write(spark, d, t)
+    ExtensionQueries.evictCorpusFp(spark, d)
+    val delta = spark.range(2)
+      .select(md5(concat(lit("fc"), col("id").cast("string"))).as("fp"))
+    // simulate the interleave the lease's set-then-verify admits: a
+    // racer that slipped past it COMPLETES (bumps the folds counter)
+    // between this fold's file append and its flip — the fence's
+    // re-read must refuse the flip rather than commit a second epoch 1
+    val ex = intercept[IllegalArgumentException] {
+      ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta,
+        afterFilesWritten = () => {
+          spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+            s"('${graft.DurableArtifact.FoldsProp}' = '1')")
+        })
+    }
+    assert(ex.getMessage.contains("moved past"),
+      "the fence must name the racing-writer cause")
+    // the failed fold released its lease, so recovery can proceed
+    assert(graft.DurableArtifact.propsOf(spark, t)
+      .get(graft.DurableArtifact.FoldLeaseProp).forall(_.isEmpty))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

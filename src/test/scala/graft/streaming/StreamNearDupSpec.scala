@@ -264,5 +264,19 @@ class StreamNearDupSpec extends SparkTestBase {
       assert(StreamIndex.deltaSized(wide).rdd.getNumPartitions === 32,
         "a frame above bound×target must keep its parallelism")
     } finally spark.conf.unset(StreamIndex.DeltaTargetBytesConf)
+    // JOIN-DERIVED delta (the shape pairBatch/curateBatch actually
+    // write): Spark's size-only estimator multiplies child sizes
+    // across joins, so the analyzed ROOT stats of this tiny frame read
+    // ~rows² bytes — the bound must key on the LEAF sum instead, or it
+    // silently no-ops for exactly these writes (coalesce(4096) on a
+    // 32-partition frame does nothing)
+    val joined = wide.toDF("a")
+      .join(spark.range(0, 1000, 1, 32).toDF("a"), Seq("a"))
+    assert(joined.queryExecution.analyzed.stats.sizeInBytes >
+      joined.queryExecution.analyzed.collectLeaves()
+        .map(_.stats.sizeInBytes).sum,
+      "fixture drift: the join no longer inflates root stats")
+    assert(StreamIndex.deltaSized(joined).rdd.getNumPartitions === 8,
+      "a join-derived batch-sized delta must hit the small-file bound")
   }
 }
