@@ -105,7 +105,9 @@ object AdmissionSeedProbe {
         (filt.select("doc_id", "text"), f, idx)
       }
       timed("seed_s") {
-        StreamBootstrap.seedAdmission(spark, dirB, filtDocs, index, fps)
+        StreamBootstrap.seedAdmission(dirB, filtDocs, index, fps,
+          graft.streaming.StreamParams.admission(3, 500000L,
+            Dedup.DfCap.NoCap))
       }
       timed("day_seeded_s") {
         val _ = StreamAdmission.curateBatch(day, 0L, dirB)

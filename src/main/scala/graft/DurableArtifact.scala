@@ -31,6 +31,17 @@ private[graft] final class DurableArtifact(
     val tableConf: String,
     bucketCols: Seq[String],
     build: (SparkSession, String) => DataFrame,
+    /** The BUILD PARAMETERS this artifact is derived under (n-gram
+      * width, threshold, hash/plane counts …), stamped as
+      * [[DurableArtifact.ParamsProp]] on every durable write and
+      * REQUIRED to match before a table is served or folded into:
+      * an n=4 posting index served to an n=3 consumer returns
+      * silently wrong rows (batch shingles match no posting — every
+      * near-dup missed, no error), which makes parameter drift the
+      * same hazard class as the sourceDir mismatch the provenance
+      * stamp already guards. Empty = the artifact is parameterless
+      * (the fp set's md5 has no knobs). */
+    val params: Map[String, String] = Map.empty,
     /** How the durable branch reads the table — the default is the
       * EPOCH-CONSISTENT scan ([[DurableArtifact.epochRead]]: rows
       * filtered to the committed folds counter, bookkeeping column
@@ -64,12 +75,25 @@ private[graft] final class DurableArtifact(
     // path once a fold lands; fold-AWARE consumers (the daily job
     // serving the union corpus) opt in explicitly via
     // [[DurableArtifact.ServeFoldedConf]].
+    // Params are part of provenance: a table stamped with DIFFERENT
+    // build parameters (or a pre-params table with none recorded) is
+    // some other parameterization's artifact — fall back to building,
+    // exactly like a sourceDir mismatch, never serve its rows. A
+    // legacy table the operator KNOWS was built with these params is
+    // adopted once via [[adoptParams]].
     if (t.nonEmpty && s.catalog.tableExists(t) && stampedFor(s, t, d) &&
+        paramsMatch(s, t) &&
         (foldsOf(s, t) == 0 ||
           s.conf.get(ServeFoldedConf, "false").toBoolean))
       Some(readTable(s, t))
     else None
   }
+
+  /** True iff the table's recorded build params equal this artifact's
+    * (vacuously true for a parameterless artifact). */
+  private[graft] def paramsMatch(s: SparkSession, t: String): Boolean =
+    params.isEmpty || propsOf(s, t).get(ParamsProp)
+      .contains(canonParams(params))
 
   /** The memo build path (bypasses the durable table — used by
     * [[write]] so an overwrite never scans the very table it is
@@ -97,7 +121,8 @@ private[graft] final class DurableArtifact(
     * then sets [[tableConf]] so every consumer reads the bucketed
     * table from here on. */
   def use(s: SparkSession, d: String, table: String): Unit = {
-    if (!s.catalog.tableExists(table) || !stampedFor(s, table, d)) {
+    if (!s.catalog.tableExists(table) || !stampedFor(s, table, d) ||
+        !paramsMatch(s, table)) {
       write(s, d, table)
       // the build frame served its purpose (it is now the table);
       // don't pin a corpus-sized persisted copy for the session's
@@ -127,9 +152,14 @@ private[graft] final class DurableArtifact(
     // provenance stamp: the durable-read branch only trusts a table
     // whose recorded corpus dir matches the caller's (normalized so
     // trailing-slash / file:-prefix spellings compare equal, escaped
-    // so a quote in the path can't break the statement)
+    // so a quote in the path can't break the statement) AND whose
+    // recorded build params match the artifact's — one statement, so
+    // no reader can see a dir-stamped-but-param-less table
+    val paramStamp =
+      if (params.isEmpty) ""
+      else s", '$ParamsProp' = '${sqlEscape(canonParams(params))}'"
     s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('$SourceDirProp' = '${sqlEscape(normDir(d))}')")
+      s"('$SourceDirProp' = '${sqlEscape(normDir(d))}'$paramStamp)")
   }
 
   /** Fold a batch DELTA into the durable table at O(batch): an INSERT
@@ -182,6 +212,23 @@ private[graft] final class DurableArtifact(
         "(legacy-layout) table cannot fold commit-safely: a reader " +
         "racing the plain append could see a torn delta. Migrate once " +
         "with migrateToEpochLayout(table), then retry the fold")
+    // params guard: folding a delta derived under THESE params into a
+    // table built under different (or unrecorded) ones poisons every
+    // later read — an n=4 delta in an n=3 index matches no consumer.
+    // Unlike resolve's silent fall-back-to-build, a fold has no safe
+    // fallback, so refuse loudly; a pre-params table the operator
+    // knows was built with these params adopts once via adoptParams.
+    if (params.nonEmpty) {
+      val recorded = propsOf(s, table).get(ParamsProp)
+      require(recorded.contains(canonParams(params)),
+        s"appendDelta: $table records build params " +
+          s"'${recorded.getOrElse("<none>")}' but this artifact folds " +
+          s"deltas derived under '${canonParams(params)}' — folding " +
+          "would mix parameterizations into one table. If the table " +
+          "predates param stamping and WAS built with these params, " +
+          "adopt it once with adoptParams(table); otherwise rewrite " +
+          "the snapshot with write()")
+    }
     // SINGLE-WRITER enforcement: the commit-safe protocol assumes one
     // fold in flight; a second concurrent folder would interleave
     // epoch reads and counter bumps into silent corruption. The lease
@@ -331,6 +378,25 @@ private[graft] final class DurableArtifact(
       s"'${DurableArtifact.FoldsProp}' = '0')")
   }
 
+  /** One-shot adoption of a PRE-PARAMS (round-15-era) table: stamps
+    * this artifact's build params so resolve/appendDelta trust it
+    * again. The CALLER asserts the table really was built with these
+    * params — that assertion is exactly what the stamp records (the
+    * pre-epoch migrate pattern: explicit, loud, once). Refuses a table
+    * already stamped with DIFFERENT params — that is a real conflict,
+    * not missing provenance; rewrite the snapshot instead. */
+  def adoptParams(s: SparkSession, table: String): Unit = {
+    if (params.isEmpty) return
+    val recorded = propsOf(s, table).get(ParamsProp)
+    require(recorded.forall(_ == canonParams(params)),
+      s"adoptParams: $table already records '${recorded.getOrElse("")}' " +
+        s"— refusing to restamp as '${canonParams(params)}'; a genuine " +
+        "parameter change needs a snapshot rewrite (write()), not a " +
+        "relabel")
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$ParamsProp' = '${sqlEscape(canonParams(params))}')")
+  }
+
   /** Eviction hook for the session memo: unpersists and forgets one
     * (session, dir) entry — what a long-lived session iterating corpus
     * snapshots calls when a snapshot is superseded. */
@@ -340,6 +406,39 @@ private[graft] final class DurableArtifact(
 
 private[graft] object DurableArtifact {
   private[graft] val SourceDirProp = "graft.sourceDir"
+
+  /** The build-parameter provenance stamp: the canonical `k=v;…`
+    * string ([[canonParams]]) of the parameters the artifact's rows
+    * were derived under. Checked wherever the table is consumed
+    * (resolve falls back to building on mismatch; appendDelta and the
+    * stream seeds refuse loudly — they have no safe fallback). */
+  private[graft] val ParamsProp = "graft.params"
+
+  /** Canonical, order-independent rendering of a parameter map —
+    * sorted `k=v` pairs joined with `;` (keys/values never contain
+    * either character in this codebase; enforced so a parse is exact). */
+  private[graft] def canonParams(m: Map[String, String]): String = {
+    m.foreach { case (k, v) =>
+      require(!k.contains('=') && !k.contains(';') &&
+          !v.contains('=') && !v.contains(';'),
+        s"param '$k' -> '$v' may not contain '=' or ';'")
+    }
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+  }
+
+  /** Inverse of [[canonParams]] (empty string → empty map). */
+  private[graft] def parseParams(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split(';').iterator.map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"malformed param entry '$kv'")
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+
+  /** The build params recorded on `table`, if any. */
+  private[graft] def recordedParams(s: SparkSession,
+      table: String): Option[Map[String, String]] =
+    propsOf(s, table).get(ParamsProp).map(parseParams)
   /** Per-row fold-epoch column on every durable artifact table: the
     * snapshot write stamps 0, fold N's append stamps N, and the
     * epoch-consistent read filters `_fe <= committed folds counter` —

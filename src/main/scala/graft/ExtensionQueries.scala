@@ -172,7 +172,11 @@ object ExtensionQueries {
     // spans, where a >5,000-copy replica would have collided the bridges
     // with the probes' own re-crawl ids
     "probe_bridge_day1" -> 8000000000000L,
-    "probe_bridge_day2" -> 9000000000000L)
+    "probe_bridge_day2" -> 9000000000000L,
+    // the SEEDED dir's relabel-bearing day batch (StreamClustersProbe's
+    // ST11 phase) — its bridges must merge the seeded map's clusters,
+    // and its ids must clear every domain already live in the seed
+    "probe_bridge_seeded" -> 10000000000000L)
 
   /** X32 — INCREMENTAL near-dup: the daily-ingest recurrence. The
     * corpus is `documents`; the increment batch is a deterministic
@@ -896,6 +900,11 @@ object ExtensionQueries {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8))
       .select(col("node").as("doc_id"), col("cluster_id")),
+    // the map's labels are a function of the pair gate: n-gram width,
+    // threshold (0.8 = 800000 ppm — stated in ppm, the integer form
+    // the engine's gates use), and the df-cap rule
+    params = Map("n" -> "3", "thresholdPpm" -> "800000",
+      "dfCap" -> "NoCap"),
     // the durable read applies the patch layer, so conf-resolved
     // consumers of a FOLDED map (ServeFoldedConf opt-in) see the
     // folded labels, never the stale base rows
@@ -1297,7 +1306,10 @@ object ExtensionQueries {
     "spark.graft.postingIndexTable", Seq("_sh"),
     (s, d) => Dedup.postingIndex(
       Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text")),
-      "doc_id", "text", n = 3))
+      "doc_id", "text", n = 3),
+    // postings depend only on the shingle width; threshold/cap are
+    // pair-time parameters applied by the consumer
+    params = Map("n" -> "3"))
 
   /** Session conf key naming the durable posting-index table; same
     * provenance rule as [[ClusterMapTableConf]] (dir mismatch falls
@@ -1350,10 +1362,12 @@ object ExtensionQueries {
 
   private[graft] val lshBandedArtifact = new DurableArtifact(
     "spark.graft.lshBandedTable", Seq("_bh"),
-    (s, d) => Dedup.lshBanded(docsLshSigSet(s, d), 128, 32))
+    (s, d) => Dedup.lshBanded(docsLshSigSet(s, d), 128, 32),
+    params = Map("n" -> "3", "numHashes" -> "128", "bands" -> "32"))
   private[graft] val lshSetsArtifact = new DurableArtifact(
     "spark.graft.lshSetsTable", Seq("_id"),
-    (s, d) => docsLshSigSet(s, d).select(col("_id"), col("_set")))
+    (s, d) => docsLshSigSet(s, d).select(col("_id"), col("_set")),
+    params = Map("n" -> "3", "numHashes" -> "128"))
 
   private[graft] def docsLshArtifacts(
       s: SparkSession, d: String): (DataFrame, DataFrame) =
@@ -1382,7 +1396,8 @@ object ExtensionQueries {
   private[graft] val corpusFpArtifact = new DurableArtifact(
     "spark.graft.corpusFpTable", Seq("fp"),
     (s, d) => curationCorpusFp(
-      Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text"))))
+      Tables.wide(Tables.documents(s, d)).select(col("doc_id"), col("text"))),
+    params = Map("fp" -> "md5"))
 
   private[graft] def docsCorpusFp(s: SparkSession, d: String): DataFrame =
     corpusFpArtifact.resolve(s, d)
@@ -1406,7 +1421,8 @@ object ExtensionQueries {
       Tables.embeddings(s, d).filter(col("vec_id") < 200)
         .select(col("vec_id"),
           col("embedding").cast("array<float>").as("embedding")),
-      "vec_id", "embedding", dim = 64, nPlanes = 12))
+      "vec_id", "embedding", dim = 64, nPlanes = 12),
+    params = Map("dim" -> "64", "nPlanes" -> "12", "multiProbe" -> "true"))
 
   private[graft] def docsEmbBuckets(s: SparkSession, d: String): DataFrame =
     embBucketsArtifact.resolve(s, d)
@@ -3699,7 +3715,8 @@ object ExtensionQueries {
       val cmap = Dedup.connectedComponents(Dedup.ngramJaccardPairsPpm(
           snapshot, "doc_id", "text", 3, 800000L, Dedup.DfCap.NoCap))
         .select(col("node").as("doc_id"), col("cluster_id"))
-      StreamBootstrap.seedNearDup(s, dir, snapshot, index, Some(cmap))
+      StreamBootstrap.seedNearDup(dir, snapshot, index, Some(cmap),
+        graft.streaming.StreamParams.neardup(3, 800000L, Dedup.DfCap.NoCap))
       val _ = StreamNearDup.pairBatch(
         live.as(org.apache.spark.sql.Encoders.product[NdDoc]), 0L, dir,
         n = 3, thresholdPpm = 800000L, dfCap = Dedup.DfCap.NoCap)
@@ -3714,24 +3731,41 @@ object ExtensionQueries {
     * commit-safe table reads: the posting index through the
     * epoch-consistent filter, the cluster map through the patch-aware
     * [[readClusterMap]] — so a table read mid-fold seeds exactly its
-    * committed view, never a torn one. */
+    * committed view, never a torn one. The stream's parameters
+    * (n/thresholdPpm/dfCap — what every later trigger must run) are
+    * VERIFIED against each table's recorded build params (an n=4
+    * index refuses to seed an n=3 stream — the silent-wrong-verdict
+    * class) and recorded as the dir's `_params` marker. */
   def seedStreamFromTables(s: SparkSession, baseDir: String,
       corpus: DataFrame, indexTable: String,
-      cmapTable: Option[String] = None): Unit =
-    StreamBootstrap.seedNearDup(s, baseDir, corpus,
+      cmapTable: Option[String] = None, n: Int = 3,
+      thresholdPpm: Long = 500000L,
+      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap): Unit = {
+    val sp = graft.streaming.StreamParams.neardup(n, thresholdPpm, dfCap)
+    graft.streaming.StreamParams.requireTableCompatible(s, indexTable, sp)
+    cmapTable.foreach(
+      graft.streaming.StreamParams.requireTableCompatible(s, _, sp))
+    StreamBootstrap.seedNearDup(baseDir, corpus,
       DurableArtifact.epochRead(s, indexTable),
-      cmapTable.map(t => readClusterMap(s, t)))
+      cmapTable.map(t => readClusterMap(s, t)), sp)
+  }
 
   /** The ST9 twin of [[seedStreamFromTables]]: bootstrap an admission
     * stream dir from the durable EXACT-SURVIVOR posting-index table
     * and the corpus fingerprint table (the [[corpusFpArtifact]]
     * family), both through the epoch-consistent read — a mid-fold fp
-    * table seeds exactly its committed set. */
+    * table seeds exactly its committed set. Same params contract. */
   def seedAdmissionFromTables(s: SparkSession, baseDir: String,
-      corpus: DataFrame, indexTable: String, fpTable: String): Unit =
-    StreamBootstrap.seedAdmission(s, baseDir, corpus,
+      corpus: DataFrame, indexTable: String, fpTable: String,
+      n: Int = 3, thresholdPpm: Long = 500000L,
+      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap): Unit = {
+    val sp = graft.streaming.StreamParams.admission(n, thresholdPpm, dfCap)
+    graft.streaming.StreamParams.requireTableCompatible(s, indexTable, sp)
+    graft.streaming.StreamParams.requireTableCompatible(s, fpTable, sp)
+    StreamBootstrap.seedAdmission(baseDir, corpus,
       DurableArtifact.epochRead(s, indexTable),
-      DurableArtifact.epochRead(s, fpTable))
+      DurableArtifact.epochRead(s, fpTable), sp)
+  }
 
   /** ST5 — stream-static dimension enrichment (batch twin): events
     * left-joined to the customer dimension (broadcast — no state

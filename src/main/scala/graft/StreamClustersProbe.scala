@@ -145,16 +145,27 @@ object StreamClustersProbe {
       val seedIndex = spark.read.parquet(s"$dir/index/c=2")
       val seedCmap = spark.read.parquet(s"$dir/cmap/c=2")
       val seedCorpus = StreamNearDup.corpusView(spark, dir).toDF()
+      val seedParams = graft.streaming.StreamParams.neardup(3, ppm,
+        Dedup.DfCap.NoCap)
       timed("seed_s") {
-        StreamBootstrap.seedNearDup(spark, dir2, seedCorpus, seedIndex,
-          Some(seedCmap))
+        StreamBootstrap.seedNearDup(dir2, seedCorpus, seedIndex,
+          Some(seedCmap), seedParams)
       }
-      // a day trigger on the seeded dir runs at the same batch-tracking
-      // cost as dir1's days (fresh re-crawl residue, fresh id domain)
+      // a RELABEL-BEARING day trigger on the seeded dir: re-crawl
+      // residue PLUS bridge chains over the SEEDED map's roots — the
+      // suffix relabels must compose on top of a seeded cmap snapshot,
+      // at the same batch-tracking cost as dir1's days
+      val seededRoots = ProbeFixtures.rankedRoots(
+        StreamClusters.clusterView(spark, dir2), docs, 2 * MaxBridges + 2)
       val day3 = recrawl(col("doc_id") % 200 === 50,
           ExtensionQueries.ArrivalOffsets("day2"))
+        .unionByName(ProbeFixtures.bridges(seededRoots, 1,
+          ExtensionQueries.ArrivalOffsets("probe_bridge_seeded"),
+          BridgeSteps))
         .as(Encoders.product[NdDoc]).localCheckpoint()
       timed("day_seeded_s") { trigger(0L, day3, dir2) }
+      out("relabels_seeded") = spark.read.parquet(s"$dir2/cmap/b=0")
+        .filter(col("_rel")).count().toString
       val n3 = timed("view_seeded_s") {
         StreamClusters.clusterView(spark, dir2).count()
       }

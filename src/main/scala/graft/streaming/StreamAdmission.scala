@@ -89,6 +89,9 @@ object StreamAdmission {
           "exactly-once-equals-batch contract; freeze a DfCap.Fixed " +
           "from a corpus snapshot instead")
     }
+    // PARAMS GATE — see StreamNearDup.pairBatch / StreamParams
+    StreamParams.establish(baseDir,
+      StreamParams.admission(n, thresholdPpm, dfCap))
     val s = batch.sparkSession
     if (StreamIndex.committedBatches(s"$baseDir/corpus").contains(batchId))
       false
@@ -157,8 +160,10 @@ object StreamAdmission {
 
   /** The accumulated exact-survivor posting-index view (ST8's layout,
     * curation heal). */
-  def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame =
+  def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame = {
+    StreamParams.verifyKeys(baseDir, Map("n" -> n.toString))
     StreamIndex.indexView(s, baseDir, healIndex(s, baseDir, _, n))
+  }
 
   /** ST9's out-of-band maintenance pass: ST8's index compaction with
     * the curation heal, PLUS the fp-layer compaction — the fp deltas
@@ -167,6 +172,7 @@ object StreamAdmission {
     * (CompactionProbe's fp table). Returns the index snapshot id. */
   def compactIndex(s: SparkSession, baseDir: String, n: Int = 3):
       Option[Long] = {
+    StreamParams.verifyKeys(baseDir, Map("n" -> n.toString))
     val built = StreamIndex.compactIndex(s, baseDir,
       healIndex(s, baseDir, _, n))
     val _ = compactFps(s, baseDir)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 
 /** Bootstrap the streaming layers from DURABLE SNAPSHOT ARTIFACTS —
   * the adoption path for a deployment with an EXISTING curated corpus.
@@ -39,7 +39,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * no shingling): bootstrap costs O(artifact bytes), not O(corpus
   * pairing). The caller must hand frames derived with the SAME
   * parameters the stream will run (n-gram width, threshold, cap) —
-  * the layers compose with later triggers under those semantics.
+  * the layers compose with later triggers under those semantics. The
+  * seed RECORDS that parameterization in the dir's `_params` marker
+  * ([[StreamParams]]), every later trigger verifies against it, and
+  * the table-reading conveniences check it against the durable
+  * tables' own recorded build params — the contract is enforced, not
+  * documentation.
   *
   * Seeding is a ONE-TIME setup step run before the stream starts,
   * never concurrently with it: a dir with committed batches or
@@ -52,10 +57,17 @@ object StreamBootstrap {
 
   /** Seed ST8/ST10 (near-dup + cluster maintenance) layers: posting
     * index, optional cluster map, corpus. See the object doc for the
-    * layout and crash rules. */
-  def seedNearDup(s: SparkSession, baseDir: String, corpus: DataFrame,
-      index: DataFrame, cmap: Option[DataFrame] = None): Unit = {
-    prepareSeed(baseDir)
+    * layout and crash rules. `params` is the parameterization the
+    * stream will run ([[StreamParams.neardup]]) — recorded as the
+    * dir's `_params` marker so every later trigger verifies against
+    * it; the frames must be derived under exactly these parameters
+    * (the table-reading conveniences verify that against the tables'
+    * own recorded build params). Writes go through the frames' own
+    * sessions — there is deliberately no session parameter here. */
+  def seedNearDup(baseDir: String, corpus: DataFrame,
+      index: DataFrame, cmap: Option[DataFrame],
+      params: Map[String, String]): Unit = {
+    prepareSeed(baseDir, params)
     index.select("_sh", "_lst").write.mode("overwrite")
       .parquet(s"$baseDir/index/c=$SeedBatch")
     cmap.foreach(_.select("doc_id", "cluster_id").write.mode("overwrite")
@@ -65,10 +77,12 @@ object StreamBootstrap {
 
   /** Seed ST9 (streaming curation) layers: the exact-survivor posting
     * index, the fingerprint set of every admitted document, and the
-    * curated corpus. */
-  def seedAdmission(s: SparkSession, baseDir: String, corpus: DataFrame,
-      index: DataFrame, fps: DataFrame): Unit = {
-    prepareSeed(baseDir)
+    * curated corpus. Same params contract as [[seedNearDup]]
+    * ([[StreamParams.admission]]). */
+  def seedAdmission(baseDir: String, corpus: DataFrame,
+      index: DataFrame, fps: DataFrame,
+      params: Map[String, String]): Unit = {
+    prepareSeed(baseDir, params)
     index.select("_sh", "_lst").write.mode("overwrite")
       .parquet(s"$baseDir/index/c=$SeedBatch")
     fps.select("fp").write.mode("overwrite")
@@ -91,11 +105,16 @@ object StreamBootstrap {
     * other-layer snapshot silently survives into the new stream. */
   private val SeedableLayers = Seq("index", "cmap", "fps")
 
-  private def prepareSeed(baseDir: String): Unit = {
+  private def prepareSeed(baseDir: String,
+      params: Map[String, String]): Unit = {
     require(StreamIndex.committedBatches(s"$baseDir/corpus").isEmpty,
       s"seed: $baseDir already has committed stream batches — " +
         "bootstrap is a one-time setup before the stream starts, " +
         "never a live-dir operation")
+    // the seed DEFINES the dir's parameterization (nothing committed
+    // yet, so a torn prior attempt's marker is freely overwritten);
+    // every later trigger verifies against this marker
+    StreamParams.establish(baseDir, params)
     SeedableLayers.foreach { l =>
       // a snapshot ABOVE the seed id means real compactions ran here;
       // a c=<seed> snapshot with no committed corpus is a TORN seed

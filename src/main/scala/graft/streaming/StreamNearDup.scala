@@ -115,6 +115,12 @@ object StreamNearDup {
           "exactly-once-equals-batch contract; freeze a DfCap.Fixed " +
           "from a corpus snapshot instead")
     }
+    // PARAMS GATE: trigger 0 (or the seed) recorded the dir's
+    // parameterization; a trigger running different parameters would
+    // compose non-matching layers (an n=4 delta matches no n=3 probe)
+    // into silently wrong verdicts — throw instead (StreamParams doc).
+    StreamParams.establish(baseDir,
+      StreamParams.neardup(n, thresholdPpm, dfCap))
     val s = batch.sparkSession
     if (committedBatches(s"$baseDir/corpus").contains(batchId)) false
     else {
@@ -160,8 +166,12 @@ object StreamNearDup {
     * rebuilding the delta from the committed docs — dropping it
     * silently would lose that batch's postings from every later
     * pairing. */
-  def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame =
+  def indexView(s: SparkSession, baseDir: String, n: Int = 3): DataFrame = {
+    // the heal re-shingles at n — under the wrong width it would
+    // rebuild a delta no probe matches
+    StreamParams.verifyKeys(baseDir, Map("n" -> n.toString))
     StreamIndex.indexView(s, baseDir, healDeltas(s, baseDir, _, n))
+  }
 
   /** Maintenance pass bounding the append-only index's growth in
     * FILES and per-shingle ROWS: fold the previous compact snapshot
@@ -190,8 +200,10 @@ object StreamNearDup {
     * the delete. Returns the new snapshot's batch id, or None when no
     * committed delta extends the current snapshot. */
   def compactIndex(s: SparkSession, baseDir: String, n: Int = 3):
-      Option[Long] =
+      Option[Long] = {
+    StreamParams.verifyKeys(baseDir, Map("n" -> n.toString))
     StreamIndex.compactIndex(s, baseDir, healDeltas(s, baseDir, _, n))
+  }
 
   /** Rebuild any missing `index/b=<id>` delta among `batches` from
     * its committed corpus dir (the pre-index-deployment heal). */

@@ -53,10 +53,14 @@ class DurableClusterFoldSpec extends SparkTestBase {
   private def ccMap(ps: Seq[(Long, Long)]): DataFrame =
     Dedup.connectedComponents(pairsDf(ps))
       .select(col("node").as("doc_id"), col("cluster_id"))
-  private def writeBase(t: String, ps: Seq[(Long, Long)]): Unit =
+  private def writeBase(t: String, ps: Seq[(Long, Long)]): Unit = {
     ccMap(ps).withColumn(ExtensionQueries.FoldEpochCol, lit(0))
       .write.bucketBy(8, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(t)
+    // what the snapshot job's write() stamps — the fold's params guard
+    // requires it before folding deltas into the table
+    ExtensionQueries.clusterMapArtifact.adoptParams(spark, t)
+  }
   private def patch(t: String, e: Int): String =
     ExtensionQueries.clusterPatchTable(t, e)
 
@@ -256,6 +260,7 @@ class DurableClusterFoldSpec extends SparkTestBase {
       .format("parquet").saveAsTable(serveTable)
     spark.sql(s"ALTER TABLE $serveTable SET TBLPROPERTIES " +
       s"('${DurableArtifact.SourceDirProp}' = '${DurableArtifact.normDir(d)}')")
+    ExtensionQueries.clusterMapArtifact.adoptParams(spark, serveTable)
     ExtensionQueries.foldClusterMapDurable(spark, d, serveTable, halfB)
     all.unpersist()
 
@@ -339,6 +344,17 @@ class DurableClusterFoldSpec extends SparkTestBase {
     assert(rows(ExtensionQueries.readClusterMap(spark, legacyTable)) === want)
     assert(DurableArtifact.foldsOf(spark, legacyTable) === 1,
       "migration changes layout, never provenance")
+    // a legacy table also predates PARAM stamping: the fold refuses
+    // until the operator asserts the build params via adoptParams (the
+    // layout migrate and the params adoption are separate, explicit
+    // one-shots — the engine never guesses what a table was built with)
+    val exP = intercept[IllegalArgumentException] {
+      ExtensionQueries.foldClusterMapDurable(spark, d, legacyTable,
+        pairsDf(Seq((0L, 1L))))
+    }
+    assert(exP.getMessage.contains("adoptParams"),
+      s"the refusal must name the adoption step: ${exP.getMessage}")
+    ExtensionQueries.clusterMapArtifact.adoptParams(spark, legacyTable)
     // …and the commit-safe fold now runs on the migrated table
     ExtensionQueries.foldClusterMapDurable(spark, d, legacyTable,
       pairsDf(Seq((0L, 1L))))

@@ -511,6 +511,14 @@ class DurableArtifactsSpec extends SparkTestBase {
     assert(graft.DurableArtifact.stampedFor(spark, t, d))
     // idempotent
     ExtensionQueries.corpusFpArtifact.migrateToEpochLayout(spark, t)
+    // a legacy table also predates PARAM stamping — the fold refuses
+    // until the operator adopts (asserts) the build params, the same
+    // explicit one-shot pattern as the layout migration
+    val exP = intercept[IllegalArgumentException] {
+      ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta)
+    }
+    assert(exP.getMessage.contains("adoptParams"))
+    ExtensionQueries.corpusFpArtifact.adoptParams(spark, t)
     // …and the fold now runs with full commit safety (interleaved
     // reader probe included)
     var probed = false
@@ -637,6 +645,64 @@ class DurableArtifactsSpec extends SparkTestBase {
     // the failed fold released its lease, so recovery can proceed
     assert(graft.DurableArtifact.propsOf(spark, t)
       .get(graft.DurableArtifact.FoldLeaseProp).forall(_.isEmpty))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("build-parameter provenance: write() stamps graft.params, a " +
+      "mismatched or missing stamp is never served (fall back to " +
+      "build), use() rewrites it, and adoptParams refuses a conflict") {
+    import org.apache.spark.sql.functions._
+    val t = "g_emb_params_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val art = ExtensionQueries.embBucketsArtifact
+    art.write(spark, d, t)
+    assert(graft.DurableArtifact.recordedParams(spark, t)
+      === Some(Map("dim" -> "64", "nPlanes" -> "12",
+        "multiProbe" -> "true")),
+      "the snapshot write must stamp the build params")
+
+    // matching params serve durably (no build)
+    val s2 = spark.newSession()
+    s2.conf.set(art.tableConf, t)
+    ExtensionQueries.evictEmbBuckets(spark, d)
+    val builds = art.builds.get()
+    assert(ExtensionQueries.docsEmbBuckets(s2, d).count() > 0)
+    assert(art.builds.get() === builds, "param-matched table must serve")
+
+    // a table recording DIFFERENT params (another deployment's
+    // nPlanes) must NOT serve — resolve falls back to a fresh build,
+    // the rows-from-the-wrong-parameterization hazard
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      s"('${graft.DurableArtifact.ParamsProp}' = " +
+      "'dim=64;multiProbe=true;nPlanes=16')")
+    val s3 = spark.newSession()
+    s3.conf.set(art.tableConf, t)
+    assert(ExtensionQueries.docsEmbBuckets(s3, d).count() > 0)
+    assert(art.builds.get() === builds + 1,
+      "a param-mismatched table must fall back to building")
+    ExtensionQueries.evictEmbBuckets(s3, d)
+
+    // folding into it refuses loudly (a fold has no safe fallback)
+    val exF = intercept[IllegalArgumentException] {
+      art.appendDelta(spark, d, t,
+        spark.range(1).select(lit(1L).as("_id"), lit(7L).as("_bucket")))
+    }
+    assert(exF.getMessage.contains("param"))
+    // adoptParams refuses to RELABEL a genuine conflict…
+    val exA = intercept[IllegalArgumentException] {
+      art.adoptParams(spark, t)
+    }
+    assert(exA.getMessage.contains("rewrite"))
+    // …and use() rewrites the table for the caller's parameterization
+    art.use(spark, d, t)
+    assert(graft.DurableArtifact.recordedParams(spark, t)
+      .exists(_("nPlanes") == "12"))
+    val s4 = spark.newSession()
+    s4.conf.set(art.tableConf, t)
+    assert(ExtensionQueries.docsEmbBuckets(s4, d).count() > 0)
+    // use()'s rewrite paid one build; the s4 serve itself paid none
+    assert(art.builds.get() === builds + 2, "the rewritten table serves")
+    spark.conf.unset(art.tableConf)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }

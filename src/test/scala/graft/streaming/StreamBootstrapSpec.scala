@@ -41,6 +41,7 @@ class StreamBootstrapSpec extends SparkTestBase {
     NdDoc(22L, tail2 + " eleven"),
     NdDoc(23L, base + " lambda mu " + tail2 + " nine"))
   private val ppm = 300000L
+  private val ndParams = StreamParams.neardup(3, ppm, Dedup.DfCap.NoCap)
 
   private def mapRows(dir: String): Set[(Long, Long)] =
     StreamClusters.clusterView(spark, dir)
@@ -77,7 +78,7 @@ class StreamBootstrapSpec extends SparkTestBase {
     StreamClusters.foldCommitted(spark, scratch)
     // seeded: three artifact copies, then ONLY the live trigger
     val (corpus, index, cmap) = seedFrames
-    StreamBootstrap.seedNearDup(spark, seeded, corpus, index, Some(cmap))
+    StreamBootstrap.seedNearDup(seeded, corpus, index, Some(cmap), ndParams)
     assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, seeded, 3, ppm))
     StreamClusters.foldCommitted(spark, seeded)
 
@@ -111,7 +112,7 @@ class StreamBootstrapSpec extends SparkTestBase {
       "deferred exactly one pass, content-transparent throughout") {
     val dir = Files.createTempDirectory("graft_sb_maint").toString
     val (corpus, index, cmap) = seedFrames
-    StreamBootstrap.seedNearDup(spark, dir, corpus, index, Some(cmap))
+    StreamBootstrap.seedNearDup(dir, corpus, index, Some(cmap), ndParams)
     assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, dir, 3, ppm))
     StreamClusters.foldCommitted(spark, dir)
     val want = ccRows(corpusDocs ++ liveDocs)
@@ -150,18 +151,18 @@ class StreamBootstrapSpec extends SparkTestBase {
     assert(StreamNearDup.corpusView(spark, dir).isEmpty,
       "a torn seed must be invisible through the committed views")
     // the re-run overwrites the torn layers and completes
-    StreamBootstrap.seedNearDup(spark, dir, corpus, index, Some(cmap))
+    StreamBootstrap.seedNearDup(dir, corpus, index, Some(cmap), ndParams)
     assert(mapRows(dir) === ccRows(corpusDocs))
     // a completed seed refuses a second one
     val ex1 = intercept[IllegalArgumentException] {
-      StreamBootstrap.seedNearDup(spark, dir, corpus, index, Some(cmap))
+      StreamBootstrap.seedNearDup(dir, corpus, index, Some(cmap), ndParams)
     }
     assert(ex1.getMessage.contains("committed stream batches"))
     // a dir with real stream history refuses too
     val live = Files.createTempDirectory("graft_sb_live").toString
     assert(StreamNearDup.pairBatch(corpusDocs.toDS(), 0L, live, 3, ppm))
     val ex2 = intercept[IllegalArgumentException] {
-      StreamBootstrap.seedNearDup(spark, live, corpus, index, Some(cmap))
+      StreamBootstrap.seedNearDup(live, corpus, index, Some(cmap), ndParams)
     }
     assert(ex2.getMessage.contains("committed stream batches"))
   }
@@ -175,7 +176,7 @@ class StreamBootstrapSpec extends SparkTestBase {
     cmap.write.parquet(s"$dir/cmap/c=${StreamBootstrap.SeedBatch}")
     // the operator re-runs as an ST8-ONLY seed — the stale cluster
     // labels must be swept, not silently served against this corpus
-    StreamBootstrap.seedNearDup(spark, dir, corpus, index, cmap = None)
+    StreamBootstrap.seedNearDup(dir, corpus, index, cmap = None, ndParams)
     assert(!Files.exists(
       Paths.get(s"$dir/cmap/c=${StreamBootstrap.SeedBatch}")),
       "the stale cmap seed snapshot must be swept by the re-seed")
@@ -191,7 +192,7 @@ class StreamBootstrapSpec extends SparkTestBase {
       "pairs, so the clusters are unrecoverable there)") {
     val dir = Files.createTempDirectory("graft_sb_nocmap").toString
     val (corpus, index, _) = seedFrames
-    StreamBootstrap.seedNearDup(spark, dir, corpus, index, cmap = None)
+    StreamBootstrap.seedNearDup(dir, corpus, index, cmap = None, ndParams)
     // ST8 works: the live batch pairs against the seeded index
     assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, dir, 3, ppm))
     val pairs = StreamNearDup.allPairs(spark, dir)
@@ -249,10 +250,11 @@ class StreamBootstrapSpec extends SparkTestBase {
     val surv = filt.join(keeper, Seq("fp"))
       .filter(col("doc_id") === col("keeper")).select("doc_id", "text")
     val seeded = Files.createTempDirectory("graft_sb_adm_b").toString
-    StreamBootstrap.seedAdmission(spark, seeded,
+    StreamBootstrap.seedAdmission(seeded,
       filt.select("doc_id", "text"),
       Dedup.postingIndex(surv, "doc_id", "text", 3),
-      filt.select("fp").distinct())
+      filt.select("fp").distinct(),
+      StreamParams.admission(3, 500000L, Dedup.DfCap.NoCap))
     assert(StreamAdmission.curateBatch(bDocs.toDS(), 0L, seeded))
     assert(verdicts(seeded, bDocs.map(_.doc_id).toSet) === wantB)
 
@@ -300,7 +302,8 @@ class StreamBootstrapSpec extends SparkTestBase {
       .format("parquet").saveAsTable(tc)
 
     val dir = Files.createTempDirectory("graft_sb_tbl").toString
-    ExtensionQueries.seedStreamFromTables(spark, dir, corpus, ti, Some(tc))
+    ExtensionQueries.seedStreamFromTables(spark, dir, corpus, ti, Some(tc),
+      n = 3, thresholdPpm = ppm)
     assert(spark.read.parquet(s"$dir/index/c=${StreamBootstrap.SeedBatch}")
       .filter(col("_sh") === 999999L).head(1).isEmpty,
       "the torn posting row must not reach the seeded snapshot")
