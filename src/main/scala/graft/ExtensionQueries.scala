@@ -3750,6 +3750,33 @@ object ExtensionQueries {
       cmapTable.map(t => readClusterMap(s, t)), sp)
   }
 
+  /** BY-REFERENCE twin of [[seedStreamFromTables]]: the snapshot
+    * layers land as POINTERS to the durable tables instead of
+    * physical copies — O(metadata) adoption (at 100 TB the posting
+    * index is itself roughly corpus-sized, so the physical seed's
+    * copy is an artifact-sized rewrite this skips). The corpus enters
+    * by reference too (`corpusTable`, epoch-read; must expose exactly
+    * (doc_id, text)). Same params verification; the pointers freeze
+    * each table's fold state — fold/rebase a source table before the
+    * stream's first compaction and reads fail loudly
+    * ([[graft.streaming.StreamIndex.readDir]]'s fence). */
+  def seedStreamFromTablesByRef(s: SparkSession, baseDir: String,
+      corpusTable: String, indexTable: String,
+      cmapTable: Option[String] = None, n: Int = 3,
+      thresholdPpm: Long = 500000L,
+      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap): Unit = {
+    val sp = graft.streaming.StreamParams.neardup(n, thresholdPpm, dfCap)
+    (Seq(corpusTable, indexTable) ++ cmapTable).foreach(
+      graft.streaming.StreamParams.requireTableCompatible(s, _, sp))
+    val corpusCols = DurableArtifact.epochRead(s, corpusTable).columns.toSeq
+    require(corpusCols == Seq("doc_id", "text"),
+      s"seedStreamFromTablesByRef: corpus table $corpusTable reads as " +
+        s"$corpusCols — the stream's corpus layer is exactly " +
+        "(doc_id, text); project a view/table with that shape")
+    StreamBootstrap.seedNearDupByRef(s, baseDir, corpusTable, indexTable,
+      cmapTable, sp)
+  }
+
   /** The ST9 twin of [[seedStreamFromTables]]: bootstrap an admission
     * stream dir from the durable EXACT-SURVIVOR posting-index table
     * and the corpus fingerprint table (the [[corpusFpArtifact]]
@@ -3765,6 +3792,23 @@ object ExtensionQueries {
     StreamBootstrap.seedAdmission(baseDir, corpus,
       DurableArtifact.epochRead(s, indexTable),
       DurableArtifact.epochRead(s, fpTable), sp)
+  }
+
+  /** The ST9 by-ref twin — see [[seedStreamFromTablesByRef]]. */
+  def seedAdmissionFromTablesByRef(s: SparkSession, baseDir: String,
+      corpusTable: String, indexTable: String, fpTable: String,
+      n: Int = 3, thresholdPpm: Long = 500000L,
+      dfCap: Dedup.DfCap = Dedup.DfCap.NoCap): Unit = {
+    val sp = graft.streaming.StreamParams.admission(n, thresholdPpm, dfCap)
+    Seq(corpusTable, indexTable, fpTable).foreach(
+      graft.streaming.StreamParams.requireTableCompatible(s, _, sp))
+    val corpusCols = DurableArtifact.epochRead(s, corpusTable).columns.toSeq
+    require(corpusCols == Seq("doc_id", "text"),
+      s"seedAdmissionFromTablesByRef: corpus table $corpusTable reads " +
+        s"as $corpusCols — the stream's corpus layer is exactly " +
+        "(doc_id, text); project a view/table with that shape")
+    StreamBootstrap.seedAdmissionByRef(s, baseDir, corpusTable,
+      indexTable, fpTable, sp)
   }
 
   /** ST5 — stream-static dimension enrichment (batch twin): events

@@ -69,6 +69,7 @@ object StreamClustersProbe {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_stcp").toString
     val dir2 = java.nio.file.Files.createTempDirectory("graft_stcp2").toString
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_stcp3").toString
     // the probe's pair gate: chain steps sit near J ≈ 0.82-0.86, so
     // the 700000 ppm gate keeps every consecutive link — which is what
     // makes the bridges actually merge clusters (same reasoning as
@@ -170,11 +171,43 @@ object StreamClustersProbe {
         StreamClusters.clusterView(spark, dir2).count()
       }
       out("map_rows_seeded") = n3.toString
+
+      // ST11 BY-REF: the pointer seed — O(metadata) regardless of
+      // artifact size, where seed_s above physically copies the
+      // artifacts (at 100 TB the posting index is itself roughly
+      // corpus-sized, so that copy is an artifact-scale rewrite). The
+      // durable TABLES a deployment already holds are materialized
+      // here for reference (tables_s — the nightly job's cost, paid
+      // once); the seed itself writes three pointer markers.
+      val tblC = "g_stcp_corpus"; val tblI = "g_stcp_index"
+      val tblM = "g_stcp_cmap"
+      timed("tables_s") {
+        Seq(tblC, tblI, tblM).foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t"))
+        seedCorpus.write.format("parquet").saveAsTable(tblC)
+        seedIndex.write.format("parquet").saveAsTable(tblI)
+        seedCmap.write.format("parquet").saveAsTable(tblM)
+      }
+      timed("seed_byref_s") {
+        ExtensionQueries.seedStreamFromTablesByRef(spark, dir3,
+          tblC, tblI, Some(tblM), n = 3, thresholdPpm = ppm)
+      }
+      // the same relabel-bearing day batch, on the pointer-seeded dir
+      timed("day_byref_s") { trigger(0L, day3, dir3) }
+      out("relabels_byref") = spark.read.parquet(s"$dir3/cmap/b=0")
+        .filter(col("_rel")).count().toString
+      val n4 = timed("view_byref_s") {
+        StreamClusters.clusterView(spark, dir3).count()
+      }
+      out("map_rows_byref") = n4.toString
+      Seq(tblC, tblI, tblM).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
     } finally {
       println(out.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}"))
       graft.streaming.StreamIndex.deleteTree(dir)
       graft.streaming.StreamIndex.deleteTree(dir2)
+      graft.streaming.StreamIndex.deleteTree(dir3)
       spark.stop()
     }
   }

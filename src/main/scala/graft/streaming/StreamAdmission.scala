@@ -155,7 +155,7 @@ object StreamAdmission {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("fp",
             org.apache.spark.sql.types.StringType))))
-    else s.read.parquet(dirs: _*).distinct()
+    else StreamIndex.readDirs(s, dirs).distinct()
   }
 
   /** The accumulated exact-survivor posting-index view (ST8's layout,
@@ -216,7 +216,8 @@ object StreamAdmission {
     batches
       .filterNot(v => Files.exists(Paths.get(s"$baseDir/fps/b=$v/_SUCCESS")))
       .foreach { v =>
-        StreamIndex.deltaSized(s.read.parquet(s"$baseDir/corpus/b=$v")
+        StreamIndex.deltaSized(
+            StreamIndex.readDir(s, s"$baseDir/corpus/b=$v")
             .select(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
             .distinct())
           .write.mode("overwrite").parquet(s"$baseDir/fps/b=$v")
@@ -246,7 +247,7 @@ object StreamAdmission {
                   org.apache.spark.sql.types.StringType))))
           else s.read.parquet(earlier.map(b => s"$baseDir/fps/b=$b"): _*)
             .distinct()
-        val docs = s.read.parquet(s"$baseDir/corpus/b=$v")
+        val docs = StreamIndex.readDir(s, s"$baseDir/corpus/b=$v")
           .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
         val wFp = Window.partitionBy("fp").orderBy("doc_id")
         val survivors = docs

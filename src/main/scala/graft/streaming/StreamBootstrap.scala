@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bootstrap the streaming layers from DURABLE SNAPSHOT ARTIFACTS —
   * the adoption path for a deployment with an EXISTING curated corpus.
@@ -88,6 +88,45 @@ object StreamBootstrap {
     fps.select("fp").write.mode("overwrite")
       .parquet(s"$baseDir/fps/c=$SeedBatch")
     commitCorpus(baseDir, corpus)
+  }
+
+  /** BY-REFERENCE ST8/ST10 seed: the snapshot layers land as POINTER
+    * dirs resolving to the durable catalog tables instead of physical
+    * copies ([[StreamIndex.readDir]]) — adoption costs O(metadata)
+    * (a handful of marker files) where the physical seed pays an
+    * artifact-sized rewrite, which at 100 TB is itself corpus-scale.
+    * The pointer freezes the tables' fold state at seed time: a fold
+    * or rebase of a source table BEFORE the stream's first compaction
+    * (which materializes the stream's own snapshot and retires the
+    * pointers) fails reads loudly rather than composing rows the
+    * stream never paired against. Same commit discipline: the corpus
+    * pointer lands LAST, its `_SUCCESS` is the seed's commit marker.
+    * Callers must hand tables readable by the kind-appropriate
+    * commit-safe read — use `ExtensionQueries.seedStreamFromTablesByRef`,
+    * which also verifies recorded build params. */
+  def seedNearDupByRef(s: SparkSession, baseDir: String,
+      corpusTable: String, indexTable: String, cmapTable: Option[String],
+      params: Map[String, String]): Unit = {
+    prepareSeed(baseDir, params)
+    StreamIndex.writePointer(s, s"$baseDir/index/c=$SeedBatch",
+      indexTable, "epoch")
+    cmapTable.foreach(t => StreamIndex.writePointer(s,
+      s"$baseDir/cmap/c=$SeedBatch", t, "cmap"))
+    StreamIndex.writePointer(s, s"$baseDir/corpus/b=$SeedBatch",
+      corpusTable, "epoch")
+  }
+
+  /** The ST9 by-ref twin of [[seedNearDupByRef]]. */
+  def seedAdmissionByRef(s: SparkSession, baseDir: String,
+      corpusTable: String, indexTable: String, fpTable: String,
+      params: Map[String, String]): Unit = {
+    prepareSeed(baseDir, params)
+    StreamIndex.writePointer(s, s"$baseDir/index/c=$SeedBatch",
+      indexTable, "epoch")
+    StreamIndex.writePointer(s, s"$baseDir/fps/c=$SeedBatch",
+      fpTable, "epoch")
+    StreamIndex.writePointer(s, s"$baseDir/corpus/b=$SeedBatch",
+      corpusTable, "epoch")
   }
 
   /** The corpus write IS the seed's commit: it lands last, and its

@@ -155,7 +155,10 @@ object StreamClusters {
   private def viewUpTo(s: SparkSession, baseDir: String,
       before: Long): DataFrame = {
     val snap = StreamIndex.layerSnapshot(baseDir, Layer)
-    val base = snap.map(m => s.read.parquet(s"$baseDir/$Layer/c=$m"))
+    // readDir: a by-ref seed's cmap snapshot is a pointer resolving
+    // through the patch-aware committed read
+    val base = snap.map(m => StreamIndex.readDir(s, s"$baseDir/$Layer/c=$m")
+        .select("doc_id", "cluster_id"))
       .getOrElse(emptyMap(s))
     val batches = StreamIndex.committedBatches(s"$baseDir/corpus")
       .filter(v => snap.forall(v > _)).filter(_ < before)

@@ -28,7 +28,7 @@ private[graft] object StreamIndex {
       heal: Seq[Long] => Unit): DataFrame = {
     val dirs = layerDirs(baseDir, "index", heal)
     if (dirs.isEmpty) emptyIndex(s)
-    else s.read.parquet(dirs: _*)
+    else readDirs(s, dirs)
   }
 
   /** The committed dirs a layer's view reads: newest committed compact
@@ -85,7 +85,11 @@ private[graft] object StreamIndex {
       val hi = fresh.max
       val parts = prev.map(m => s"$baseDir/$layer/c=$m").toSeq ++
         fresh.map(v => s"$baseDir/$layer/b=$v")
-      merge(s.read.parquet(parts: _*))
+      // readDirs: a by-ref seed's pointer snapshot resolves to its
+      // table here, so THIS pass is what materializes the stream's
+      // own physical snapshot — and the deferred sweep then retires
+      // the pointer, ending the stream's dependence on the table
+      merge(readDirs(s, parts))
         .write.mode("overwrite").parquet(s"$baseDir/$layer/c=$hi")
       Some(hi)
     }
@@ -154,6 +158,92 @@ private[graft] object StreamIndex {
     val want = (bytes / target).min(4096).max(n).toInt
     df.coalesce(want)
   }
+
+  // ——————————————————————————————— by-reference seed pointers ———
+  // A committed layer dir may be a POINTER instead of parquet files:
+  // a `_POINTER` file naming a durable catalog table plus the reader
+  // kind and a freeze fence (the table's folds counter + sourceDir at
+  // seed time). StreamBootstrap's by-ref seed writes these so 100 TB
+  // adoption costs O(metadata) — the posting index is itself roughly
+  // corpus-sized, and the physical seed's copy pays an artifact-sized
+  // rewrite that the pointer skips entirely. Readers resolve the
+  // pointer through the COMMIT-SAFE table read for its kind; the
+  // first compaction materializes the stream's own snapshot and the
+  // deferred sweep retires the pointer dir under the normal rules, so
+  // after one maintenance pass the stream no longer references the
+  // table at all.
+
+  private val PointerFile = "_POINTER"
+
+  /** Write a pointer dir: `_POINTER` (table, reader kind, freeze
+    * fence) then `_SUCCESS` — the same commit discipline as a parquet
+    * layer write (a torn pointer is invisible and overwritten). */
+  def writePointer(s: SparkSession, dir: String, table: String,
+      kind: String): Unit = {
+    require(kind == "epoch" || kind == "cmap", s"unknown pointer kind $kind")
+    require(s.catalog.tableExists(table),
+      s"seed pointer: no table $table")
+    val props = graft.DurableArtifact.propsOf(s, table)
+    deleteTree(dir)
+    Files.createDirectories(Paths.get(dir))
+    val body = Seq(table, kind,
+      props.getOrElse(graft.DurableArtifact.FoldsProp, "0"),
+      props.getOrElse(graft.DurableArtifact.SourceDirProp, ""))
+      .mkString("\n")
+    Files.write(Paths.get(dir, PointerFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir, "_SUCCESS"), Array.empty[Byte])
+  }
+
+  private def isPointer(dir: String): Boolean =
+    Files.exists(Paths.get(dir, PointerFile))
+
+  /** Resolve ONE committed dir — pointer-aware. A pointer resolves
+    * through the commit-safe read for its kind, FENCED on the freeze
+    * state captured at seed time: the seeded snapshot must stay
+    * reconstructible from the table, so a fold or rebase of the
+    * source table after seeding fails the read loudly (the fix —
+    * compact the stream first, which materializes its own snapshot
+    * and drops the pointer — is in the message), never serves rows
+    * the seed's triggers did not pair against. */
+  def readDir(s: SparkSession, dir: String): DataFrame =
+    if (!isPointer(dir)) s.read.parquet(dir)
+    else {
+      val lines = new String(Files.readAllBytes(Paths.get(dir, PointerFile)),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
+      val (table, kind, folds0, srcDir0) =
+        (lines(0), lines(1), lines(2), lines(3))
+      if (!s.catalog.tableExists(table))
+        throw new IllegalStateException(
+          s"seed pointer at $dir references table $table, which no " +
+            "longer exists — the by-ref seed defers to the table's " +
+            "lifecycle only until the stream's first compaction " +
+            "materializes its own snapshot; run compaction before " +
+            "retiring the table, or re-seed a fresh dir")
+      val props = graft.DurableArtifact.propsOf(s, table)
+      val now = (props.getOrElse(graft.DurableArtifact.FoldsProp, "0"),
+        props.getOrElse(graft.DurableArtifact.SourceDirProp, ""))
+      if (now != ((folds0, srcDir0)))
+        throw new IllegalStateException(
+          s"seed pointer at $dir is STALE: table $table moved on since " +
+            s"the seed (folds/sourceDir were ($folds0, $srcDir0), now " +
+            s"$now) — serving it would compose layers the stream never " +
+            "paired against. Compact the stream FIRST (materializes its " +
+            "own snapshot and retires the pointer), then fold/rebase " +
+            "the table; or re-seed a fresh dir")
+      kind match {
+        case "epoch" => graft.DurableArtifact.epochRead(s, table)
+        case "cmap"  => graft.ExtensionQueries.readClusterMap(s, table)
+      }
+    }
+
+  /** Resolve MANY committed dirs. The no-pointer fast path keeps the
+    * exact multi-path parquet scan every non-seeded stream plans
+    * today (byte-identical plans); pointer-bearing listings union the
+    * resolved frames by name. */
+  def readDirs(s: SparkSession, dirs: Seq[String]): DataFrame =
+    if (!dirs.exists(isPointer)) s.read.parquet(dirs: _*)
+    else dirs.map(readDir(s, _)).reduce(_.unionByName(_))
 
   /** The `(_sh, _lst)` schema with no rows — the pre-first-commit view. */
   def emptyIndex(s: SparkSession): DataFrame =

@@ -213,17 +213,20 @@ object StreamNearDup {
       .filterNot(v => Files.exists(Paths.get(s"$baseDir/index/b=$v/_SUCCESS")))
       .foreach { v =>
         StreamIndex.deltaSized(Dedup.postingIndex(
-            s.read.parquet(s"$baseDir/corpus/b=$v"), "doc_id", "text", n))
+            StreamIndex.readDir(s, s"$baseDir/corpus/b=$v"),
+            "doc_id", "text", n))
           .write.mode("overwrite").parquet(s"$baseDir/index/b=$v")
       }
 
 
 
-  /** All documents streamed so far (committed batches only). */
+  /** All documents streamed so far (committed batches only; a by-ref
+    * seed's corpus batch resolves through its table pointer). */
   def corpusView(s: SparkSession, baseDir: String): Dataset[NdDoc] = {
     val vs = committedBatches(s"$baseDir/corpus")
     if (vs.isEmpty) s.emptyDataset(Encoders.product[NdDoc])
-    else s.read.parquet(vs.map(v => s"$baseDir/corpus/b=$v"): _*)
+    else StreamIndex.readDirs(s, vs.map(v => s"$baseDir/corpus/b=$v"))
+      .select("doc_id", "text")
       .as(Encoders.product[NdDoc])
   }
 

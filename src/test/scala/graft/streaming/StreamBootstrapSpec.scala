@@ -285,6 +285,175 @@ class StreamBootstrapSpec extends SparkTestBase {
     Seq(ti, tf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  /** Write the three durable tables a nightly job holds, epoch layout. */
+  private def writeSeedTables(tc: String, ti: String, tm: String): Unit = {
+    Seq(tc, ti, tm).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (corpus, index, cmap) = seedFrames
+    val fe = DurableArtifact.FoldEpochCol
+    corpus.withColumn(fe, lit(0)).write.bucketBy(8, "doc_id")
+      .sortBy("doc_id").format("parquet").saveAsTable(tc)
+    index.withColumn(fe, lit(0)).write.bucketBy(8, "_sh").sortBy("_sh")
+      .format("parquet").saveAsTable(ti)
+    cmap.withColumn(fe, lit(0)).write.bucketBy(8, "doc_id")
+      .sortBy("doc_id").format("parquet").saveAsTable(tm)
+  }
+
+  test("BY-REF seed (pointer layers) ≡ physical seed ≡ from-scratch: " +
+      "cluster view, postings, corpus view, and pair emissions match; " +
+      "the first compactions materialize the stream's own snapshots " +
+      "and the deferred sweep retires the pointers") {
+    val tc = "g_sb_ref_corpus"; val ti = "g_sb_ref_index"
+    val tm = "g_sb_ref_cmap"
+    writeSeedTables(tc, ti, tm)
+    val dir = Files.createTempDirectory("graft_sb_ref").toString
+    ExtensionQueries.seedStreamFromTablesByRef(spark, dir, tc, ti,
+      Some(tm), n = 3, thresholdPpm = ppm)
+    // the seed wrote ONLY pointer markers — no data files
+    assert(Files.exists(
+      Paths.get(s"$dir/index/c=${StreamBootstrap.SeedBatch}/_POINTER")))
+    val ls = Files.list(
+      Paths.get(s"$dir/corpus/b=${StreamBootstrap.SeedBatch}"))
+    try assert(ls.count() === 2L,
+      "a pointer dir holds exactly _POINTER + _SUCCESS")
+    finally ls.close()
+
+    // the live trigger pairs against the referenced index and folds
+    // into the referenced map — identical to the physical-seed run
+    assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, dir, 3, ppm))
+    StreamClusters.foldCommitted(spark, dir)
+    val want = ccRows(corpusDocs ++ liveDocs)
+    assert(mapRows(dir) === want)
+    def postings(d0: String) = Dedup.mergePostingDeltas(
+        StreamNearDup.indexView(spark, d0, 3))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    assert(postings(dir) === Dedup.postingIndex(
+        (corpusDocs ++ liveDocs).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap)
+    assert(StreamNearDup.corpusView(spark, dir)
+      .collect().map(d => (d.doc_id, d.text)).toSet
+      === (corpusDocs ++ liveDocs).map(d => (d.doc_id, d.text)).toSet)
+
+    // compaction materializes the stream's OWN snapshots; the next
+    // (no-op) pass retires the pointer dirs — after it the stream no
+    // longer references the index/cmap tables at all
+    assert(StreamClusters.compactClusters(spark, dir) === Some(0L))
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === Some(0L))
+    assert(Files.exists(Paths.get(s"$dir/cmap/c=-1")) &&
+      Files.exists(Paths.get(s"$dir/index/c=-1")),
+      "pointers survive the covering pass (deferred cleanup)")
+    assert(StreamClusters.compactClusters(spark, dir) === None)
+    assert(StreamNearDup.compactIndex(spark, dir, 3) === None)
+    assert(!Files.exists(Paths.get(s"$dir/cmap/c=-1")) &&
+      !Files.exists(Paths.get(s"$dir/index/c=-1")),
+      "the sweep pass must retire the pointer dirs")
+    // content is unchanged, and dropping the RETIRED tables is safe
+    // (the corpus pointer is permanent — the corpus layer never
+    // compacts — so the corpus table stays)
+    Seq(ti, tm).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    assert(mapRows(dir) === want)
+    assert(postings(dir).nonEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $tc")
+  }
+
+  test("a by-ref pointer is FENCED on the table's fold state: folding " +
+      "the source table after seeding fails stream reads loudly " +
+      "instead of composing rows the stream never paired against") {
+    val tc = "g_sb_fence_corpus"; val ti = "g_sb_fence_index"
+    val tm = "g_sb_fence_cmap"
+    writeSeedTables(tc, ti, tm)
+    val dir = Files.createTempDirectory("graft_sb_fence").toString
+    ExtensionQueries.seedStreamFromTablesByRef(spark, dir, tc, ti,
+      Some(tm), n = 3, thresholdPpm = ppm)
+    assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, dir, 3, ppm))
+    StreamClusters.foldCommitted(spark, dir)
+    val before = mapRows(dir)
+    // the nightly job folds a batch into the INDEX table (simulated by
+    // its visibility flip — the folds counter bump)
+    spark.sql(s"ALTER TABLE $ti SET TBLPROPERTIES " +
+      s"('${DurableArtifact.FoldsProp}' = '1')")
+    val ex = intercept[IllegalStateException] {
+      StreamNearDup.pairBatch(
+        Seq(NdDoc(31L, "fresh words here")).toDS(), 1L, dir, 3, ppm)
+    }
+    assert(ex.getMessage.contains("STALE") &&
+      ex.getMessage.contains("Compact the stream"),
+      s"the fence must name the fix: ${ex.getMessage}")
+    // cmap reads fence too
+    spark.sql(s"ALTER TABLE $ti SET TBLPROPERTIES " +
+      s"('${DurableArtifact.FoldsProp}' = '0')")
+    spark.sql(s"ALTER TABLE $tm SET TBLPROPERTIES " +
+      s"('${DurableArtifact.FoldsProp}' = '1')")
+    val ex2 = intercept[IllegalStateException] {
+      StreamClusters.clusterView(spark, dir)
+    }
+    assert(ex2.getMessage.contains("STALE"))
+    // restoring the recorded state un-wedges the stream (the fence is
+    // a freeze check, not a lock)
+    spark.sql(s"ALTER TABLE $tm SET TBLPROPERTIES " +
+      s"('${DurableArtifact.FoldsProp}' = '0')")
+    assert(mapRows(dir) === before)
+    // and a DROPPED table gives the lifecycle message
+    spark.sql(s"DROP TABLE IF EXISTS $ti")
+    val ex3 = intercept[IllegalStateException] {
+      StreamNearDup.pairBatch(
+        Seq(NdDoc(31L, "fresh words here")).toDS(), 1L, dir, 3, ppm)
+    }
+    assert(ex3.getMessage.contains("no longer exists"))
+    Seq(tc, tm).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("ST9 by-ref: pointer-seeded admission gives the live batch " +
+      "exactly the from-scratch verdicts") {
+    val en = "the alpha of beta and gamma the delta of epsilon " +
+      "and zeta the eta of theta and iota the kappa of lambda and mu"
+    val aDocs = Seq(
+      NdDoc(1L, en + " nu xi"),
+      NdDoc(2L, en + " nu omicron"),
+      NdDoc(11L, en + " nu xi"))
+    val bDocs = Seq(
+      NdDoc(21L, en + " nu xi"),
+      NdDoc(22L, en + " nu pi"),
+      NdDoc(23L, "the ocean of granite and willow the trumpet of amber " +
+        "and moonrise the silver of canyon and breeze the raven of " +
+        "cedar and gold"))
+    val scratch = Files.createTempDirectory("graft_sb_ref_adm_s").toString
+    assert(StreamAdmission.curateBatch(aDocs.toDS(), 0L, scratch))
+    assert(StreamAdmission.curateBatch(bDocs.toDS(), 1L, scratch))
+    def verdicts(dir: String, ids: Set[Long]) =
+      StreamAdmission.allVerdicts(spark, dir)
+        .collect().filter(r => ids(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getString(2), Option(r.getString(3))))
+        .toSet
+    val wantB = verdicts(scratch, bDocs.map(_.doc_id).toSet)
+
+    val filt = aDocs.toDF("doc_id", "text")
+      .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      .filter(TextAnalysis.langIdNative(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.3)
+    val keeper = filt.groupBy("fp").agg(min("doc_id").as("keeper"))
+    val surv = filt.join(keeper, Seq("fp"))
+      .filter(col("doc_id") === col("keeper")).select("doc_id", "text")
+    val tc = "g_sb_ref_adm_corpus"; val ti = "g_sb_ref_adm_index"
+    val tf = "g_sb_ref_adm_fps"
+    Seq(tc, ti, tf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val fe = DurableArtifact.FoldEpochCol
+    filt.select("doc_id", "text").withColumn(fe, lit(0))
+      .write.bucketBy(8, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(tc)
+    Dedup.postingIndex(surv, "doc_id", "text", 3).withColumn(fe, lit(0))
+      .write.bucketBy(8, "_sh").sortBy("_sh")
+      .format("parquet").saveAsTable(ti)
+    filt.select("fp").distinct().withColumn(fe, lit(0))
+      .write.bucketBy(8, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(tf)
+    val seeded = Files.createTempDirectory("graft_sb_ref_adm_b").toString
+    ExtensionQueries.seedAdmissionFromTablesByRef(spark, seeded,
+      tc, ti, tf)
+    assert(StreamAdmission.curateBatch(bDocs.toDS(), 0L, seeded))
+    assert(verdicts(seeded, bDocs.map(_.doc_id).toSet) === wantB)
+    Seq(tc, ti, tf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("seedStreamFromTables seeds through the COMMIT-SAFE table reads: " +
       "the epoch filter excludes a torn index append, the patch-aware " +
       "read serves the folded cluster labels") {
