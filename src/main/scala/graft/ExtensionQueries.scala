@@ -62,6 +62,15 @@ object ExtensionQueries {
     round(s12ToDouble(dot) /
       (sqrt(s12ToDouble(na)) * sqrt(s12ToDouble(nb))), 6)
 
+  /** Exact DECIMAL(9,6)-quantized cosine restricted to a given pair
+    * set — the rerank every approximate candidate generator shares,
+    * packaged for callers outside this object (the streaming vector
+    * modality, [[graft.streaming.StreamEmbed]]): `vecs` carries
+    * (vec_id, embedding), pairs carry the two id columns. */
+  private[graft] def quantizedCosOnPairs(vecs: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame =
+    scaledCosOnPairs(quantizedVectors(vecs), pairs, aCol, bCol)
+
   /** (vec_id, q: array<long> scale-6, n2: long scale-12) — each vector
     * quantized ONCE per row. The explode(array(…)) Generate is the
     * projection barrier (CLAUDE.md): without it CollapseProject inlines
@@ -3726,6 +3735,36 @@ object ExtensionQueries {
     } finally graft.streaming.StreamIndex.deleteTree(dir)
   }
 
+  /** ST12 — STREAMING vector-modality admission, driver-visible: the
+    * live-ingest twin of x36 ([[graft.streaming.StreamEmbed]]). The
+    * vector corpus streams in as trigger 0 (its buckets accumulate as
+    * the `ebkt` deltas), the daily re-embed batch as trigger 1 —
+    * candidate-paired against the accumulated buckets (the corpus is
+    * never re-hashed or self-joined) and reranked with the exact
+    * quantized-decimal cosine at 0.99. Trigger 1's emitted pairs must
+    * therefore equal x36's restricted recompute VERBATIM — the oracle
+    * is x36's exact decimal listing, shared ([[embedIncrementOracle]]);
+    * the union-of-triggers ≡ full-recompute identity and the
+    * crash/replay story are pinned by StreamEmbedSpec. */
+  def st12StreamEmbed(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+    val corpus = raw.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val increment = raw.filter(col("vec_id") % 3 === 1)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_st12").toString
+    try {
+      val enc = org.apache.spark.sql.Encoders
+        .product[graft.streaming.EmbDoc]
+      val _ = graft.streaming.StreamEmbed.pairBatch(corpus.as(enc), 0L, dir)
+      val _2 = graft.streaming.StreamEmbed.pairBatch(
+        increment.as(enc), 1L, dir)
+      s.read.parquet(s"$dir/pairs/b=1").localCheckpoint()
+        .orderBy("ida", "idb")
+    } finally graft.streaming.StreamIndex.deleteTree(dir)
+  }
+
   /** Bootstrap a stream dir's layers from the DURABLE SNAPSHOT TABLES
     * — [[graft.streaming.StreamBootstrap.seedNearDup]] fed with the
     * commit-safe table reads: the posting index through the
@@ -5120,24 +5159,13 @@ object ExtensionQueries {
 
     // x36: the exact decimal pair listing over corpus ∪ re-embed
     // batch, restricted to ≥1-new (batch ids top the domain)
-    "x36_incremental_embed_neardup" ->
-      """WITH base AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |  FROM embeddings WHERE vec_id < 200
-        |  UNION ALL
-        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x + 0.001)
-        |  FROM embeddings WHERE vec_id < 200 AND vec_id % 3 = 1),
-        |e AS (SELECT vec_id, i, CAST(x AS DECIMAL(9,6)) v FROM
-        |  (SELECT vec_id, unnest(emb) x, generate_subscripts(emb,1) i FROM base)),
-        |dots AS (SELECT a.vec_id ida, b.vec_id idb, SUM(a.v*b.v) dot
-        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-        |  WHERE b.vec_id >= 1000000 GROUP BY 1,2),
-        |norms AS (SELECT vec_id, SUM(v*v) n2 FROM e GROUP BY 1)
-        |SELECT ida, idb, cos FROM (
-        |  SELECT ida, idb,
-        |    ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6) AS cos
-        |  FROM dots JOIN norms na ON na.vec_id=ida JOIN norms nb ON nb.vec_id=idb) t
-        |WHERE cos >= 0.99 ORDER BY ida, idb""".stripMargin,
+    "x36_incremental_embed_neardup" -> embedIncrementOracle,
+
+    // st12: the STREAMED form of the same recurrence — trigger 1's
+    // emitted pairs are exactly x36's restricted listing (the corpus
+    // streamed as trigger 0; candidates from the accumulated bucket
+    // deltas; identical quantized-decimal rerank) — oracle shared
+    "st12_stream_embed" -> embedIncrementOracle,
 
     "x6_embedding_neardup" ->
       """WITH base AS (
@@ -5748,6 +5776,29 @@ object ExtensionQueries {
     "st11_bootstrap_stream" -> streamClustersOracle,
   )
 
+  /** The exact DECIMAL(9,6) pair listing over corpus ∪ re-embed batch
+    * restricted to ≥1-new (batch ids top the domain) — shared by the
+    * batch recurrence (x36) and its streamed twin (st12): the stream's
+    * trigger-1 emissions must equal the batch serve verbatim. */
+  private def embedIncrementOracle: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id < 200
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_transform(embedding, x -> x + 0.001)
+      |  FROM embeddings WHERE vec_id < 200 AND vec_id % 3 = 1),
+      |e AS (SELECT vec_id, i, CAST(x AS DECIMAL(9,6)) v FROM
+      |  (SELECT vec_id, unnest(emb) x, generate_subscripts(emb,1) i FROM base)),
+      |dots AS (SELECT a.vec_id ida, b.vec_id idb, SUM(a.v*b.v) dot
+      |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  WHERE b.vec_id >= 1000000 GROUP BY 1,2),
+      |norms AS (SELECT vec_id, SUM(v*v) n2 FROM e GROUP BY 1)
+      |SELECT ida, idb, cos FROM (
+      |  SELECT ida, idb,
+      |    ROUND(CAST(dot AS DOUBLE)/(SQRT(CAST(na.n2 AS DOUBLE))*SQRT(CAST(nb.n2 AS DOUBLE))),6) AS cos
+      |  FROM dots JOIN norms na ON na.vec_id=ida JOIN norms nb ON nb.vec_id=idb) t
+      |WHERE cos >= 0.99 ORDER BY ida, idb""".stripMargin
+
   /** The from-scratch cluster-map rebuild (x11's recursive-CTE
     * components over the integer-ppm ≥ 0.8 pair gate) — the shared
     * oracle for every streaming cluster-maintenance row: st10's
@@ -5865,6 +5916,7 @@ object ExtensionQueries {
     "st7_stream_budget"      -> (st7BudgetTwin _),
     "st10_stream_clusters"   -> (st10StreamClusters _),
     "st11_bootstrap_stream"  -> (st11BootstrapStream _),
+    "st12_stream_embed"      -> (st12StreamEmbed _),
     "st2_sessionize"         -> (st2Sessionize _),
     "st4_stream_curate"      -> (st4StreamCurate _),
     "st5_stream_enrich"      -> (st5StreamEnrich _),
