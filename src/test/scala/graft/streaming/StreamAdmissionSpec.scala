@@ -198,6 +198,91 @@ class StreamAdmissionSpec extends SparkTestBase {
     assert(viaView === rebuilt)
   }
 
+  test("under a BINDING DfCap.Fixed the verdicts equal the " +
+      "as-of-arrival capped recompute — early admissions stand, a " +
+      "late arrival whose shared shingles crossed the cap is KEPT " +
+      "(the cap's contract: dfs only grow, emissions never retract)") {
+    val cap = Dedup.DfCap.Fixed(4)
+    // five base-family survivors by trigger 3: docs 1/2 (t1), 11/12
+    // (t2) arrive while the shared base-shingle dfs are ≤ 4 — their
+    // near-dup pairs stand; doc 21 (t3) arrives at df 5, every base
+    // co-shingle capped away, so it is KEPT under the cap although
+    // the NoCap recompute calls it a near-dup (the drift guard below)
+    val c1 = Seq(NdDoc(1L, base + " nu xi"), NdDoc(2L, base + " nu omicron"))
+    val c2 = Seq(NdDoc(11L, base + " nu pi"), NdDoc(12L, base + " nu rho"))
+    val c3 = Seq(NdDoc(21L, base + " nu sigma"))
+    val capBatches = Seq(c1, c2, c3)
+    val dir = Files.createTempDirectory("graft_sa_bindcap").toString
+    capBatches.zipWithIndex.foreach { case (b, i) =>
+      assert(StreamAdmission.curateBatch(b.toDS(), i.toLong, dir,
+        3, 500000L, cap))
+    }
+    // independent AS-OF-ARRIVAL restatement through the FULL pair
+    // listing (a different code path from the stream's delta-merge
+    // incremental): per batch k, dfs and the cap are stated over the
+    // survivors up to and including k, and a doc is near_dup iff it is
+    // the LARGER side of a capped qualifying pair (batch ids top the
+    // domain, so every pair touching the batch orients onto it)
+    var survSoFar = Seq.empty[NdDoc]
+    var fpsSeen = Set.empty[String]
+    val expected = scala.collection.mutable.Map
+      .empty[Long, (String, Option[String])]
+    capBatches.foreach { b =>
+      val filt = b.toDF("doc_id", "text")
+        .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+        .filter(TextAnalysis.langIdNative(col("text")) === "en" &&
+          TextAnalysis.qualityScore(col("text")) >= 0.3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(filt.length === b.length, "fixture drift: a doc was filtered")
+      val keeper = filt.groupBy(_._3).map { case (_, ds) =>
+        ds.map(_._1).min }.toSet
+      val exact = filt.filter(r => fpsSeen(r._3) || !keeper(r._1))
+        .map(_._1).toSet
+      val survB = filt.filter(r => !exact(r._1))
+        .map(r => NdDoc(r._1, r._2)).toSeq
+      val batchIds = survB.map(_.doc_id).toSet
+      import spark.implicits._
+      val nd = Dedup.ngramJaccardPairsPpm(
+          (survSoFar ++ survB).toDF("doc_id", "text"),
+          "doc_id", "text", 3, 500000L, cap)
+        .select("idb").as[Long].collect().toSet
+        .intersect(batchIds)
+      filt.foreach { r =>
+        val id = r._1
+        val v =
+          if (exact(id)) "exact_dup"
+          else if (nd(id)) "near_dup"
+          else "kept"
+        val split =
+          if (v == "kept")
+            Some(if ((id % 2147483647L) * 48271L % 2147483647L % 10 < 8)
+              "train" else "eval")
+          else None
+        expected(id) = (v, split)
+      }
+      fpsSeen ++= filt.map(_._3)
+      survSoFar ++= survB
+    }
+    val vm = verdictMap(StreamAdmission.allVerdicts(spark, dir))
+    assert(vm === expected.toMap,
+      "streamed verdicts must equal the as-of-arrival capped recompute")
+    // the cap actually BOUND, in both directions: early near-dups
+    // stand (emitted while df ≤ cap)…
+    assert(vm(11L)._1 === "near_dup" && vm(12L)._1 === "near_dup")
+    // …and the late arrival was capped into a keep — where the NoCap
+    // one-shot calls it a near-dup (fixture-drift guard: if this
+    // fails, Fixed(4) no longer binds — lower the cap)
+    assert(vm(21L)._1 === "kept")
+    import spark.implicits._
+    val noCapNd = Dedup.ngramJaccardPairsPpm(
+        (c1 ++ c2 ++ c3).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 500000L, Dedup.DfCap.NoCap)
+      .select("idb").as[Long].collect().toSet
+    assert(noCapNd.contains(21L),
+      "fixture drift: doc 21 must be a NoCap near-dup for the cap row " +
+        "to prove anything")
+  }
+
   test("a missing index delta is healed by replaying exact dedup, " +
       "not by re-shingling every doc") {
     val dir = Files.createTempDirectory("graft_sa_heal").toString
