@@ -3833,6 +3833,39 @@ object ExtensionQueries {
       DurableArtifact.epochRead(s, fpTable), sp)
   }
 
+  /** The ST12 seed conveniences: bootstrap a vector-admission stream
+    * dir from the durable PROBED-BUCKET table (the [[embBucketsArtifact]]
+    * family, epoch-read) plus a vector-corpus table — physical copy or
+    * by-ref pointers. The bucket table's recorded build params
+    * (dim/nPlanes/multiProbe) are verified against the stream's; the
+    * corpus table must read as exactly (vec_id, embedding) with DOUBLE
+    * elements (ST12's exact-rerank contract). */
+  def seedEmbedFromTables(s: SparkSession, baseDir: String,
+      corpus: DataFrame, bucketTable: String, dim: Int = 64,
+      nPlanes: Int = 12, cosThresholdPpm: Long = 990000L): Unit = {
+    val sp = graft.streaming.StreamParams.embed(dim, nPlanes,
+      cosThresholdPpm)
+    graft.streaming.StreamParams.requireTableCompatible(s, bucketTable, sp)
+    StreamBootstrap.seedEmbed(baseDir, corpus,
+      DurableArtifact.epochRead(s, bucketTable), sp)
+  }
+
+  /** By-ref twin of [[seedEmbedFromTables]] — O(metadata) adoption. */
+  def seedEmbedFromTablesByRef(s: SparkSession, baseDir: String,
+      corpusTable: String, bucketTable: String, dim: Int = 64,
+      nPlanes: Int = 12, cosThresholdPpm: Long = 990000L): Unit = {
+    val sp = graft.streaming.StreamParams.embed(dim, nPlanes,
+      cosThresholdPpm)
+    Seq(corpusTable, bucketTable).foreach(
+      graft.streaming.StreamParams.requireTableCompatible(s, _, sp))
+    val corpusCols = DurableArtifact.epochRead(s, corpusTable).columns.toSeq
+    require(corpusCols == Seq("vec_id", "embedding"),
+      s"seedEmbedFromTablesByRef: corpus table $corpusTable reads as " +
+        s"$corpusCols — the stream's corpus layer is exactly " +
+        "(vec_id, embedding); project a view/table with that shape")
+    StreamBootstrap.seedEmbedByRef(s, baseDir, corpusTable, bucketTable, sp)
+  }
+
   /** The ST9 by-ref twin — see [[seedStreamFromTablesByRef]]. */
   def seedAdmissionFromTablesByRef(s: SparkSession, baseDir: String,
       corpusTable: String, indexTable: String, fpTable: String,

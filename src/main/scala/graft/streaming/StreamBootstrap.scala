@@ -116,6 +116,33 @@ object StreamBootstrap {
       corpusTable, "epoch")
   }
 
+  /** Seed ST12 (streaming vector admission) layers: the
+    * radius-1-probed bucket table and the vector corpus —
+    * [[StreamParams.embed]] params. The bucket frame must expose
+    * (_id, _bucket) (the probed artifact layout), the corpus
+    * (vec_id, embedding) with DOUBLE elements (ST12's exact-rerank
+    * contract). */
+  def seedEmbed(baseDir: String, corpus: DataFrame, buckets: DataFrame,
+      params: Map[String, String]): Unit = {
+    prepareSeed(baseDir, params)
+    buckets.select("_id", "_bucket").write.mode("overwrite")
+      .parquet(s"$baseDir/ebkt/c=$SeedBatch")
+    corpus.select("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$baseDir/corpus/b=$SeedBatch")
+  }
+
+  /** The ST12 by-ref twin of [[seedNearDupByRef]]: ebkt and corpus as
+    * pointers to the durable tables (the emb-bucket artifact family). */
+  def seedEmbedByRef(s: SparkSession, baseDir: String,
+      corpusTable: String, bucketTable: String,
+      params: Map[String, String]): Unit = {
+    prepareSeed(baseDir, params)
+    StreamIndex.writePointer(s, s"$baseDir/ebkt/c=$SeedBatch",
+      bucketTable, "epoch")
+    StreamIndex.writePointer(s, s"$baseDir/corpus/b=$SeedBatch",
+      corpusTable, "epoch")
+  }
+
   /** The ST9 by-ref twin of [[seedNearDupByRef]]. */
   def seedAdmissionByRef(s: SparkSession, baseDir: String,
       corpusTable: String, indexTable: String, fpTable: String,
@@ -142,7 +169,7 @@ object StreamBootstrap {
   /** Every layer any seed variant can write — a re-seed must account
     * for ALL of them, not just its own, or a torn prior seed's
     * other-layer snapshot silently survives into the new stream. */
-  private val SeedableLayers = Seq("index", "cmap", "fps")
+  private val SeedableLayers = Seq("index", "cmap", "fps", "ebkt")
 
   private def prepareSeed(baseDir: String,
       params: Map[String, String]): Unit = {

@@ -162,6 +162,66 @@ class StreamEmbedSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(s"$dir/ebkt/b=0/_SUCCESS")))
   }
 
+  test("ST12 bootstrap: a dir seeded from the emb-bucket artifact — " +
+      "physically or BY-REF — gives the re-embed trigger exactly the " +
+      "from-scratch emissions; a bucket table recorded under different " +
+      "hyperplanes refuses to seed") {
+    import graft.operators.Similarity
+    // from scratch: two corpus triggers + the live re-embed trigger
+    val scratch = Files.createTempDirectory("graft_se_seed_s").toString
+    assert(StreamEmbed.pairBatch(b1, 0L, scratch))
+    assert(StreamEmbed.pairBatch(b2, 1L, scratch))
+    assert(StreamEmbed.pairBatch(b3, 2L, scratch))
+    val wantLive = spark.read.parquet(s"$scratch/pairs/b=2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(wantLive.nonEmpty)
+
+    // the durable artifacts: the probed-bucket table + vector corpus
+    val corpus = b1.toDF().unionByName(b2.toDF())
+    val buckets = Similarity.probedBuckets(
+      corpus.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dim = 64, nPlanes = 12)
+
+    // physical seed
+    val seeded = Files.createTempDirectory("graft_se_seed_p").toString
+    StreamBootstrap.seedEmbed(seeded, corpus, buckets,
+      StreamParams.embed(64, 12, 990000L))
+    assert(StreamEmbed.pairBatch(b3, 0L, seeded))
+    assert(spark.read.parquet(s"$seeded/pairs/b=0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === wantLive)
+
+    // by-ref seed: both layers as pointers to catalog tables
+    val tc = "g_se_corpus_tbl"; val tb = "g_se_bucket_tbl"
+    Seq(tc, tb).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    corpus.write.format("parquet").saveAsTable(tc)
+    buckets.write.format("parquet").saveAsTable(tb)
+    val byref = Files.createTempDirectory("graft_se_seed_r").toString
+    ExtensionQueries.seedEmbedFromTablesByRef(spark, byref, tc, tb)
+    assert(Files.exists(Paths.get(s"$byref/ebkt/c=-1/_POINTER")))
+    assert(StreamEmbed.pairBatch(b3, 0L, byref))
+    assert(spark.read.parquet(s"$byref/pairs/b=0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === wantLive)
+    // compaction materializes + retires the ebkt pointer
+    assert(StreamEmbed.compactBuckets(spark, byref) === Some(0L))
+    assert(StreamEmbed.compactBuckets(spark, byref) === None)
+    assert(!Files.exists(Paths.get(s"$byref/ebkt/c=-1")))
+
+    // a bucket table recorded under DIFFERENT hyperplanes refuses
+    spark.sql(s"ALTER TABLE $tb SET TBLPROPERTIES " +
+      s"('${graft.DurableArtifact.ParamsProp}' = " +
+      "'dim=64;multiProbe=true;nPlanes=16')")
+    val fresh = Files.createTempDirectory("graft_se_seed_x").toString
+    val e = intercept[IllegalArgumentException] {
+      ExtensionQueries.seedEmbedFromTablesByRef(spark, fresh, tc, tb)
+    }
+    assert(e.getMessage.contains("nPlanes"))
+    Seq(tc, tb).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("the params gate covers the vector stream: dim/nPlanes/threshold " +
       "drift throws at trigger and maintenance entry") {
     val dir = Files.createTempDirectory("graft_se_params").toString
