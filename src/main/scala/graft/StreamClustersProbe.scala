@@ -94,6 +94,17 @@ object StreamClustersProbe {
           thresholdPpm = ppm, dfCap = Dedup.DfCap.NoCap)
         StreamClusters.foldCommitted(spark, at)
       }
+      // the split form: times the ST8 pair/append stage and the ST10
+      // fold separately (the per-stage shape is what adjudicates a
+      // day-trigger mover — the slow stage is rarely the suspected one)
+      def triggerSplit(id: Long, b: org.apache.spark.sql.Dataset[NdDoc],
+          at: String, tag: String): Unit = {
+        timed(s"${tag}_pair_s") {
+          val _ = StreamNearDup.pairBatch(b, id, at, n = 3,
+            thresholdPpm = ppm, dfCap = Dedup.DfCap.NoCap)
+        }
+        timed(s"${tag}_fold_s") { StreamClusters.foldCommitted(spark, at) }
+      }
 
       // b=0: the from-scratch bootstrap — the full corpus pair listing
       timed("bootstrap_s") { trigger(0L, bootstrap, dir) }
@@ -164,7 +175,7 @@ object StreamClustersProbe {
           ExtensionQueries.ArrivalOffsets("probe_bridge_seeded"),
           BridgeSteps))
         .as(Encoders.product[NdDoc]).localCheckpoint()
-      timed("day_seeded_s") { trigger(0L, day3, dir2) }
+      timed("day_seeded_s") { triggerSplit(0L, day3, dir2, "day_seeded") }
       out("relabels_seeded") = spark.read.parquet(s"$dir2/cmap/b=0")
         .filter(col("_rel")).count().toString
       val n3 = timed("view_seeded_s") {
@@ -193,7 +204,7 @@ object StreamClustersProbe {
           tblC, tblI, Some(tblM), n = 3, thresholdPpm = ppm)
       }
       // the same relabel-bearing day batch, on the pointer-seeded dir
-      timed("day_byref_s") { trigger(0L, day3, dir3) }
+      timed("day_byref_s") { triggerSplit(0L, day3, dir3, "day_byref") }
       out("relabels_byref") = spark.read.parquet(s"$dir3/cmap/b=0")
         .filter(col("_rel")).count().toString
       val n4 = timed("view_byref_s") {
