@@ -194,6 +194,9 @@ private[graft] final class DurableArtifact(
         * BEFORE the folds-counter flip — the torn-fold interleave the
         * commit-safety specs probe. */
       afterFilesWritten: () => Unit = () => (),
+      /** Test seam: runs just before the delta's file append — the
+        * usurped-lease interleave the pre-append re-verify closes. */
+      beforeFilesWritten: () => Unit = () => (),
       /** A fold-window lease token the CALLER already acquired (the
         * cluster fold holds one across its driver-side patch staging,
         * which a second writer would corrupt before ever reaching this
@@ -258,22 +261,44 @@ private[graft] final class DurableArtifact(
           "discard it, then retry the fold")
       val stamped = delta.withColumn(FoldEpochCol, lit(e + 1))
         .select(s.table(table).columns.map(col).toIndexedSeq: _*)
+      beforeFilesWritten()
+      // PRE-APPEND lease re-verify: the acquire's set-then-verify
+      // admits the A-set/A-verify/B-set/B-verify interleave where A
+      // holds a stale belief — A must die BEFORE appending, because
+      // rows appended at epoch e+1 become visible the moment ANY
+      // writer flips to e+1 and are then indistinguishable from the
+      // legitimate fold's (no recovery can discard them). Dying here
+      // leaves only invisible state. The residue shrinks to a racer
+      // whose entire acquire spans this fold's guard sequence AND
+      // whose complete fold lands inside our append — the fence below
+      // still detects that, though recovery is then a rebuild.
+      require(DurableArtifact.propsOf(s, table)
+          .get(DurableArtifact.FoldLeaseProp).contains(lease),
+        s"appendDelta: lost the fold lease on $table before the file " +
+          "append — a concurrent fold interleaved; this fold aborts " +
+          "without writing")
       stamped.write.mode("append")
         .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .format("parquet").saveAsTable(table)
       afterFilesWritten()
-      // EPOCH FENCE: the lease's set-then-verify still admits two
-      // writers racing within one metastore round-trip; a racer that
-      // slipped past it and COMPLETED has bumped the folds counter by
-      // now, so re-read it just before the flip and refuse to commit a
-      // second epoch e+1 on top of it (detection narrows from "one
-      // round-trip" to "between this re-read and the flip statement").
+      // EPOCH FENCE: a racer that slipped past BOTH lease checks and
+      // COMPLETED has bumped the folds counter by now — refuse the
+      // flip rather than commit a second epoch e+1 on top of it. Note
+      // the honest blast radius: this fold's rows were appended
+      // stamped e+1, which the racer's flip has made the COMMITTED
+      // epoch, so they are already visible and epoch-indistinguishable
+      // from the racer's — compactTable cannot discard them. The fence
+      // turns silent corruption into a loud one with a named recovery
+      // (rebuild), and the pre-append re-verify above makes reaching
+      // this state require the racer's whole fold to land inside this
+      // fold's append.
       require(DurableArtifact.foldsOf(s, table) == e,
         s"appendDelta: $table's folds counter moved past $e while this " +
-          "fold was in flight — a concurrent writer slipped past the " +
-          "lease; run compactTable(table) to discard this fold's torn " +
-          "rows, then retry")
+          "fold was appending — a concurrent fold completed underneath " +
+          "it, and this fold's epoch-stamped rows are now mixed into " +
+          "the committed epoch. The table needs a rebuild: rewrite the " +
+          "snapshot with write() (or restore it), then re-fold the day")
       // ONE statement: folds counter + caller extras + lease release —
       // the fold's single visibility flip frees the writer window with it
       val props = (extraProps +

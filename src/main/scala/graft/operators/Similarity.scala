@@ -424,8 +424,13 @@ object Similarity {
       increment: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int = 12, multiProbe: Boolean = true): DataFrame = {
     val incRaw = rawBuckets(increment, idCol, vecCol, dim, nPlanes)
+    // `ida < idb` is a no-op under the contract (every increment id
+    // above every corpus id) and a guard against its violation: an id
+    // present on BOTH sides (a re-submitted vector) would otherwise
+    // self-pair at cos 1.0 and flip emission orientation
     val candXC = corpusProbed.toDF("ida", "bucket")
-      .join(incRaw.toDF("idb", "bucket2"), col("bucket") === col("bucket2"))
+      .join(incRaw.toDF("idb", "bucket2"),
+        col("bucket") === col("bucket2") && col("ida") < col("idb"))
       .select("ida", "idb")
     val candII = probedBuckets(increment, idCol, vecCol, dim, nPlanes,
         multiProbe)

@@ -237,16 +237,28 @@ object StreamAdmission {
       .foreach { v =>
         val earlier = StreamIndex.committedBatches(s"$baseDir/corpus")
           .filter(_ < v)
-        healFps(s, baseDir, earlier)
+        // "strictly earlier fps" reads through the fp SNAPSHOT when one
+        // covers only batches before v (snap < v) — on a SEEDED dir the
+        // alternative is rebuilding fps/b=-1 by fingerprinting the
+        // whole corpus through the seed (pointer or copy): an O(corpus)
+        // pass plus a redundant delta no view reads, in exactly the
+        // O(metadata)-adoption scenario the seed exists for. A snapshot
+        // at ≥ v would include v's own (and later) fps — wrong for the
+        // replayed decision — so that case keeps the per-batch path.
+        val fpSnap = StreamIndex.layerSnapshot(baseDir, "fps")
+          .filter(_ < v)
+        val live = earlier.filter(b => fpSnap.forall(b > _))
+        healFps(s, baseDir, live)
+        val dirs = fpSnap.map(m => s"$baseDir/fps/c=$m").toSeq ++
+          live.map(b => s"$baseDir/fps/b=$b")
         val earlierFps =
-          if (earlier.isEmpty)
+          if (dirs.isEmpty)
             s.createDataFrame(
               s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("fp",
                   org.apache.spark.sql.types.StringType))))
-          else s.read.parquet(earlier.map(b => s"$baseDir/fps/b=$b"): _*)
-            .distinct()
+          else StreamIndex.readDirs(s, dirs).distinct()
         val docs = StreamIndex.readDir(s, s"$baseDir/corpus/b=$v")
           .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
         val wFp = Window.partitionBy("fp").orderBy("doc_id")

@@ -42,9 +42,12 @@ case class EmbDoc(vec_id: Long, embedding: Array[Double])
   *    deterministic in (dim, nPlanes), corpus-independent.
   *
   * Exactly-once: candidate orientation keys the batch side as the
-  * LARGER id (`incrementalLshCandidates`'s contract), so with vector
-  * ids nondecreasing across triggers (the re-embed frontier contract,
-  * same as ST9's) every qualifying pair of the full union is emitted
+  * LARGER id (`incrementalLshCandidates`'s contract), so with every
+  * batch's ids STRICTLY ABOVE all earlier ids (the re-embed frontier
+  * contract — disjoint, not merely nondecreasing: a re-submitted id
+  * would re-pair; the candidate join's `ida < idb` guard drops the
+  * self-pair but the contract is the caller's) every qualifying pair
+  * of the full union is emitted
   * exactly once — when its later side arrives — and the union of
   * per-trigger outputs equals the batch recompute over every vector
   * ever streamed (StreamEmbedSpec pins it; the candidate stage's

@@ -198,6 +198,41 @@ private[graft] object StreamIndex {
   private def isPointer(dir: String): Boolean =
     Files.exists(Paths.get(dir, PointerFile))
 
+  /** Materialize a pointer dir IN PLACE: resolve the (still-valid)
+    * pointer, land the rows as parquet files BESIDE the marker files,
+    * then delete `_POINTER` — the single FS-atomic visibility flip.
+    * Crash-safe at every point: until the delete, readers resolve the
+    * intact pointer (stray part files from a torn attempt are swept
+    * here and never read); after it, the dir is an ordinary parquet
+    * layer. This is the escape hatch for pointers no maintenance pass
+    * retires — above all the CORPUS pointer (that layer never
+    * compacts), which otherwise ties the stream's lifetime to the
+    * corpus table's immobility. Run it any time before the table
+    * moves; a no-op on non-pointer dirs. */
+  def materializePointer(s: SparkSession, dir: String): Unit = {
+    if (!isPointer(dir)) return
+    // resolve + validate eagerly (fence/existence checks run in
+    // readDir); the frame itself stays lazy — the append below streams
+    // table → dir with no driver-side pinning (corpus-scale safe)
+    val df = readDir(s, dir)
+    // sweep a torn previous attempt's stray part files (readers never
+    // saw them — the pointer resolves first)
+    val root = Paths.get(dir)
+    val ls = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n != PointerFile && n != "_SUCCESS"
+        }
+        .foreach(p => deleteTree(p.toString))
+    } finally ls.close()
+    // append lands the files without touching the marker files
+    df.write.mode("append").parquet(dir)
+    Files.delete(root.resolve(PointerFile))
+  }
+
   /** Resolve ONE committed dir — pointer-aware. A pointer resolves
     * through the commit-safe read for its kind, FENCED on the freeze
     * state captured at seed time: the seeded snapshot must stay
@@ -228,9 +263,12 @@ private[graft] object StreamIndex {
           s"seed pointer at $dir is STALE: table $table moved on since " +
             s"the seed (folds/sourceDir were ($folds0, $srcDir0), now " +
             s"$now) — serving it would compose layers the stream never " +
-            "paired against. Compact the stream FIRST (materializes its " +
-            "own snapshot and retires the pointer), then fold/rebase " +
-            "the table; or re-seed a fresh dir")
+            "paired against. BEFORE moving a referenced table, either " +
+            "compact the stream (materializes + retires the snapshot-" +
+            "layer pointers) or run StreamIndex.materializePointer on " +
+            "the dir (the only retirement for the corpus pointer — " +
+            "that layer never compacts); now the table must be " +
+            "restored to the recorded state, or the dir re-seeded")
       kind match {
         case "epoch" => graft.DurableArtifact.epochRead(s, table)
         case "cmap"  => graft.ExtensionQueries.readClusterMap(s, table)
@@ -269,9 +307,22 @@ private[graft] object StreamIndex {
     committedBatches(s"$baseDir/corpus").count(v => snap.forall(v > _))
   }
 
-  /** Newest committed compact snapshot id under `<layer>/`, if any. */
-  def layerSnapshot(baseDir: String, layer: String): Option[Long] =
-    committedDirs(s"$baseDir/$layer", "c=").maxOption
+  /** Newest committed compact snapshot id under `<layer>/`, if any.
+    * A snapshot at the SEED id counts only when the seed's corpus
+    * commit landed: a torn seed (crash before the corpus `_SUCCESS`)
+    * leaves layer snapshots whose own dir-level `_SUCCESS` is set —
+    * serving one would pair triggers against an index of documents
+    * the corpus never committed (ghost postings; and if the operator
+    * re-establishes the dir under different params, layers of the
+    * WRONG parameterization). The whole seed commits through the
+    * corpus marker or not at all. */
+  def layerSnapshot(baseDir: String, layer: String): Option[Long] = {
+    val seedCommitted = Files.exists(Paths.get(
+      s"$baseDir/corpus/b=${StreamBootstrap.SeedBatch}/_SUCCESS"))
+    committedDirs(s"$baseDir/$layer", "c=")
+      .filter(m => m != StreamBootstrap.SeedBatch || seedCommitted)
+      .maxOption
+  }
 
   /** Batch ids under `dir` whose write completed (`_SUCCESS`). */
   def committedBatches(dir: String): Seq[Long] = committedDirs(dir, "b=")

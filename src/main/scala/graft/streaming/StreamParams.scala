@@ -45,12 +45,17 @@ private[graft] object StreamParams {
       "thresholdPpm" -> thresholdPpm.toString, "dfCap" -> dfCap.toString)
 
   /** ST12 (streaming embedding near-dup) parameters. The cosine gate
-    * is recorded in ppm — the integer form, like every other gate. */
+    * is recorded in ppm — the integer form, like every other gate.
+    * multiProbe is part of the parameterization (StreamEmbed always
+    * probes at radius 1): recording it lets the seed-time table check
+    * refuse a bucket artifact built WITHOUT probing, whose candidate
+    * join would silently lose every one-bit-off pair. */
   def embed(dim: Int, nPlanes: Int, cosThresholdPpm: Long):
       Map[String, String] =
     Map("kind" -> "embed", "dim" -> dim.toString,
       "nPlanes" -> nPlanes.toString,
-      "cosThresholdPpm" -> cosThresholdPpm.toString)
+      "cosThresholdPpm" -> cosThresholdPpm.toString,
+      "multiProbe" -> "true")
 
   /** The parameters recorded on `baseDir`, if any. */
   def recorded(baseDir: String): Option[Map[String, String]] = {

@@ -648,6 +648,32 @@ class DurableArtifactsSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("a fold whose lease was usurped dies BEFORE its file append — " +
+      "rows appended at epoch e+1 become visible under ANY writer's " +
+      "flip, so the loser must leave zero physical state") {
+    import org.apache.spark.sql.functions._
+    val t = "g_fp_preappend_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ExtensionQueries.corpusFpArtifact.write(spark, d, t)
+    ExtensionQueries.evictCorpusFp(spark, d)
+    val before = tableRows(t)
+    val delta = spark.range(2)
+      .select(md5(concat(lit("pa"), col("id").cast("string"))).as("fp"))
+    val ex = intercept[IllegalArgumentException] {
+      ExtensionQueries.corpusFpArtifact.appendDelta(spark, d, t, delta,
+        beforeFilesWritten = () =>
+          // the set-set-verify-verify interleave: by append time the
+          // recorded holder is the other writer
+          spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+            s"('${graft.DurableArtifact.FoldLeaseProp}' = 'other-writer')"))
+    }
+    assert(ex.getMessage.contains("before the file append"),
+      s"wrong failure: ${ex.getMessage}")
+    assert(rows(spark.table(t).drop(graft.DurableArtifact.FoldEpochCol))
+      === before, "the usurped fold must write NOTHING")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("build-parameter provenance: write() stamps graft.params, a " +
       "mismatched or missing stamp is never served (fall back to " +
       "build), use() rewrites it, and adoptParams refuses a conflict") {

@@ -146,10 +146,31 @@ class StreamBootstrapSpec extends SparkTestBase {
       "refuse re-seeding") {
     val dir = Files.createTempDirectory("graft_sb_torn").toString
     val (corpus, index, cmap) = seedFrames
-    // torn seed: the index snapshot landed, the corpus commit did not
+    // torn seed: the index snapshot landed (with its OWN dir-level
+    // _SUCCESS), the corpus commit did not
     index.write.parquet(s"$dir/index/c=${StreamBootstrap.SeedBatch}")
     assert(StreamNearDup.corpusView(spark, dir).isEmpty,
       "a torn seed must be invisible through the committed views")
+    // …including the INDEX view: serving the torn snapshot would pair
+    // triggers against postings of documents the corpus never
+    // committed (ghost pairs) — the seed commits through the corpus
+    // marker or not at all
+    assert(StreamNearDup.indexView(spark, dir, 3).isEmpty,
+      "a torn seed's layer snapshot must not serve")
+    // a from-scratch stream started on the torn dir under DIFFERENT
+    // parameters must not probe the n=3 batch against the torn layers
+    // (establish redefines the marker freely — nothing is committed —
+    // and the snapshot gate above keeps the stale layers out)
+    val scratch0 = Files.createTempDirectory("graft_sb_torn2").toString
+    Dedup.postingIndex(corpus, "doc_id", "text", 4)
+      .write.parquet(s"$scratch0/index/c=${StreamBootstrap.SeedBatch}")
+    StreamParams.establish(scratch0,
+      StreamParams.neardup(4, ppm, Dedup.DfCap.NoCap))
+    assert(StreamNearDup.pairBatch(liveDocs.toDS(), 0L, scratch0, 3, ppm))
+    val p0 = StreamNearDup.allPairs(spark, scratch0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p0.forall { case (a, b) => a >= 21L && b >= 21L },
+      s"ghost pairs against the torn n=4 snapshot: $p0")
     // the re-run overwrites the torn layers and completes
     StreamBootstrap.seedNearDup(dir, corpus, index, Some(cmap), ndParams)
     assert(mapRows(dir) === ccRows(corpusDocs))
@@ -347,12 +368,29 @@ class StreamBootstrapSpec extends SparkTestBase {
       !Files.exists(Paths.get(s"$dir/index/c=-1")),
       "the sweep pass must retire the pointer dirs")
     // content is unchanged, and dropping the RETIRED tables is safe
-    // (the corpus pointer is permanent — the corpus layer never
-    // compacts — so the corpus table stays)
+    // (the corpus pointer has no compaction to retire it — so the
+    // corpus table must stay, or be materialized first)
     Seq(ti, tm).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     assert(mapRows(dir) === want)
     assert(postings(dir).nonEmpty)
+
+    // materializePointer is the corpus pointer's escape hatch: the
+    // in-place rewrite (files beside the markers, _POINTER delete as
+    // the flip) unties the stream from the corpus table's lifetime
+    val docsBefore = StreamNearDup.corpusView(spark, dir)
+      .collect().map(d => (d.doc_id, d.text)).toSet
+    StreamIndex.materializePointer(spark,
+      s"$dir/corpus/b=${StreamBootstrap.SeedBatch}")
+    // idempotent: a second call is a no-op on the now-ordinary dir
+    StreamIndex.materializePointer(spark,
+      s"$dir/corpus/b=${StreamBootstrap.SeedBatch}")
+    assert(!Files.exists(Paths.get(
+      s"$dir/corpus/b=${StreamBootstrap.SeedBatch}/_POINTER")))
     spark.sql(s"DROP TABLE IF EXISTS $tc")
+    assert(StreamNearDup.corpusView(spark, dir)
+      .collect().map(d => (d.doc_id, d.text)).toSet === docsBefore,
+      "the materialized corpus must serve after the table is gone")
+    assert(mapRows(dir) === want)
   }
 
   test("a by-ref pointer is FENCED on the table's fold state: folding " +
@@ -376,8 +414,9 @@ class StreamBootstrapSpec extends SparkTestBase {
         Seq(NdDoc(31L, "fresh words here")).toDS(), 1L, dir, 3, ppm)
     }
     assert(ex.getMessage.contains("STALE") &&
-      ex.getMessage.contains("Compact the stream"),
-      s"the fence must name the fix: ${ex.getMessage}")
+      ex.getMessage.contains("compact the stream") &&
+      ex.getMessage.contains("materializePointer"),
+      s"the fence must name the fixes: ${ex.getMessage}")
     // cmap reads fence too
     spark.sql(s"ALTER TABLE $ti SET TBLPROPERTIES " +
       s"('${DurableArtifact.FoldsProp}' = '0')")
@@ -451,6 +490,22 @@ class StreamBootstrapSpec extends SparkTestBase {
       tc, ti, tf)
     assert(StreamAdmission.curateBatch(bDocs.toDS(), 0L, seeded))
     assert(verdicts(seeded, bDocs.map(_.doc_id).toSet) === wantB)
+
+    // heal hygiene on the seeded dir: lose the day's index delta, then
+    // run another batch — healIndex must read the strictly-earlier fps
+    // through the SNAPSHOT layer (here: the pointer), never rebuild a
+    // redundant corpus-scale fps/b=-1 by fingerprinting the whole
+    // corpus table
+    StreamIndex.deleteTree(s"$seeded/index/b=0")
+    val cDocs = Seq(NdDoc(31L, en + " nu tau"))
+    assert(StreamAdmission.curateBatch(cDocs.toDS(), 1L, seeded))
+    assert(!Files.exists(Paths.get(
+      s"$seeded/fps/b=${StreamBootstrap.SeedBatch}")),
+      "the heal must not materialize a corpus-scale fps delta")
+    val v31 = StreamAdmission.allVerdicts(spark, seeded)
+      .filter(col("doc_id") === 31L).collect()
+    assert(v31.length === 1 && v31.head.getString(2) === "near_dup",
+      "the healed index must still catch the near-dup")
     Seq(tc, ti, tf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 

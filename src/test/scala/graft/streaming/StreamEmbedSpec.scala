@@ -219,7 +219,34 @@ class StreamEmbedSpec extends SparkTestBase {
       ExtensionQueries.seedEmbedFromTablesByRef(spark, fresh, tc, tb)
     }
     assert(e.getMessage.contains("nPlanes"))
+    // …and so does one built WITHOUT radius-1 probing: the candidate
+    // join assumes a PROBED corpus side, so an unprobed artifact would
+    // silently lose every one-bit-off pair — the stream's params name
+    // multiProbe exactly so this refuses
+    spark.sql(s"ALTER TABLE $tb SET TBLPROPERTIES " +
+      s"('${graft.DurableArtifact.ParamsProp}' = " +
+      "'dim=64;multiProbe=false;nPlanes=12')")
+    val e2 = intercept[IllegalArgumentException] {
+      ExtensionQueries.seedEmbedFromTablesByRef(spark, fresh, tc, tb)
+    }
+    assert(e2.getMessage.contains("multiProbe"))
     Seq(tc, tb).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("a re-submitted vector id (contract violation: batch id equals " +
+      "a corpus id) never self-pairs — the candidate join's ida<idb " +
+      "guard") {
+    val dir = Files.createTempDirectory("graft_se_resub").toString
+    assert(StreamEmbed.pairBatch(b1, 0L, dir))
+    // batch 1 re-submits vector 7 verbatim (same id, same embedding)
+    val resub = Tables.embeddings(spark, d).filter(col("vec_id") === 7)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .as(enc)
+    assert(StreamEmbed.pairBatch(resub, 1L, dir))
+    val pairs = streamed(dir).map(p => (p._1, p._2))
+    assert(!pairs.contains((7L, 7L)),
+      "a self-pair at cos 1.0 must never be emitted")
   }
 
   test("the params gate covers the vector stream: dim/nPlanes/threshold " +
