@@ -3720,9 +3720,16 @@ object ExtensionQueries {
     val live = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
     val dir = java.nio.file.Files.createTempDirectory("graft_st11").toString
     try {
+      // the index is the seed's physical artifact AND the pair
+      // listing's posting source: materialize it once (localCheckpoint)
+      // and derive the cluster map from it — the from-text forms
+      // shingled the snapshot corpus twice (once for the index copy,
+      // once inside ngramJaccardPairsPpm; jaccardPairsPpmFromIndex is
+      // row-identical under NoCap by construction)
       val index = Dedup.postingIndex(snapshot, "doc_id", "text", n = 3)
-      val cmap = Dedup.connectedComponents(Dedup.ngramJaccardPairsPpm(
-          snapshot, "doc_id", "text", 3, 800000L, Dedup.DfCap.NoCap))
+        .localCheckpoint()
+      val cmap = Dedup.connectedComponents(
+          Dedup.jaccardPairsPpmFromIndex(index, 800000L))
         .select(col("node").as("doc_id"), col("cluster_id"))
       StreamBootstrap.seedNearDup(dir, snapshot, index, Some(cmap),
         graft.streaming.StreamParams.neardup(3, 800000L, Dedup.DfCap.NoCap))

@@ -384,6 +384,27 @@ object Dedup {
       .select(col("ida"), col("idb"),
         expr("c * 1000000 div (na + nb - c)").as("jaccard_ppm"))
 
+  /** [[ngramJaccardPairsPpm]] (NoCap) served from a PREBUILT canonical
+    * posting index ([[postingIndex]] layout): the pair explode, count
+    * aggregate and integer ppm gate run over the index's lists
+    * directly — `cappedLists(post, packedEntry, NoCap)` builds exactly
+    * `postingIndex`'s `(_sh, sorted packed _lst)` rows, so the listing
+    * is row-identical to the from-text form by construction
+    * (IncrementalIndexSpec pins it). For a caller that already
+    * materialized the index (st11's seed artifact build), this saves
+    * the second full corpus shingle+shuffle the from-text form would
+    * pay. */
+  def jaccardPairsPpmFromIndex(index: DataFrame,
+      thresholdPpm: Long = 500000L): DataFrame =
+    explodePackedPairs(index)
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("c"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("c") * lit(1000000L) >=
+        lit(thresholdPpm) * (col("na") + col("nb") - col("c")))
+      .select(col("ida"), col("idb"),
+        expr("c * 1000000 div (na + nb - c)").as("jaccard_ppm"))
+
   /** INCREMENTAL near-dup — the daily-ingest form of
     * [[ngramJaccardPairsPpm]]: all Jaccard≥t pairs touching the new
     * INCREMENT batch (increment×corpus and increment×increment), with
@@ -669,11 +690,30 @@ object Dedup {
   def incrementalJaccardPairsFromIndexDeltas(deltas: DataFrame,
       increment: DataFrame, idCol: String, textCol: String, n: Int = 3,
       thresholdPpm: Long = 500000L,
+      dfCap: DfCap = DfCap.NoCap): DataFrame =
+    incrementalJaccardPairsFromIndexDeltasPrebuilt(deltas,
+      batchPostingLists(increment, idCol, textCol, n)
+        .withColumnRenamed("_lstn", "_lst"),
+      thresholdPpm, dfCap)
+
+  /** [[incrementalJaccardPairsFromIndexDeltas]] with the batch's
+    * postings PREBUILT in the canonical [[postingIndex]] layout
+    * (`(_sh, _lst)`, one sorted packed list per shingle — what
+    * [[batchPostingLists]] computes from the raw batch). A streaming
+    * trigger ([[graft.streaming.StreamNearDup.pairBatch]]) builds the
+    * batch's posting delta ONCE, pairs from it here, and appends the
+    * same frame as its `index/b=` delta — one shingle pass per batch
+    * instead of two (the pair path and the delta write used to each
+    * shingle the batch from source). Row-identical to the from-text
+    * form by construction (the delegate above IS this function);
+    * StreamNearDupSpec pins the trigger-level identity. */
+  def incrementalJaccardPairsFromIndexDeltasPrebuilt(deltas: DataFrame,
+      batchPostings: DataFrame, thresholdPpm: Long = 500000L,
       dfCap: DfCap = DfCap.NoCap): DataFrame = {
     val emptyLst = array().cast("array<long>")
     // collect_list drops the left join's no-match nulls; flatten then
     // rebuilds one sorted old-side list per touched shingle
-    val joined = batchPostingLists(increment, idCol, textCol, n)
+    val joined = batchPostings.withColumnRenamed("_lst", "_lstn")
       .join(deltas.withColumnRenamed("_lst", "_lstd"), Seq("_sh"), "left")
       .groupBy("_sh")
       .agg(first(col("_lstn")).as("_lstn"),
@@ -967,8 +1007,50 @@ object Dedup {
       if (planNodeCount(pairs) > DeepBaseNodeLimit) {
         pairs.select(col(aCol), col(bCol)).localCheckpoint()
       } else pairs
-    val edges = base.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(base.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Size-gated driver union-find — the same shortcut
+    // [[clusterFoldDelta]] ships (FoldLocalCcMaxEdgesConf, default 4M
+    // edges ≈ 64 MB collected): below the gate the undirected edge
+    // list collects to the driver and path-compressed union-find
+    // labels it in microseconds, where the distributed min-label loop
+    // pays ~0.5 s of local stage latency PER ITERATION at ANY SF —
+    // 3-5 iterations on shallow near-dup graphs, so the from-scratch
+    // cluster-map builds (x11's artifact, st11's seed) were paying
+    // seconds of pure stage floor. Result rows are IDENTICAL (every
+    // edge endpoint labeled with its component-min id —
+    // ConnectedComponentsSpec pins local ≡ distributed); above the
+    // gate, or for non-long keys, the distributed loop runs
+    // unchanged. The one materialization of the pair pipeline is
+    // shared: the count reads the persisted edges the loop would have
+    // persisted anyway.
+    val spark = pairs.sparkSession
+    val rawMax = spark.conf.get(FoldLocalCcMaxEdgesConf, "4000000")
+    val maxLocal = scala.util.Try(rawMax.toLong).toOption.filter(_ >= 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$FoldLocalCcMaxEdgesConf must be a non-negative long, got " +
+          s"'$rawMax'"))
+    val pairEdges = base.select(col(aCol).as("_pa"), col(bCol).as("_pb"))
+    val longKeys = pairEdges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    val localPath = longKeys && maxLocal > 0
+    val pe = if (localPath) pairEdges.persist() else pairEdges
+    if (localPath && pe.count() <= maxLocal) {
+      val labels = localMinLabels(pe.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      pe.unpersist()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        java.util.Arrays.asList(labels.toSeq.map { case (n, l) =>
+          org.apache.spark.sql.Row(n, l) }: _*), schema)
+    }
+    // above the gate the loop starts from the SAME persisted pair
+    // list the count just materialized — no extra pass over the pair
+    // pipeline; pe is released once the undirected edge set persists
+    val edges = pe.select(col("_pa").as("src"), col("_pb").as("dst"))
+      .union(pe.select(col("_pb").as("src"), col("_pa").as("dst")))
       .distinct().persist()
     var mat = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
@@ -994,6 +1076,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (localPath) pe.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
     labels.select(col("node"), col("label").as("cluster_id"))
   }

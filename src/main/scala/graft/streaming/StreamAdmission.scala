@@ -112,9 +112,15 @@ object StreamAdmission {
       try {
         val survivors = flagged.filter(!col("is_exact"))
           .select(col("doc_id"), col("text"))
-        val nearIds = Dedup.incrementalJaccardPairsFromIndexDeltas(
-            indexView(s, baseDir, n), survivors, "doc_id", "text",
-            n, thresholdPpm, dfCap)
+        // the survivors' posting delta is built ONCE (localCheckpoint,
+        // O(batch) state, sized before the lineage cut) and serves
+        // both the near-dup probe and the index append below — the
+        // from-text form shingled the survivors twice per trigger
+        // (same change as StreamNearDup.pairBatch; St10Dissect A/B)
+        val batchIdx = StreamIndex.deltaSized(Dedup.postingIndex(
+            survivors, "doc_id", "text", n)).localCheckpoint()
+        val nearIds = Dedup.incrementalJaccardPairsFromIndexDeltasPrebuilt(
+            indexView(s, baseDir, n), batchIdx, thresholdPpm, dfCap)
           .select(col("idb").as("doc_id")).distinct()
           .withColumn("_nd", lit(1))
         val verdicts = flagged.join(nearIds, Seq("doc_id"), "left")
@@ -131,8 +137,7 @@ object StreamAdmission {
           .parquet(s"$baseDir/verdicts/b=$batchId")
         StreamIndex.deltaSized(flagged.select("fp").distinct())
           .write.mode("overwrite").parquet(s"$baseDir/fps/b=$batchId")
-        StreamIndex.deltaSized(
-            Dedup.postingIndex(survivors, "doc_id", "text", n))
+        batchIdx
           .write.mode("overwrite").parquet(s"$baseDir/index/b=$batchId")
         StreamIndex.deltaSized(flagged.select("doc_id", "text"))
           .write.mode("overwrite").parquet(s"$baseDir/corpus/b=$batchId")

@@ -132,17 +132,28 @@ object StreamNearDup {
       // Semantically identical to pairing against corpusView
       // (IncrementalIndexSpec pins from-deltas ≡ from-scratch), which
       // is what keeps the exactly-once-equals-batch contract intact.
-      val pairs = Dedup.incrementalJaccardPairsFromIndexDeltas(
-        indexView(s, baseDir, n), batch.toDF(), "doc_id", "text",
-        n, thresholdPpm, dfCap)
+      //
+      // The batch's posting delta is built ONCE (localCheckpoint —
+      // O(batch) state, sized BEFORE the checkpoint so the delta
+      // write's file bound survives the lineage cut) and serves BOTH
+      // the pair probe and the index append: the from-text form
+      // shingled the batch twice per trigger (once inside the pair
+      // listing, once for the delta write) — one full batch
+      // shingle+shuffle saved per trigger at every scale, and ~0.5 s
+      // of the three stage chains at bench SF (St10Dissect A/B).
+      // Protocol file order is unchanged: nothing lands on disk
+      // before the pairs dir.
+      val batchIdx = StreamIndex.deltaSized(Dedup.postingIndex(
+          batch.toDF(), "doc_id", "text", n)).localCheckpoint()
+      val pairs = Dedup.incrementalJaccardPairsFromIndexDeltasPrebuilt(
+        indexView(s, baseDir, n), batchIdx, thresholdPpm, dfCap)
       StreamIndex.deltaSized(pairs)
         .write.mode("overwrite").parquet(s"$baseDir/pairs/b=$batchId")
       // the batch's own index delta lands BEFORE the corpus commit:
       // a crash in between leaves an uncommitted delta that indexView
       // ignores (corpus _SUCCESS is the commit marker) and the replay
       // overwrites — same torn-write story as the pairs dir
-      StreamIndex.deltaSized(Dedup.postingIndex(batch.toDF(), "doc_id",
-          "text", n))
+      batchIdx
         .write.mode("overwrite").parquet(s"$baseDir/index/b=$batchId")
       StreamIndex.deltaSized(batch.toDF()).write.mode("overwrite")
         .parquet(s"$baseDir/corpus/b=$batchId")

@@ -246,12 +246,11 @@ class PlanLintSpec extends SparkTestBase {
   test("join-back queries reuse the shared exchange at runtime") {
     val d = "/root/testdata/sf0.001"
     val all = SparkEntry.queries ++ SparkEntry.benchOnly
-    // x29's repartition + min(doc_id)*0 guard and x22c's shared
-    // explicit exchange exist precisely for this reuse — pin them too,
-    // or a refactor de-duplicating their subtrees doubles the
-    // pair-graph cost unnoticed (x29 measured 5.2 s → 2.6 s).
+    // x22c's shared explicit exchange exists precisely for this reuse
+    // — pin it too, or a refactor de-duplicating its subtrees doubles
+    // the pair-graph cost unnoticed.
     for (name <- Seq("x28_domain_budget", "x22_topic_balance",
-        "x22b_topic_native", "x29_leakage_split", "x22c_topic_sharded",
+        "x22b_topic_native", "x22c_topic_sharded",
         "x30b_language_budget_sharded")) {
       val df = all(name)(spark, d)
       // collect(), not a noop write: the write wraps the plan in its
@@ -261,5 +260,25 @@ class PlanLintSpec extends SparkTestBase {
       assert(plan.contains("ReusedExchange"),
         s"$name: expected a ReusedExchange in the final adaptive plan")
     }
+    // x29's heavy input is the MEMOIZED cluster map. Since the r16
+    // size-gated driver union-find in connectedComponents, the common
+    // small-graph case comes back as a LocalRelation — the pair graph
+    // + CC never appear in x29's plan at all (computed once,
+    // driver-side, behind the session memo), so there is no expensive
+    // shared subtree left for the ReusedExchange pin to protect; the
+    // old assertion also turned out to be VACUOUS (the ReusedExchange
+    // hits it matched came from inside the persisted map's
+    // pair-generation subtree as re-printed by InMemoryRelation — the
+    // two REPARTITION_BY_COL exchanges the device targets were never
+    // runtime-reused at this fixture scale, adjudicated round 16).
+    // What x29 still needs pinned is the device itself: the explicit
+    // cluster_id repartition feeding both consumers, so the shape
+    // stays reuse-ELIGIBLE for the at-scale distributed path.
+    val x29 = all("x29_leakage_split")(spark, d)
+    val _ = x29.collect()
+    val x29plan = x29.queryExecution.executedPlan.toString
+    assert("REPARTITION_BY_COL".r.findAllIn(x29plan).size >= 2,
+      "x29: expected the explicit cluster_id repartition under both " +
+        "consumers (span audit + per-doc join)")
   }
 }

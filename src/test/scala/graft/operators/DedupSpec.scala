@@ -150,11 +150,17 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("connectedComponents refuses to return unconverged labels") {
-    // a path of length 6 cannot converge in 1 iteration
+    // a path of length 6 cannot converge in 1 iteration; force the
+    // distributed loop — the driver union-find (the size-gated default
+    // since r16) always converges, so the refusal property is the
+    // loop's alone
     val path = (1L until 7L).map(i => (i, i + 1)).toDF("ida", "idb")
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(path, maxIter = 1)
-    }
+    spark.conf.set(Dedup.FoldLocalCcMaxEdgesConf, "0")
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(path, maxIter = 1)
+      }
+    } finally spark.conf.unset(Dedup.FoldLocalCcMaxEdgesConf)
   }
 
   test("editDistancePairs equals the naive all-pairs levenshtein") {

@@ -101,6 +101,24 @@ class IncrementalClusterSpec extends SparkTestBase {
       .select(col("node").as("doc_id"), col("cluster_id"))))
   }
 
+  test("connectedComponents: the size-gated driver union-find labels " +
+      "identically to the forced distributed min-label loop") {
+    // chains, a merge-through-bridge, singleton-pair, and a component
+    // whose min arrives last — the shapes the loop's fixpoint and the
+    // union-find's path compression must agree on
+    val edges = Seq((5L, 6L), (6L, 7L), (7L, 1L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (100L, 3L))
+    val viaLocal = mapOf(Dedup.connectedComponents(pairsDf(edges)))
+    spark.conf.set(Dedup.FoldLocalCcMaxEdgesConf, "0")
+    try {
+      val viaDist = mapOf(Dedup.connectedComponents(pairsDf(edges)))
+      assert(viaDist === viaLocal)
+    } finally spark.conf.unset(Dedup.FoldLocalCcMaxEdgesConf)
+    assert(viaLocal === Set((5L, 1L), (6L, 1L), (7L, 1L), (1L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L), (22L, 20L),
+      (100L, 3L), (3L, 3L)))
+  }
+
   test("fuzz: fold ≡ union rebuild over 60 seeded random graphs, " +
       "batched into one comparison via disjoint id spaces") {
     // the IncrementalFuzzSpec trick: per-case disjoint id domains make

@@ -115,6 +115,40 @@ class IncrementalIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("drift"))
   }
 
+  test("prebuilt-batch-postings deltas entry == from-text form (the " +
+      "streaming triggers' single-shingle-pass shape)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val c1 = Seq((1L, base + " lambda mu"),
+      (3L, "totally different words about completely other topics here now")
+    ).toDF("doc_id", "text")
+    val c2 = Seq((2L, base + " lambda nu")).toDF("doc_id", "text")
+    val increment = Seq(
+      (101L, base + " lambda"),
+      (102L, "shared tail one two three four five six seven eight nine"),
+      (103L, "shared tail one two three four five six seven eight ten")
+    ).toDF("doc_id", "text")
+    val deltas = Dedup.postingIndex(c1, "doc_id", "text", 3)
+      .unionByName(Dedup.postingIndex(c2, "doc_id", "text", 3))
+    val batchIdx = Dedup.postingIndex(increment, "doc_id", "text", 3)
+    for (cap <- Seq(Dedup.DfCap.NoCap, Dedup.DfCap.Fixed(2))) {
+      val pre = pairSet(Dedup.incrementalJaccardPairsFromIndexDeltasPrebuilt(
+        deltas, batchIdx, Thresh, cap))
+      assert(pre === pairSet(Dedup.incrementalJaccardPairsFromIndexDeltas(
+        deltas, increment, "doc_id", "text", 3, Thresh, cap)), s"cap=$cap")
+      assert(cap != Dedup.DfCap.NoCap || pre.nonEmpty)
+    }
+  }
+
+  test("jaccardPairsPpmFromIndex == ngramJaccardPairsPpm under NoCap " +
+      "(st11's single-shingle-pass artifact build)") {
+    val docs = graft.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val idx = Dedup.postingIndex(docs, "doc_id", "text", 3)
+    val viaIdx = pairSet(Dedup.jaccardPairsPpmFromIndex(idx, 800000L))
+    assert(viaIdx === pairSet(Dedup.ngramJaccardPairsPpm(
+      docs, "doc_id", "text", 3, 800000L, Dedup.DfCap.NoCap)))
+    assert(viaIdx.nonEmpty)
+  }
+
   test("mergePostingDeltas(per-batch deltas) == postingIndex(union " +
       "corpus) — the compaction kernel") {
     val c1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta"),
