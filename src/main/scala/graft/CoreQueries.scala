@@ -545,7 +545,20 @@ object CoreQueries {
     Tables.nation(s, d).createOrReplaceTempView("g_nation")
     Tables.region(s, d).createOrReplaceTempView("g_region")
     s.sql(
-      s"""WITH ps AS (${partsuppSql.format("g_lineitem")})
+      // fl: lineitem pre-restricted to the size/type-filtered parts
+      // before the ps surrogate aggregates it (q9's pattern — guide
+      // §3.2): every ps consumer here is keyed to the FILTERED p
+      // (the main join and the correlated MIN both bind
+      // ps_partkey = p.p_partkey), and partsuppSql has no global
+      // term, so the restriction is result-identical while the
+      // query's one corpus-sized shuffle shrinks to the part filter's
+      // selectivity. Oracle SQL unchanged.
+      s"""WITH fl AS (
+        | SELECT l.* FROM g_lineitem l
+        | WHERE EXISTS (SELECT 1 FROM g_part p
+        |               WHERE p.p_partkey = l.l_partkey
+        |                 AND p.p_size < 10 AND p.p_type = 'ECONOMY')),
+        |ps AS (${partsuppSql.format("fl")})
         |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
         |       ps.ps_supplycost
         |FROM g_part p
@@ -730,7 +743,24 @@ object CoreQueries {
     Tables.part(s, d).createOrReplaceTempView("g_part")
     Tables.nation(s, d).createOrReplaceTempView("g_nation")
     s.sql(
-      s"""WITH ps AS (${partsuppSql.format("g_lineitem")})
+      // fl: lineitem pre-restricted to the LIKE-filtered parts (a
+      // broadcast semi join — guide §3.2's reduce-before-shuffle).
+      // Feeding the ps surrogate from fl instead of the full table is
+      // result-identical: partsuppSql aggregates per (partkey,
+      // suppkey) with no global term, the restriction is by partkey
+      // only (every row of a surviving partkey survives with it), and
+      // ps rows of filtered-out partkeys could never survive the
+      // ps⋈l⋈p join anyway. The old shape aggregated ALL of lineitem
+      // by the compound key — the query's one corpus-sized shuffle —
+      // then discarded ~90% of it at the join; now both lineitem
+      // consumers (the ps aggregate and the main join) read the
+      // ~LIKE-selectivity-sized survivor set. Oracle SQL unchanged.
+      s"""WITH fl AS (
+        | SELECT l.* FROM g_lineitem l
+        | WHERE EXISTS (SELECT 1 FROM g_part p
+        |               WHERE p.p_partkey = l.l_partkey
+        |                 AND p.p_name LIKE '%gear%')),
+        |ps AS (${partsuppSql.format("fl")})
         |SELECT n.n_name AS nation,
         | CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
         | CAST(ROUND(SUM(
@@ -740,7 +770,7 @@ object CoreQueries {
         |     CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
         |   AS sum_profit
         |FROM g_part p
-        |JOIN g_lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN fl l ON l.l_partkey = p.p_partkey
         |JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
         |JOIN ps ON ps.ps_partkey = l.l_partkey
         |       AND ps.ps_suppkey = l.l_suppkey

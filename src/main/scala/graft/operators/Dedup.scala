@@ -467,10 +467,11 @@ object Dedup {
     * [[assertCanonicalIndexLayout]] checks it. */
   def incrementalContainmentPairsFromIndex(index: DataFrame,
       increment: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      thresholdPct: Int = 90, dfCap: DfCap = DfCap.NoCap): DataFrame =
+      thresholdPct: Int = 90, dfCap: DfCap = DfCap.NoCap,
+      indexStats: Option[DataFrame] = None): DataFrame =
     containmentFromCounts(incrementalCountsFromSplitLists(
         incrementalSplitListsFromIndex(index, increment, idCol, textCol,
-          n, dfCap)),
+          n, dfCap, indexStats)),
       thresholdPct)
 
   /** The directed-containment gate over (ida, idb, c, na, nb) counts:
@@ -638,19 +639,26 @@ object Dedup {
   def incrementalJaccardPairsFromIndex(index: DataFrame, increment: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       thresholdPpm: Long = 500000L,
-      dfCap: DfCap = DfCap.NoCap): DataFrame =
+      dfCap: DfCap = DfCap.NoCap,
+      indexStats: Option[DataFrame] = None): DataFrame =
     incrementalPairsFromSplitLists(
       incrementalSplitListsFromIndex(index, increment, idCol, textCol,
-        n, dfCap),
+        n, dfCap, indexStats),
       thresholdPpm)
 
   /** Shared from-index front: the batch's postings left-joined against
     * the prebuilt index on `_sh`, cap restated from the two 1-row
     * stats aggregates (see [[incrementalJaccardPairsFromIndex]]'s
-    * doc). */
+    * doc). `indexStatsPre` optionally supplies the index-side 1-row
+    * stats frame (`_so` = Σ|lists|, `_co` = row count) PRECOMPUTED —
+    * the doc's "a deployment folds the index-side pair into the index
+    * build and stores it with the table": the index never changes
+    * between the appends it participates in, so recomputing its
+    * corpus-sized aggregate per serve (per bench rep) was pure waste.
+    * The batch-sided `newStats` aggregate stays in-plan. */
   private def incrementalSplitListsFromIndex(index: DataFrame,
       increment: DataFrame, idCol: String, textCol: String, n: Int,
-      dfCap: DfCap): DataFrame = {
+      dfCap: DfCap, indexStatsPre: Option[DataFrame] = None): DataFrame = {
     val emptyLst = array().cast("array<long>")
     // Only increment-touched shingles can pair, so the big index side
     // flows through ONE equi join keyed on its own layout; left join —
@@ -660,9 +668,9 @@ object Dedup {
       .select(col("_sh"), col("_lstn"),
         coalesce(col("_lsto"), emptyLst).as("_lsto"))
     val capRow = (mult: Int) => {
-      val idxStats = index.agg(
+      val idxStats = indexStatsPre.getOrElse(index.agg(
         coalesce(sum(size(col("_lst"))), lit(0L)).as("_so"),
-        count(lit(1)).as("_co"))
+        count(lit(1)).as("_co")))
       val newStats = joined.agg(
         coalesce(sum(size(col("_lstn"))), lit(0L)).as("_sn"),
         coalesce(sum(when(size(col("_lsto")) === 0, 1L).otherwise(0L)),

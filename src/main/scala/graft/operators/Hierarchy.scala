@@ -33,9 +33,123 @@ object Hierarchy {
     * price. An org-chart-shaped hierarchy (depth ≤ 7) resolves in 4
     * rounds under the default 6; callers can leave a generous ceiling
     * without paying for it (HierarchySpec pins the job count). */
+  /** Session conf: node/edge count up to which [[resolveToRoot]]
+    * walks the hierarchy with a driver-side memoized chase instead of
+    * the distributed doubling loop (default 4M rows ≈ 64-96 MB
+    * collected — the same budget class as
+    * `spark.graft.foldLocalCcMaxEdges`). Each doubling round costs two
+    * driver actions at ~0.5 s of local stage latency at ANY SF, so a
+    * 4-round org-chart resolution was paying ~8 stage floors for
+    * microseconds of pointer chasing; above the gate (or on inputs
+    * the walk cannot faithfully replay: duplicate child edges, depth
+    * past the rounds budget, cycles) the loop runs unchanged.
+    * HierarchySpec pins local ≡ forced-distributed. Set 0 to force
+    * the loop. */
+  val LocalMaxRowsConf = "spark.graft.hierarchyLocalMaxRows"
+
   def resolveToRoot(nodes: DataFrame, idCol: String,
       edges: DataFrame, childCol: String, parentCol: String,
       rounds: Int = 6): DataFrame = {
+    val spark = nodes.sparkSession
+    val rawMax = spark.conf.get(LocalMaxRowsConf, "4000000")
+    val maxLocal = scala.util.Try(rawMax.toLong).toOption.filter(_ >= 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$LocalMaxRowsConf must be a non-negative long, got '$rawMax'"))
+    if (maxLocal > 0) {
+      val nodesL = nodes.select(col(idCol).cast("long").as("id")).persist()
+      val edgesL = edges.select(col(childCol).cast("long").as("c"),
+        col(parentCol).cast("long").as("p")).persist()
+      val fits = nodesL.count() <= maxLocal && edgesL.count() <= maxLocal
+      val resolved = if (fits)
+        localResolve(nodesL.collect().map(_.getLong(0)),
+          edgesL.collect().map(r => (r.getLong(0), r.getLong(1))), rounds)
+      else None
+      resolved match {
+        case Some(rows) =>
+          nodesL.unpersist(); edgesL.unpersist()
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("anc",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("depth",
+              org.apache.spark.sql.types.LongType)))
+          return spark.createDataFrame(
+            java.util.Arrays.asList(rows.map { case (i, a, dp) =>
+              org.apache.spark.sql.Row(i, a, dp) }: _*), schema)
+        case None =>
+          // above the gate or unreplayable input: run the loop from
+          // the ORIGINAL frames (its per-round persists bound the
+          // re-derivation to one extra source scan; materializing the
+          // corpus-sized result just to free the probe frames would
+          // cost far more at scale)
+          nodesL.unpersist(); edgesL.unpersist()
+          return resolveDistributed(nodes, idCol, edges, childCol,
+            parentCol, rounds)
+      }
+    }
+    resolveDistributed(nodes, idCol, edges, childCol, parentCol, rounds)
+  }
+
+  /** The driver-side walk: one memoized parent chase per node under
+    * the doubling loop's exact step budget (2^rounds − 1). Returns
+    * None when the input cannot be replayed faithfully — a child with
+    * two parent edges (the join would fan out, the map cannot) or a
+    * walk that exhausts the budget (depth past the ceiling, or a
+    * cycle: the loop's answer is then the budget-capped ancestor,
+    * which the memo cannot cache soundly) — and the caller falls back
+    * to the distributed loop. */
+  private def localResolve(nodeIds: Array[Long],
+      edgeList: Array[(Long, Long)],
+      rounds: Int): Option[Array[(Long, Long, Long)]] = {
+    val budget =
+      if (rounds >= 63) Long.MaxValue else (1L << rounds) - 1
+    val parent = new java.util.HashMap[Long, Long](edgeList.length * 2)
+    for ((c, p) <- edgeList) {
+      if (parent.containsKey(c) && parent.get(c) != p) return None
+      parent.put(c, p)
+    }
+    val memo = new java.util.HashMap[Long, (Long, Long)](nodeIds.length * 2)
+    val path = new scala.collection.mutable.ArrayBuffer[Long]()
+    val out = new Array[(Long, Long, Long)](nodeIds.length)
+    var i = 0
+    while (i < nodeIds.length) {
+      val start = nodeIds(i)
+      var cur = start
+      var steps = 0L
+      path.clear()
+      var hit: (Long, Long) = null
+      while (hit == null) {
+        val m = memo.get(cur)
+        if (m != null) hit = m
+        else if (!parent.containsKey(cur)) hit = (cur, 0L)
+        else {
+          // depth past budget, or (steps > |edges|) a revisit = cycle
+          // — the unbounded-budget case must not spin forever
+          if (steps >= budget || steps > edgeList.length) return None
+          path += cur
+          cur = parent.get(cur)
+          steps += 1
+        }
+      }
+      // memoize the walked prefix (full resolutions only)
+      var back = path.length
+      while (back > 0) {
+        back -= 1
+        val d = hit._2 + (path.length - back)
+        memo.put(path(back), (hit._1, d))
+      }
+      val total = hit._2 + path.length
+      if (total > budget) return None // safety: memo-joined depth over budget
+      out(i) = (start, hit._1, total.toLong)
+      i += 1
+    }
+    Some(out)
+  }
+
+  private def resolveDistributed(nodes: DataFrame, idCol: String,
+      edges: DataFrame, childCol: String, parentCol: String,
+      rounds: Int): DataFrame = {
     var state = nodes
       .select(col(idCol).cast("long").as("id"),
         col(idCol).cast("long").as("anc"), lit(0L).as("depth"))

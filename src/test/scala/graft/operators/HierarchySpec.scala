@@ -37,6 +37,32 @@ class HierarchySpec extends SparkTestBase {
     assert(out === Map(5L -> ((5L, 0L)), 6L -> ((6L, 0L))))
   }
 
+  test("the size-gated driver walk labels identically to the forced " +
+      "distributed doubling loop (incl. the budget-capped deep chain)") {
+    val nodes = 0L to 40L
+    val edges = (1L to 40L).map(i => i -> (i - 1))
+    def both(rounds: Int) = {
+      val viaLocal = Hierarchy.resolveToRoot(nodes.toDF("id"), "id",
+          edges.toDF("child", "parent"), "child", "parent", rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.conf.set(Hierarchy.LocalMaxRowsConf, "0")
+      try {
+        val viaDist = Hierarchy.resolveToRoot(nodes.toDF("id"), "id",
+            edges.toDF("child", "parent"), "child", "parent", rounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(viaLocal === viaDist, s"rounds=$rounds")
+      } finally spark.conf.unset(Hierarchy.LocalMaxRowsConf)
+      viaLocal
+    }
+    val full = both(6) // depth 40 ≤ 2^6−1: fully resolved
+    assert(full.contains((40L, 0L, 40L)))
+    // rounds=4 caps the walk at 15 steps: the driver path must refuse
+    // (budget-capped ancestors are the loop's semantics alone) and
+    // fall back — equality with the forced loop proves it did
+    val capped = both(4)
+    assert(capped.contains((40L, 25L, 15L)))
+  }
+
   test("convergence early-exit: a generous rounds ceiling is not paid") {
     // depth-3 tree: covered after round 2, round 3 advances nobody →
     // loop ends. AQE splits every action into several Spark jobs, so
