@@ -1181,34 +1181,38 @@ object Dedup {
       .select(col("_n"), coalesce(col("cluster_id"), col("_n")).as("_r"),
         col("cluster_id").isNotNull.as("_mapped"))
       .localCheckpoint()
-    // localCheckpoint severs the deep pair-generator lineage before
-    // the contracted-graph work: label propagation's plan tree
-    // references its child twice per round (it doubles), so the loop
-    // must start from a leaf, not from the incremental-pair plan —
-    // and the checkpoint's row count is the size gate below for free
-    val contracted = pairs
+    val contractedPlan = pairs
       .join(roots.select(col("_n").as("_a"), col("_r").as("_ra")), Seq("_a"))
       .join(roots.select(col("_n").as("_b"), col("_r").as("_rb")), Seq("_b"))
       .filter(col("_ra") =!= col("_rb"))
       .select(col("_ra").cast("long"), col("_rb").cast("long"))
-      .localCheckpoint()
     // Connected components over roots only. Size-gated: below the
     // threshold (the common daily-batch shape) the contracted edges
     // collect to the driver — they were headed there anyway as the
     // broadcast relabel map — and a union-find labels them in
     // microseconds, where the distributed loop pays ~0.5 s of local
-    // stage latency PER ITERATION at any SF. Above it, the
-    // distributed min-label loop runs and the labels stay distributed
-    // (a relabel map too big to collect is too big to broadcast).
+    // stage latency PER ITERATION at any SF. The gate probes by a
+    // LIMIT-guarded collect (one job, driver memory bounded at
+    // maxLocal+1 rows) instead of the old localCheckpoint + count +
+    // collect triple — two fewer driver actions per fold, which at
+    // the streaming triggers' one-fold-per-batch cadence was ~0.3 s
+    // of pure stage floor each. Above the gate the distributed
+    // min-label loop runs from a checkpoint leaf as before (the
+    // truncated probe is re-derived — the rare corpus-scale path; a
+    // relabel map too big to collect is too big to broadcast anyway).
     val spark = map.sparkSession
     val rawMax = spark.conf.get(FoldLocalCcMaxEdgesConf, "4000000")
     val maxLocal = scala.util.Try(rawMax.toLong).toOption.filter(_ >= 0)
       .getOrElse(throw new IllegalArgumentException(
         s"$FoldLocalCcMaxEdgesConf must be a non-negative long, got " +
           s"'$rawMax'"))
+    val probeCap = maxLocal.min(Int.MaxValue - 1L).toInt
+    val probed =
+      if (maxLocal > 0) contractedPlan.limit(probeCap + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
     val (cc, small) =
-      if (contracted.count() <= maxLocal) {
-        val labels = localMinLabels(contracted.collect()
+      if (maxLocal > 0 && probed.length <= probeCap) {
+        val labels = localMinLabels(probed
           .map(r => (r.getLong(0), r.getLong(1))))
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("_root",
@@ -1219,10 +1223,14 @@ object Dedup {
           java.util.Arrays.asList(labels.toSeq.map { case (n, l) =>
             org.apache.spark.sql.Row(n, l) }: _*)
         (spark.createDataFrame(rows, schema), true)
-      } else
+      } else {
+        // checkpoint leaf: the propagation loop's plan doubles per
+        // round, so it must not start from the join plan above
+        val contracted = contractedPlan.localCheckpoint()
         (connectedComponents(contracted, "_ra", "_rb", maxIter)
           .select(col("node").as("_root"), col("cluster_id").as("_l")),
           false)
+      }
     val hint = (df: DataFrame) => if (small) broadcast(df) else df
     // the exported relabel covers OLD labels only: a new node's
     // self-root is never any base row's cluster_id (labels are

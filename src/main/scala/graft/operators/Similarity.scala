@@ -393,10 +393,18 @@ object Similarity {
     * daily batch never maps over the corpus. */
   def probedBuckets(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nPlanes: Int = 12, multiProbe: Boolean = true): DataFrame =
-    rawBuckets(df, idCol, vecCol, dim, nPlanes)
-      .select(col("_id"), explode(
-        if (multiProbe) probeRadius1(col("_b0"), nPlanes)
-        else array(col("_b0"))).as("_bucket"))
+    probedFromRaw(rawBuckets(df, idCol, vecCol, dim, nPlanes), nPlanes,
+      multiProbe)
+
+  /** Derive the probed table from an ALREADY-HASHED raw bucket table
+    * (`(_id, _b0)`) — a map-only explode, no second hyperplane pass.
+    * The streaming trigger hashes its batch once and derives raw,
+    * probed, and the ebkt delta from that one frame. */
+  def probedFromRaw(raw: DataFrame, nPlanes: Int,
+      multiProbe: Boolean = true): DataFrame =
+    raw.select(col("_id"), explode(
+      if (multiProbe) probeRadius1(col("_b0"), nPlanes)
+      else array(col("_b0"))).as("_bucket"))
 
   /** Fold a re-embedded batch into the probed-bucket artifact: the
     * hyperplanes are deterministic in (dim, nPlanes) — corpus-
@@ -424,6 +432,19 @@ object Similarity {
       increment: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int = 12, multiProbe: Boolean = true): DataFrame = {
     val incRaw = rawBuckets(increment, idCol, vecCol, dim, nPlanes)
+    incrementalLshCandidatesPrebuilt(corpusProbed, incRaw,
+      probedFromRaw(incRaw, nPlanes, multiProbe))
+  }
+
+  /** [[incrementalLshCandidates]] with the batch's raw AND probed
+    * bucket tables PREBUILT — the streaming trigger
+    * ([[graft.streaming.StreamEmbed.pairBatch]]) hashes its batch
+    * against the hyperplanes ONCE and derives both sides (plus the
+    * ebkt delta it appends) from that frame; the from-vectors form
+    * hashed the batch three times per trigger. Row-identical by
+    * construction (the delegate above IS this function). */
+  def incrementalLshCandidatesPrebuilt(corpusProbed: DataFrame,
+      incRaw: DataFrame, incProbed: DataFrame): DataFrame = {
     // `ida < idb` is a no-op under the contract (every increment id
     // above every corpus id) and a guard against its violation: an id
     // present on BOTH sides (a re-submitted vector) would otherwise
@@ -432,8 +453,7 @@ object Similarity {
       .join(incRaw.toDF("idb", "bucket2"),
         col("bucket") === col("bucket2") && col("ida") < col("idb"))
       .select("ida", "idb")
-    val candII = probedBuckets(increment, idCol, vecCol, dim, nPlanes,
-        multiProbe)
+    val candII = incProbed
       .toDF("ida", "bucket")
       .join(incRaw.toDF("idb", "bucket2"),
         col("bucket") === col("bucket2") && col("ida") < col("idb"))

@@ -93,12 +93,20 @@ object StreamEmbed {
       val bdf = batch.toDF()
       val floatB = bdf.select(col("vec_id"),
         col("embedding").cast("array<float>").as("embedding"))
+      // The batch hashes against the hyperplanes ONCE (localCheckpoint
+      // — O(batch) state, sized before the lineage cut): raw buckets,
+      // the radius-1 probe (a map-only explode of raw), and the ebkt
+      // delta below all derive from this frame. The from-vectors form
+      // hashed the batch three times per trigger (candXC's raw,
+      // candII's probed, the ebkt write's probed).
+      val rawB = StreamIndex.deltaSized(Similarity.rawBuckets(floatB,
+          "vec_id", "embedding", dim, nPlanes)).localCheckpoint()
+      val probedB = Similarity.probedFromRaw(rawB, nPlanes)
       // candidates: batch raw buckets vs the accumulated PROBED layers
       // (batch×corpus) + the batch's own probed self-join — the corpus
       // bucket rows are never self-joined, never re-hashed
-      val cand = Similarity.incrementalLshCandidates(
-        bucketsView(s, baseDir, dim, nPlanes), floatB,
-        "vec_id", "embedding", dim, nPlanes)
+      val cand = Similarity.incrementalLshCandidatesPrebuilt(
+        bucketsView(s, baseDir, dim, nPlanes), rawB, probedB)
       // exact DECIMAL(9,6) rerank on candidates only — x36's scoring,
       // so the emitted pairs are oracle-exact (the threshold is stated
       // in ppm like every other gate; /1e6 reproduces the double)
@@ -109,8 +117,9 @@ object StreamEmbed {
       // before the corpus _SUCCESS that commits the batch
       StreamIndex.deltaSized(pairs)
         .write.mode("overwrite").parquet(s"$baseDir/pairs/b=$batchId")
-      StreamIndex.deltaSized(Similarity.probedBuckets(floatB,
-          "vec_id", "embedding", dim, nPlanes))
+      // probedB inherits the checkpoint's already-bounded partitioning
+      // (deltaSized's leaf stats are gone after the lineage cut)
+      probedB
         .write.mode("overwrite").parquet(s"$baseDir/ebkt/b=$batchId")
       StreamIndex.deltaSized(bdf.select("vec_id", "embedding"))
         .write.mode("overwrite").parquet(s"$baseDir/corpus/b=$batchId")
