@@ -52,8 +52,8 @@ object St10Dissect {
                 Dedup.DfCap.NoCap))
             if (optimized) {
               val bIdx = t(s"trigger$b   batch postings ckpt") {
-                StreamIndex.deltaSized(Dedup.postingIndex(batch.toDF(),
-                    "doc_id", "text", 3)).localCheckpoint()
+                StreamIndex.batchCkpt(StreamIndex.deltaSized(
+                  Dedup.postingIndex(batch.toDF(), "doc_id", "text", 3)))
               }
               t(s"trigger$b   pairs plan+write") {
                 val p = Dedup.incrementalJaccardPairsFromIndexDeltasPrebuilt(

@@ -117,8 +117,8 @@ object StreamAdmission {
         // both the near-dup probe and the index append below — the
         // from-text form shingled the survivors twice per trigger
         // (same change as StreamNearDup.pairBatch; St10Dissect A/B)
-        val batchIdx = StreamIndex.deltaSized(Dedup.postingIndex(
-            survivors, "doc_id", "text", n)).localCheckpoint()
+        val batchIdx = StreamIndex.batchCkpt(StreamIndex.deltaSized(
+          Dedup.postingIndex(survivors, "doc_id", "text", n)))
         val nearIds = Dedup.incrementalJaccardPairsFromIndexDeltasPrebuilt(
             indexView(s, baseDir, n), batchIdx, thresholdPpm, dfCap)
           .select(col("idb").as("doc_id")).distinct()

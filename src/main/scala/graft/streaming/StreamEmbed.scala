@@ -99,8 +99,8 @@ object StreamEmbed {
       // delta below all derive from this frame. The from-vectors form
       // hashed the batch three times per trigger (candXC's raw,
       // candII's probed, the ebkt write's probed).
-      val rawB = StreamIndex.deltaSized(Similarity.rawBuckets(floatB,
-          "vec_id", "embedding", dim, nPlanes)).localCheckpoint()
+      val rawB = StreamIndex.batchCkpt(StreamIndex.deltaSized(
+        Similarity.rawBuckets(floatB, "vec_id", "embedding", dim, nPlanes)))
       val probedB = Similarity.probedFromRaw(rawB, nPlanes)
       // candidates: batch raw buckets vs the accumulated PROBED layers
       // (batch×corpus) + the batch's own probed self-join — the corpus

@@ -128,6 +128,32 @@ private[graft] object StreamIndex {
     * estimate, exactly like `Dedup.listStageWidth`. */
   val DeltaTargetBytesConf = "spark.graft.streamDeltaTargetBytes"
 
+  /** Session conf: the StorageLevel for the PER-TRIGGER batch
+    * checkpoints (the build-once frames pairBatch/curateBatch/
+    * StreamEmbed.pairBatch serve their probe AND delta write from).
+    * Default DISK_ONLY: the frame is re-read only within its own
+    * trigger and lands on local disk moments later anyway, so disk
+    * blocks (page-cache-warm on re-read) serve it without competing
+    * with execution memory — under a heap NOT scaled to the data
+    * (default 8g at the 5× replica) MEMORY_AND_DISK checkpoint
+    * blocks cost the trigger's pair stage ~2.5 s of eviction/GC
+    * pressure, while at an adequately-sized heap the two levels
+    * measure at par (St10Dissect matrix, OPTIMIZATION_r16.md).
+    * Accepts any `StorageLevel.fromString` name. */
+  val BatchCkptStorageConf = "spark.graft.streamCkptStorage"
+
+  /** One-trigger-lifetime checkpoint for a batch-derived frame: cuts
+    * lineage so the frame computes once for its in-trigger consumers,
+    * at [[BatchCkptStorageConf]]'s storage level. */
+  def batchCkpt(df: DataFrame): DataFrame = {
+    val name = df.sparkSession.conf.get(BatchCkptStorageConf, "DISK_ONLY")
+    val level = scala.util.Try(
+        org.apache.spark.storage.StorageLevel.fromString(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$BatchCkptStorageConf must be a StorageLevel name, got '$name'"))
+    df.localCheckpoint(true, level)
+  }
+
   /** Bound a delta frame's output file count before a per-batch dir
     * write: batch-sized deltas coalesce to the configured small-file
     * bound (default 8 — plans byte-identical to the fixed bound at

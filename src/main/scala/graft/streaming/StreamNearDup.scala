@@ -143,8 +143,8 @@ object StreamNearDup {
       // of the three stage chains at bench SF (St10Dissect A/B).
       // Protocol file order is unchanged: nothing lands on disk
       // before the pairs dir.
-      val batchIdx = StreamIndex.deltaSized(Dedup.postingIndex(
-          batch.toDF(), "doc_id", "text", n)).localCheckpoint()
+      val batchIdx = StreamIndex.batchCkpt(StreamIndex.deltaSized(
+        Dedup.postingIndex(batch.toDF(), "doc_id", "text", n)))
       val pairs = Dedup.incrementalJaccardPairsFromIndexDeltasPrebuilt(
         indexView(s, baseDir, n), batchIdx, thresholdPpm, dfCap)
       StreamIndex.deltaSized(pairs)

@@ -279,4 +279,31 @@ class StreamNearDupSpec extends SparkTestBase {
     assert(StreamIndex.deltaSized(joined).rdd.getNumPartitions === 8,
       "a join-derived batch-sized delta must hit the small-file bound")
   }
+
+  test("batchCkpt's storage level is conf-driven and verdict-neutral: " +
+      "pairs under MEMORY_AND_DISK == pairs under the DISK_ONLY default; " +
+      "an unknown level name throws") {
+    def runAll(dir: String): Set[(Long, Long, Long)] = {
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, id) =>
+        val _ = StreamNearDup.pairBatch(b.toDS(), id.toLong, dir, 3, 500000L)
+      }
+      StreamNearDup.allPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val defaultPairs = runAll(Files.createTempDirectory("graft_ckd").toString)
+    spark.conf.set(StreamIndex.BatchCkptStorageConf, "MEMORY_AND_DISK")
+    try {
+      val memPairs = runAll(Files.createTempDirectory("graft_ckm").toString)
+      assert(memPairs === defaultPairs)
+      assert(defaultPairs === expectedPairs,
+        "both levels must match the batch recompute, not just each other")
+    } finally spark.conf.unset(StreamIndex.BatchCkptStorageConf)
+    spark.conf.set(StreamIndex.BatchCkptStorageConf, "NOT_A_LEVEL")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        val _ = StreamIndex.batchCkpt(spark.range(3).toDF())
+      }
+      assert(ex.getMessage.contains(StreamIndex.BatchCkptStorageConf))
+    } finally spark.conf.unset(StreamIndex.BatchCkptStorageConf)
+  }
 }
