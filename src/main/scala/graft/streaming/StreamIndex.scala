@@ -142,9 +142,17 @@ private[graft] object StreamIndex {
     * Accepts any `StorageLevel.fromString` name. */
   val BatchCkptStorageConf = "spark.graft.streamCkptStorage"
 
-  /** One-trigger-lifetime checkpoint for a batch-derived frame: cuts
-    * lineage so the frame computes once for its in-trigger consumers,
-    * at [[BatchCkptStorageConf]]'s storage level. */
+  /** One-trigger-lifetime checkpoint for a batch's posting/bucket
+    * delta: cuts lineage so the frame computes once for its
+    * in-trigger consumers, at [[BatchCkptStorageConf]]'s storage
+    * level. DISK_ONLY is right for exactly these frames — NARROW
+    * packed-long rows whose serialized form is small — and wrong for
+    * text-bearing ones: converting the day-verdict / curation-flagged
+    * / seed-index checkpoints (rows carry the document text) was
+    * A/B-measured LOSING 25-70% at sf0.1 (x41 4.2-5.1 → 7.3-8.0 warm;
+    * per-consumer deserialization of wide rows outweighs the heap
+    * relief), so those sites keep the plain deserialized-heap
+    * localCheckpoint — the per-site sign-flip lesson again. */
   def batchCkpt(df: DataFrame): DataFrame = {
     val name = df.sparkSession.conf.get(BatchCkptStorageConf, "DISK_ONLY")
     val level = scala.util.Try(
